@@ -1,0 +1,225 @@
+"""DataFrame-level coordinate transforms: the pandas-UDF slow path.
+
+One Arrow crossing per (src, dst) CRS pair: the driver compiles a
+:class:`~proj_spark.plans.pipeline.TransformPlan` (the analog of the
+reference's 11-stage pj_transform dataflow, src/pj_transform.c:87-370)
+into a single fused numpy closure, and wraps it in ONE ``pandas_udf``
+returning a struct column.  Executors never re-parse proj strings; the
+plan ships inside the serialized closure (tiny — plain floats + numpy
+grids), the Spark equivalent of broadcasting the compiled ``PJ``.
+
+Scale notes:
+- narrow transformation: no shuffle, parallelism = input partitions.
+- Arrow batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch;
+  kernels are O(1) memory per lane so 10k-row batches stay far below
+  executor memory even with 3 float64 working arrays.
+- per-point failures produce NaN -> NULL, never task failure
+  (transient-error semantics of src/pj_transform.c:70-76).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..crs import CRS
+from ..kernels import xmath as m
+from ..plans.pipeline import build_plan
+
+_XY_SCHEMA = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType()), StructField("z", DoubleType())]
+)
+
+
+def _resolve(crs: CRS | str) -> CRS:
+    return CRS.from_proj4(crs) if isinstance(crs, str) else crs
+
+
+def transform_udf(src: CRS | str, dst: CRS | str):
+    """Build a pandas UDF ``(lon, lat[, z]) -> struct<x,y,z>``.
+
+    Degrees at latlong ends (cs2cs convention, src/cs2cs.c:89-97).
+    """
+    src = _resolve(src)
+    dst = _resolve(dst)
+    plan = build_plan(src, dst)  # driver-side compile; closure ships to executors
+    src_ll, dst_ll = src.is_latlong, dst.is_latlong
+
+    @F.pandas_udf(_XY_SCHEMA)
+    def _udf(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            if isinstance(batch, pd.Series):
+                batch = (batch,)
+            x = batch[0].to_numpy(dtype=np.float64, copy=True)
+            y = batch[1].to_numpy(dtype=np.float64, copy=True)
+            z = (
+                batch[2].to_numpy(dtype=np.float64, copy=True)
+                if len(batch) > 2
+                else None
+            )
+            if src_ll:
+                x *= m.DEG_TO_RAD
+                y *= m.DEG_TO_RAD
+            xo, yo, zo = plan(x, y, z)
+            if dst_ll:
+                xo = xo * m.RAD_TO_DEG
+                yo = yo * m.RAD_TO_DEG
+            yield pd.DataFrame({"x": xo, "y": yo, "z": zo})
+
+    return _udf
+
+
+def transform(
+    df: DataFrame,
+    src: CRS | str,
+    dst: CRS | str,
+    lon: str = "lon",
+    lat: str = "lat",
+    z: str | None = None,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Reproject columns, appending ``{out_prefix}x/y/z``.
+
+    The flagship API (analog of pj_transform over a whole table).
+    """
+    udf = transform_udf(src, dst)
+    cols = [F.col(lon), F.col(lat)] + ([F.col(z)] if z else [])
+    out = df.withColumn("_xyz", udf(*cols))
+    out = (
+        out.withColumn(out_prefix + "x", F.col("_xyz.x"))
+        .withColumn(out_prefix + "y", F.col("_xyz.y"))
+        .withColumn(out_prefix + "z", F.col("_xyz.z"))
+        .drop("_xyz")
+    )
+    return out
+
+
+def geodesic_inverse_udf(a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+    """pandas UDF ``(lon1,lat1,lon2,lat2) -> struct<s12,azi1,azi2>``.
+
+    Karney inverse problem (ref src/geodesic.c:944) — the exact-distance
+    refinement used after the haversine candidate cut in kNN.
+    """
+    from ..kernels.geodesy import geod_inverse
+
+    schema = StructType(
+        [
+            StructField("s12", DoubleType()),
+            StructField("azi1", DoubleType()),
+            StructField("azi2", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            lon1 = b[0].to_numpy(np.float64)
+            lat1 = b[1].to_numpy(np.float64)
+            lon2 = b[2].to_numpy(np.float64)
+            lat2 = b[3].to_numpy(np.float64)
+            s12, azi1, azi2 = geod_inverse(lat1, lon1, lat2, lon2, a, f)
+            yield pd.DataFrame({"s12": s12, "azi1": azi1, "azi2": azi2})
+
+    return _udf
+
+
+def factors_udf(crs: CRS | str):
+    """pandas UDF ``(lon_deg, lat_deg) -> struct<h,k,s,omega,conv>``.
+
+    Distortion analysis via numeric derivatives (ref src/pj_factors.c:
+    10-86 + src/pj_deriv.c finite differences, EPS = 1e-5 rad).
+    """
+    crs = _resolve(crs)
+    from ..kernels.core import compile_proj
+
+    cp = compile_proj(crs)
+    es, one_es = crs.es, crs.one_es
+    lam0 = cp.lam0
+
+    schema = StructType(
+        [
+            StructField("h", DoubleType()),
+            StructField("k", DoubleType()),
+            StructField("s", DoubleType()),
+            StructField("omega", DoubleType()),
+            StructField("conv", DoubleType()),
+        ]
+    )
+
+    DERIV_EPS = 1e-5  # src/proj.c DEFAULT_H-ish finite-difference step
+
+    def _factors(lam, phi):
+        # 4-point numeric partials (src/pj_deriv.c:5-33)
+        lam = lam - lam0
+        xp1, yp1 = cp.fwd(lam + DERIV_EPS, phi + DERIV_EPS)
+        xp2, yp2 = cp.fwd(lam + DERIV_EPS, phi - DERIV_EPS)
+        xm1, ym1 = cp.fwd(lam - DERIV_EPS, phi + DERIV_EPS)
+        xm2, ym2 = cp.fwd(lam - DERIV_EPS, phi - DERIV_EPS)
+        h2 = DERIV_EPS * 2.0
+        x_l = (xp1 + xp2 - xm1 - xm2) / (2 * h2)
+        x_p = (xp1 - xp2 + xm1 - xm2) / (2 * h2)
+        y_l = (yp1 + yp2 - ym1 - ym2) / (2 * h2)
+        y_p = (yp1 - yp2 + ym1 - ym2) / (2 * h2)
+        # pj_factors.c:44-80
+        cosphi = np.cos(phi)
+        sinphi = np.sin(phi)
+        if es:
+            t = 1.0 - es * sinphi * sinphi
+            n = np.sqrt(t)
+            r = one_es / (t * t)  # (1-es)/t^2 : rho*nu scale
+            h = np.hypot(x_p, y_p) * t * np.sqrt(t) / one_es
+            k = np.hypot(x_l, y_l) / cosphi * n
+            s = (y_p * x_l - x_p * y_l) * (t * t / one_es) / cosphi
+            del r
+        else:
+            h = np.hypot(x_p, y_p)
+            k = np.hypot(x_l, y_l) / cosphi
+            s = (y_p * x_l - x_p * y_l) / cosphi
+        conv = -np.arctan2(x_p, y_p)
+        # omega from a'=max, b'=min of Tissot axes (pj_factors.c:73-80)
+        t_ = h * h + k * k
+        a_ = np.sqrt(np.maximum(t_ + 2.0 * s, 0.0))
+        t2 = np.sqrt(np.maximum(t_ - 2.0 * s, 0.0))
+        amax = 0.5 * (a_ + t2)
+        bmin = 0.5 * (a_ - t2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            omega = 2.0 * np.arcsin(np.clip(t2 / a_, -1.0, 1.0))
+        return h, k, s, omega, conv, amax, bmin
+
+    @F.pandas_udf(schema)
+    def _udf(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            lam = b[0].to_numpy(np.float64) * m.DEG_TO_RAD
+            phi = b[1].to_numpy(np.float64) * m.DEG_TO_RAD
+            h, k, s, omega, conv, _, _ = _factors(lam, phi)
+            yield pd.DataFrame({"h": h, "k": k, "s": s, "omega": omega, "conv": conv})
+
+    return _udf
+
+
+def cell_id_equal_area_udf(res: int):
+    """HEALPix-style equal-area cell id as a pandas UDF
+    ``(lon_deg, lat_deg) -> long`` (ref PJ_healpix.c:214-236 sphere
+    forward; quantized on the HEALPix square).  Alternative to the
+    SQL-expressible equirectangular :func:`...expressions.cell_id`
+    when equal-area binning matters (balanced partitions by cell)."""
+    from ..kernels.core import healpix_sphere_fwd
+
+    n = 1 << res
+
+    @F.pandas_udf("long")
+    def _udf(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+        for b in it:
+            lam = b[0].to_numpy(np.float64) * m.DEG_TO_RAD
+            phi = b[1].to_numpy(np.float64) * m.DEG_TO_RAD
+            x, y = healpix_sphere_fwd(m.adjlon(lam), phi)
+            # x in [-pi, pi], y in [-pi/2, pi/2]
+            ix = np.clip(((x + np.pi) / (2 * np.pi) * 2 * n).astype(np.int64), 0, 2 * n - 1)
+            iy = np.clip(((y + np.pi / 2) / np.pi * n).astype(np.int64), 0, n - 1)
+            yield pd.Series(iy * (2 * n) + ix)
+
+    return _udf

@@ -892,3 +892,42 @@ def compile_proj(crs) -> CompiledProj:
     if setup is None:
         raise NotImplementedError(f"projection kernel {crs.proj!r} not implemented")
     return setup(crs)
+
+
+# ----------------------------------------------------------------- healpix
+def healpix_sphere_fwd(lam, phi):
+    """Spherical HEALPix forward map (ref src/PJ_healpix.c:214-236,
+    ``healpix_sphere``): equal-area H=4,K=3 hybrid — cylindrical
+    equal-area in the equatorial belt (|sin phi| <= 2/3), interrupted
+    Collignon in the polar caps.  Used by the equal-area cell index."""
+    lam = np.asarray(lam, np.float64)
+    phi = np.asarray(phi, np.float64)
+    phi0 = np.arcsin(2.0 / 3.0)
+    eq = np.abs(phi) <= phi0
+    x_eq = lam
+    y_eq = 3.0 * PI / 8.0 * np.sin(phi)
+    sigma = np.sqrt(3.0 * (1.0 - np.abs(np.sin(phi))))
+    cn = np.floor(2.0 * lam / PI + 2.0)
+    cn = np.clip(cn, 0.0, 3.0)
+    lamc = -3.0 * PI / 4.0 + (PI / 2.0) * cn
+    x_po = lamc + (lam - lamc) * sigma
+    y_po = np.sign(phi) * PI / 4.0 * (2.0 - sigma)
+    return np.where(eq, x_eq, x_po), np.where(eq, y_eq, y_po)
+
+
+def healpix_sphere_inv(x, y):
+    """Inverse of :func:`healpix_sphere_fwd` (ref PJ_healpix.c:238-270)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    # equatorial belt boundary in projected space: y = 3pi/8 * (2/3) = pi/4
+    eq = np.abs(y) <= PI / 4.0
+    lam_eq = x
+    phi_eq = np.arcsin(np.clip(8.0 * y / (3.0 * PI), -1.0, 1.0))
+    cn = np.floor(2.0 * x / PI + 2.0)
+    cn = np.clip(cn, 0.0, 3.0)
+    xc = -3.0 * PI / 4.0 + (PI / 2.0) * cn
+    tau = 2.0 - 4.0 * np.abs(y) / PI
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam_po = np.where(tau != 0.0, xc + (x - xc) / np.where(tau == 0.0, 1.0, tau), xc)
+    phi_po = np.sign(y) * np.arcsin(np.clip(1.0 - tau * tau / 3.0, -1.0, 1.0))
+    return np.where(eq, lam_eq, lam_po), np.where(eq, phi_eq, phi_po)

@@ -120,3 +120,155 @@ def helmert_from_wgs84(x, y, z, params):
     y_out = -rz * x_tmp + y_tmp + rx * z_tmp
     z_out = ry * x_tmp - rx * y_tmp + z_tmp
     return x_out, y_out, z_out
+
+
+def geod_inverse(lat1, lon1, lat2, lon2, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+    """Vectorized ellipsoidal inverse geodesic problem (degrees in,
+    meters + degrees out): returns ``(s12, azi1, azi2)``.
+
+    Role of ``geod_inverse`` in the reference (src/geodesic.c:944,
+    Karney 2013).  This implementation uses the classic Vincenty
+    iteration (public-domain algorithm) with a masked fixed-point loop
+    (<=50 iter, tol 1e-12) and a haversine fallback for the rare
+    non-converging near-antipodal lanes; accuracy ~1e-5 m elsewhere,
+    far inside the kNN-refinement tolerance.  The haversine fast path
+    (functions/expressions.py) prunes candidates first, so this runs
+    on small refined sets only.
+    """
+    d2r = np.pi / 180.0
+    lat1 = np.asarray(lat1, np.float64) * d2r
+    lat2 = np.asarray(lat2, np.float64) * d2r
+    dlon = (np.asarray(lon2, np.float64) - np.asarray(lon1, np.float64)) * d2r
+    b = a * (1.0 - f)
+
+    U1 = np.arctan((1.0 - f) * np.tan(lat1))
+    U2 = np.arctan((1.0 - f) * np.tan(lat2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    L = np.arctan2(np.sin(dlon), np.cos(dlon))  # wrap to [-pi, pi]
+
+    lam = L.copy()
+    active = np.ones_like(lam, dtype=bool)
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    sin_alpha = np.zeros_like(lam)
+    cos_sq_alpha = np.ones_like(lam)
+    cos2sm = np.ones_like(lam)
+    for _ in range(50):
+        if not active.any():
+            break
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sinl
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosl
+        ss = np.sqrt(t1 * t1 + t2 * t2)
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sg = np.arctan2(ss, cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sa = np.where(ss != 0.0, cosU1 * cosU2 * sinl / np.where(ss == 0.0, 1.0, ss), 0.0)
+        csa = 1.0 - sa * sa
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2 = np.where(csa != 0.0, cs - 2.0 * sinU1 * sinU2 / np.where(csa == 0.0, 1.0, csa), 0.0)
+        C = f / 16.0 * csa * (4.0 + f * (4.0 - 3.0 * csa))
+        lam_new = L + (1.0 - C) * f * sa * (
+            sg + C * ss * (c2 + C * cs * (-1.0 + 2.0 * c2 * c2))
+        )
+        upd = active
+        sin_sigma = np.where(upd, ss, sin_sigma)
+        cos_sigma = np.where(upd, cs, cos_sigma)
+        sigma = np.where(upd, sg, sigma)
+        sin_alpha = np.where(upd, sa, sin_alpha)
+        cos_sq_alpha = np.where(upd, csa, cos_sq_alpha)
+        cos2sm = np.where(upd, c2, cos2sm)
+        converged = np.abs(lam_new - lam) < 1e-12
+        lam = np.where(upd, lam_new, lam)
+        active = active & ~converged
+
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    dsig = B * sin_sigma * (
+        cos2sm
+        + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sigma * sin_sigma) * (-3.0 + 4.0 * cos2sm * cos2sm)
+        )
+    )
+    s12 = b * A * (sigma - dsig)
+
+    # haversine fallback for lanes still active (near-antipodal)
+    if active.any():
+        R = (2.0 * a + b) / 3.0
+        h = (
+            np.sin((lat2 - lat1) / 2) ** 2
+            + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+        )
+        s_h = 2.0 * R * np.arcsin(np.minimum(np.sqrt(h), 1.0))
+        s12 = np.where(active, s_h, s12)
+
+    sinl, cosl = np.sin(lam), np.cos(lam)
+    azi1 = np.arctan2(cosU2 * sinl, cosU1 * sinU2 - sinU1 * cosU2 * cosl) / d2r
+    azi2 = np.arctan2(cosU1 * sinl, -sinU1 * cosU2 + cosU1 * sinU2 * cosl) / d2r
+    # coincident points
+    coincident = (np.abs(dlon) < 1e-15) & (np.abs(lat1 - lat2) < 1e-15)
+    s12 = np.where(coincident, 0.0, s12)
+    azi1 = np.where(coincident, 0.0, azi1)
+    azi2 = np.where(coincident, 0.0, azi2)
+    return s12, azi1, azi2
+
+
+def geod_direct(lat1, lon1, azi1, s12, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+    """Vectorized direct geodesic problem (degrees/meters in, degrees
+    out): returns ``(lat2, lon2, azi2)``.  Role of ``geod_direct``
+    (ref src/geodesic.c:590); Vincenty direct formulation."""
+    d2r = np.pi / 180.0
+    lat1 = np.asarray(lat1, np.float64) * d2r
+    lon1 = np.asarray(lon1, np.float64)
+    alpha1 = np.asarray(azi1, np.float64) * d2r
+    s = np.asarray(s12, np.float64)
+    b = a * (1.0 - f)
+
+    tanU1 = (1.0 - f) * np.tan(lat1)
+    cosU1 = 1.0 / np.sqrt(1.0 + tanU1 * tanU1)
+    sinU1 = tanU1 * cosU1
+    sina1, cosa1 = np.sin(alpha1), np.cos(alpha1)
+    sigma1 = np.arctan2(tanU1, cosa1)
+    sin_alpha = cosU1 * sina1
+    cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+
+    sigma = s / (b * A)
+    for _ in range(30):
+        cos2sm = np.cos(2.0 * sigma1 + sigma)
+        sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+        dsig = B * sin_sig * (
+            cos2sm
+            + B / 4.0 * (
+                cos_sig * (-1.0 + 2.0 * cos2sm * cos2sm)
+                - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sig * sin_sig) * (-3.0 + 4.0 * cos2sm * cos2sm)
+            )
+        )
+        sigma_new = s / (b * A) + dsig
+        if np.all(np.abs(sigma_new - sigma) < 1e-12):
+            sigma = sigma_new
+            break
+        sigma = sigma_new
+    cos2sm = np.cos(2.0 * sigma1 + sigma)
+    sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+
+    tmp = sinU1 * sin_sig - cosU1 * cos_sig * cosa1
+    lat2 = np.arctan2(
+        sinU1 * cos_sig + cosU1 * sin_sig * cosa1,
+        (1.0 - f) * np.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = np.arctan2(sin_sig * sina1, cosU1 * cos_sig - sinU1 * sin_sig * cosa1)
+    C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma + C * sin_sig * (cos2sm + C * cos_sig * (-1.0 + 2.0 * cos2sm * cos2sm))
+    )
+    lon2 = lon1 + L / d2r
+    lon2 = lon2 - 360.0 * np.floor((lon2 + 180.0) / 360.0)
+    azi2 = np.arctan2(sin_alpha, -tmp) / d2r
+    return lat2 / d2r, lon2, azi2

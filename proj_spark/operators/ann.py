@@ -1,0 +1,131 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- :func:`cosine_topk` — brute-force baseline: broadcast the query set,
+  dot products via ``F.zip_with`` + ``F.aggregate`` (native, JVM-side,
+  no Python), window top-k.  Exact; linear in |corpus| x |queries|.
+- :func:`lsh_topk` — scale path: random-hyperplane LSH.  Signature
+  bits are sign(dot(v, plane_j)) with planes drawn from a seeded
+  driver RNG and inlined as literal arrays (tiny: bits x dim floats).
+  Corpus is bucketed by signature; queries probe their bucket plus
+  multi-probe flips of the lowest-margin bits, then refine exactly.
+
+Scale notes (10^12 rows x 64 dims):
+- both paths avoid shuffling the corpus for the join (broadcast
+  queries / broadcast probe table); the only wide op is the final
+  per-query top-k window over candidate rows.
+- signatures are one narrow pass; store them bucketed/Z-ordered so
+  repeated queries prune at scan time (partition filter on sig).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, cos)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    pairs = pairs.withColumn("cos", cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplane matrix (bits x dim), unit rows."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((bits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def signature_col(vec, planes: np.ndarray):
+    """int64 signature column: bit j = 1 iff dot(vec, plane_j) >= 0."""
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in row])
+        sig = sig + F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe_bits: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed cosine top-k (approximate).
+
+    Queries probe their own bucket plus every bucket within hamming
+    distance ``multiprobe_bits`` lowest bits flipped (cheap static
+    multi-probe: 1 + bits + C(bits,2) probes for 2 bits).
+    """
+    planes = hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    ).withColumn("_sig", signature_col(F.col("_cv"), planes))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_sig", signature_col(F.col("_qv"), planes))
+
+    # probe signatures: identity + single-bit flips (+ pairs if asked)
+    probes = [F.col("_sig")]
+    for j in range(bits):
+        probes.append(F.col("_sig").bitwiseXOR(F.lit(1 << j)))
+    if multiprobe_bits >= 2:
+        for j in range(bits):
+            for l in range(j + 1, bits):
+                probes.append(F.col("_sig").bitwiseXOR(F.lit((1 << j) | (1 << l))))
+    qp = q.withColumn("_probe", F.explode(F.array(*probes)))
+
+    cand = c.join(F.broadcast(qp), c["_sig"] == qp["_probe"], "inner")
+    cos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    cand = cand.withColumn("cos", cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

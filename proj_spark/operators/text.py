@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data curation, all native
+expressions (zero Python per row): language ID, quality scoring,
+token counting, document fingerprinting.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "para", "en"],
+}
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n_tokens (whitespace), n_bpeish (regex pieces), n_chars,
+    distinct-token count and mean token length per doc."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    bpe = F.expr(f"regexp_extract_all({text}, '{TOKEN_RE}', 0)")
+    return df.select(
+        id_col,
+        F.length(text).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpeish"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.length(F.regexp_replace(F.col(text), r"\s+", "")) / F.size(toks)).alias(
+            "mean_tok_len"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length band, stopword ratio, punctuation ratio, repetition
+    (distinct/total tokens)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct-hit count
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tok
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text), r"[a-zA-Z0-9\s]", "")) / F.length(text)
+    )
+    rep_ratio = F.size(F.array_distinct(toks)) / n_tok
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    score = (
+        0.35 * len_score
+        + 0.25 * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + 0.25 * rep_ratio
+        + 0.15 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+    )
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopword_kinds"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        rep_ratio.alias("rep_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language classifier: predicted lang = argmax over
+    languages of (stopword hits / n_tokens); ties broken by language
+    code order.  Pure expressions (greatest + chained when)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    n_tok = F.size(toks)
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        scores[lang] = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tok)
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # reversed so earlier language codes win ties via later .when override
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0.0, F.lit("unknown")).otherwise(pred)
+    out = df.select(
+        id_col,
+        *[scores[lg].alias(f"score_{lg}") for lg in sorted(scores)],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id", p: int = 2147483647) -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    fp = sum over positions i of w(i) * len(token_i) * first_char_code
+    with positional weight w(i) = (i*131 mod 997)+1 — bounded modular
+    arithmetic, exact in float64, reproducible in ANSI SQL.  A content
+    hash that detects re-ordering (unlike bag-of-words hashes).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    contrib = F.expr(
+        "aggregate(zip_with({t}, sequence(0, size({t}) - 1), (tok, i) -> "
+        "((i * 131) % 997 + 1) * (length(tok) * 31 + ascii(tok))), "
+        "cast(0 as long), (acc, x) -> (acc + x) % {p})".format(t="_toks", p=p)
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .select(id_col, contrib.alias("fingerprint"))
+    )

