@@ -24,6 +24,19 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..kernels.xmath import DEG_TO_RAD
+
+
+def _rad(col):
+    """Degrees -> radians via explicit DEG_TO_RAD multiply.
+
+    NOT the radians() builtin: Java Math.toRadians computes x/180*pi
+    (divide first) while the reference and the SQL oracles compute
+    x*DEG_TO_RAD (src/proj_api.h:47) — they differ in the last ulp,
+    which matters for floor()-quantized cross-engine checks.
+    """
+    return col * F.lit(DEG_TO_RAD)
+
 # WGS84 semi-major axis (src/pj_ellps.c "WGS84")
 WGS84_A = 6378137.0
 # mean Earth radius used by the haversine fast path (authalic-ish)
@@ -32,7 +45,7 @@ EARTH_RADIUS_M = 6371008.8
 # golden-ratio fractions for the deterministic key->coordinate derivation
 # (FIXTURES.md §1: centroid from phash * phi^-1 / phi^-2 fractions)
 _PHI_INV = 0.6180339887498949
-_PHI_INV2 = 0.3819660112501051
+_SQRT3_FRAC = 0.7320508075688772  # sqrt(3)-1: independent of PHI_INV mod 1
 
 
 def _c(col: Column | str) -> Column:
@@ -57,7 +70,7 @@ def synth_lon(key: Column | str, lo: float = -125.0, span: float = 58.0) -> Colu
 
 def synth_lat(key: Column | str, lo: float = 25.0, span: float = 24.0) -> Column:
     k = _c(key).cast("double")
-    return F.lit(lo) + F.lit(span) * frac(k * F.lit(_PHI_INV2))
+    return F.lit(lo) + F.lit(span) * frac(k * F.lit(_SQRT3_FRAC))
 
 
 # ------------------------------------------------------------------ adjlon
@@ -71,12 +84,12 @@ def adjlon_deg(lon: Column | str) -> Column:
 def webmerc_x(lon_deg: Column | str, a: float = WGS84_A) -> Column:
     """Spherical-Mercator x in meters (PJ_merc.c:13 sphere fwd, k0=1,
     scaled by a as in pj_fwd.c:32)."""
-    return F.radians(_c(lon_deg)) * F.lit(a)
+    return _rad(_c(lon_deg)) * F.lit(a)
 
 
 def webmerc_y(lat_deg: Column | str, a: float = WGS84_A) -> Column:
     """Spherical-Mercator y = a*ln(tan(pi/4 + phi/2)) (PJ_merc.c:14)."""
-    phi = F.radians(_c(lat_deg))
+    phi = _rad(_c(lat_deg))
     return F.lit(a) * F.log(F.tan(F.lit(math.pi / 4.0) + phi * 0.5))
 
 
@@ -99,7 +112,7 @@ def tile_y(lat_deg: Column | str, zoom: Column | int) -> Column:
     """
     z = F.lit(zoom) if isinstance(zoom, int) else zoom
     n = F.pow(F.lit(2.0), z.cast("double"))
-    t = F.tan(F.radians(_c(lat_deg)))
+    t = F.tan(_rad(_c(lat_deg)))
     asinh_t = F.log(t + F.sqrt(t * t + 1.0))
     ty = F.floor((1.0 - asinh_t / math.pi) / 2.0 * n)
     return F.least(F.greatest(ty, F.lit(0)), (n - 1).cast("long")).cast("long")
@@ -131,9 +144,9 @@ def haversine_m(
     (kernels/geodesy.py, ref src/geodesic.c:944) is the refinement
     oracle.  Uses the numerically stable haversine form.
     """
-    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    rlat1, rlat2 = _rad(_c(lat1)), _rad(_c(lat2))
     dlat = (rlat2 - rlat1) * 0.5
-    dlon = (F.radians(_c(lon2)) - F.radians(_c(lon1))) * 0.5
+    dlon = (_rad(_c(lon2)) - _rad(_c(lon1))) * 0.5
     h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
     # clamp for antipodal rounding
     h = F.least(h, F.lit(1.0))
@@ -194,8 +207,8 @@ def cubeface_cell(lon_deg: Column | str, lat_deg: Column | str, level: int) -> C
     quantized to a 2^level x 2^level grid.  id = face * 4^level
     + iy * 2^level + ix.  Pure expressions — no UDF.
     """
-    lam = F.radians(_c(lon_deg))
-    phi = F.radians(_c(lat_deg))
+    lam = _rad(_c(lon_deg))
+    phi = _rad(_c(lat_deg))
     x = F.cos(phi) * F.cos(lam)
     y = F.cos(phi) * F.sin(lam)
     z = F.sin(phi)

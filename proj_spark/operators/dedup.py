@@ -95,7 +95,7 @@ def minhash_signatures(
     toks = _doc_tokens(df, id_col, tokens)
     if deterministic:
         dic = dictionary if dictionary is not None else token_dictionary(df, tokens)
-        toks = toks.join(dic, on="token", "inner" if dictionary is None else "inner")
+        toks = toks.join(dic, on="token", how="inner")
         hashes = [
             ((F.lit(MINHASH_A[i]) * F.col("tid") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
                 f"_h{i}"

@@ -23,7 +23,9 @@ def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     """n_tokens (whitespace), n_bpeish (regex pieces), n_chars,
     distinct-token count and mean token length per doc."""
     toks = F.split(F.trim(F.col(text)), r"\s+")
-    bpe = F.expr(f"regexp_extract_all({text}, '{TOKEN_RE}', 0)")
+    # NOTE: F.regexp_extract_all with a lit pattern, NOT F.expr — SQL
+    # string literals would eat the backslash in \s
+    bpe = F.regexp_extract_all(F.col(text), F.lit(TOKEN_RE), F.lit(0))
     return df.select(
         id_col,
         F.length(text).alias("n_chars"),

@@ -58,7 +58,7 @@ IMAGE_SCHEMA = StructType(
 )
 
 _PHI_INV = 0.6180339887498949
-_PHI_INV2 = 0.3819660112501051
+_SQRT3_FRAC = 0.7320508075688772  # sqrt(3)-1; phi^-2 is 1-phi^-1 (dependent!)
 
 
 # ------------------------------------------------------------------ pixels
@@ -253,7 +253,7 @@ def centroid_of(
     # use 32-bit halves: a full 64-bit value times a float has no
     # fractional bits left (product >> 2^53), so frac() would be 0
     u = float(key & 0xFFFFFFFF) * _PHI_INV % 1.0
-    v = float((key >> 32) & 0xFFFFFFFF) * _PHI_INV2 % 1.0
+    v = float((key >> 32) & 0xFFFFFFFF) * _SQRT3_FRAC % 1.0
     if hot_mod and idx % hot_mod == 0:
         return hot_lon + (u - 0.5) * 0.01, hot_lat + (v - 0.5) * 0.01
     return -125.0 + 58.0 * u, 25.0 + 24.0 * v
@@ -280,7 +280,7 @@ def with_centroids(df: DataFrame, hot_fraction: float = 0.2,
             lo = (key & np.uint64(0xFFFFFFFF)).astype(np.float64)
             hi = ((key >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
             u = (lo * _PHI_INV) % 1.0
-            v = (hi * _PHI_INV2) % 1.0
+            v = (hi * _SQRT3_FRAC) % 1.0
             lon = -125.0 + 58.0 * u
             lat = 25.0 + 24.0 * v
             if hot_mod:
