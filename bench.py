@@ -1,0 +1,174 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+The flagship measurement mirrors the BASELINE.json metric: spatial
+join + tile assignment over the input_hint image table (point-in-
+polygon against fixture polygons, multi-zoom tile rollup), reported
+as rows/sec.  Set SPARK_GRAFT_SCALING=8,32 to run the flagship at two
+parallelism levels and report scaling efficiency (the sandbox stand-in
+for the N->4N executor criterion).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+
+
+_IMG_CACHE = os.environ.get(
+    "SPARK_GRAFT_IMG_CACHE", f"/tmp/proj_spark_bench/images_{N_IMAGES}"
+)
+
+
+def _image_table(spark, n_images: int):
+    """Materialize the input_hint image table once (parquet cache).
+
+    The BASELINE metric measures join+tile throughput over an EXISTING
+    Iceberg table; synthesis cost is a fixture cost, not pipeline
+    time, so it is cached across bench runs."""
+    from proj_spark.sources.images import generate_images, with_centroids
+
+    if not os.path.exists(os.path.join(_IMG_CACHE, "_SUCCESS")):
+        imgs = with_centroids(generate_images(spark, n_images, partitions=4 * CPUS))
+        imgs.write.mode("overwrite").parquet(_IMG_CACHE)
+    return spark.read.parquet(_IMG_CACHE)
+
+
+def _flagship(spark, n_images: int):
+    """images -> PIP join -> multi-zoom tiles -> rollup.
+
+    Returns (n_rows_processed, result_count).
+    """
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _fixture_polygons
+    from proj_spark.operators.spatial_join import point_in_polygon_join
+    from proj_spark.operators.tiles import tile_counts
+
+    imgs = _image_table(spark, n_images)
+    pts = imgs.select("image_id", "phash", "lon", "lat")
+    polys = _fixture_polygons()
+    pdf = spark.createDataFrame(
+        [
+            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
+            for i, (pid, ring) in enumerate(polys)
+        ]
+    )
+    joined = point_in_polygon_join(
+        pts, pdf, res=6, lon="lon", lat="lat", point_id="image_id", how="left_first"
+    )
+    tiles = tile_counts(joined, [4, 8, 12], "lon", "lat")
+    agg = tiles.agg(F.count(F.lit(1)).alias("n_tiles"), F.sum("n").alias("n_assign"))
+    row = agg.collect()[0]
+    return n_images, int(row.n_tiles)
+
+
+def run_benchmarks(cpus: int = CPUS) -> dict:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from proj_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = build_session("proj-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # fixture materialization (not measured as pipeline time)
+    t0 = time.time()
+    _image_table(spark, N_IMAGES)
+    fixture_s = round(time.time() - t0, 3)
+
+    # flagship: spatial join + tile assignment throughput
+    t0 = time.time()
+    n_rows, _ = _flagship(spark, N_IMAGES)
+    flagship_s = time.time() - t0
+    timings["flagship_pip_tiles"] = round(flagship_s, 3)
+
+    qs = entrymod.queries()
+    headline = [
+        "tile_multizoom",      # explode + shuffle rollup, 600k x 3 rows
+        "utm_fwd",             # pandas-UDF kernel throughput
+        "gridshift_roundtrip", # full datum pipeline w/ grid interpolation
+        "knn",                 # broadcast cross join + window top-k
+        "pip",                 # cell-bucketed ray-cast join
+        "ann_cosine",          # vector fold dot products
+        "webmerc_fwd",         # pure-expression projection
+    ]
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        del n
+
+    # near-dup pipeline at scale settings: fast-mode (xxhash64) minhash
+    # LSH -> candidate pairs (the deterministic dictionary mode exists
+    # only for the DuckDB oracle gate)
+    from pyspark.sql import functions as SF
+
+    from proj_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle,
+        tokenize,
+    )
+
+    t0 = time.time()
+    docs = shingle(tokenize(spark.read.parquet(f"{SF_DIR}/documents.parquet")), w=3)
+    sigs = minhash_signatures(docs, id_col="doc_id", deterministic=False)
+    n_pairs = minhash_lsh_pairs(sigs).count()
+    timings["minhash_lsh_fast"] = round(time.time() - t0, 3)
+    del SF, n_pairs
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "flagship_rows": n_rows,
+        "rows_per_sec": round(n_rows / flagship_s, 1),
+        "fixture_gen_sec": fixture_s,
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    if scaling:
+        levels = [int(x) for x in scaling.split(",")]
+        runs = {c: run_benchmarks(c) for c in levels}
+        lo, hi = min(levels), max(levels)
+        tp = {c: runs[c]["rows_per_sec"] for c in levels}
+        eff = (tp[hi] / tp[lo]) / (hi / lo)
+        out = runs[hi]
+        out["scaling"] = {
+            "levels": levels,
+            "rows_per_sec": tp,
+            "efficiency": round(eff, 3),
+        }
+        print(json.dumps(out))
+        return
+    print(json.dumps(run_benchmarks()))
+
+
+if __name__ == "__main__":
+    main()

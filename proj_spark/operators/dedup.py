@@ -45,6 +45,24 @@ def tokenize(df: DataFrame, text: str = "text", out: str = "tokens") -> DataFram
     )
 
 
+def shingle(df: DataFrame, tokens: str = "tokens", w: int = 3, out: str | None = None) -> DataFrame:
+    """Replace the token array with its w-token shingles (n-grams).
+
+    Standard minhash practice: near-dup detection over shingles, not
+    unigrams — on low-entropy corpora unigram signatures collide
+    catastrophically (every doc shares the vocabulary), while shingle
+    space grows as vocab^w.  Native expression (transform + slice).
+    """
+    out = out or tokens
+    expr = F.expr(
+        f"CASE WHEN size({tokens}) >= {w} THEN "
+        f"transform(sequence(0, size({tokens}) - {w}), "
+        f"i -> concat_ws(' ', slice({tokens}, i + 1, {w}))) "
+        f"ELSE array(concat_ws(' ', {tokens})) END"
+    )
+    return df.withColumn(out, expr)
+
+
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the
     canonical (min) id and the duplicate count.  Algebraic aggregate:
