@@ -1,0 +1,368 @@
+"""Spark-layer operator tests: each operator vs an obviously-correct
+pure-python/numpy oracle, plus the determinism-under-parallelism
+invariant (the Spark analog of the reference's multistresstest
+bitwise-reproducibility check, src/multistresstest.c:215-221)."""
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from proj_spark.functions import expressions as E
+from proj_spark.kernels.xmath import DEG_TO_RAD
+
+
+def _synth_points(spark, n=1500):
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        E.synth_lon("id").alias("lon"),
+        E.synth_lat("id").alias("lat"),
+    )
+
+
+def _fixture_polys(n=15, seed=7):
+    rng = random.Random(seed)
+    polys = []
+    for i in range(n):
+        cx, cy = rng.uniform(-120, -72), rng.uniform(27, 46)
+        nv, rad = rng.randint(4, 9), rng.uniform(1.0, 4.0)
+        ring = []
+        for j in range(nv):
+            ang = 2 * math.pi * j / nv
+            rr = rad * (0.7 + 0.3 * rng.random())
+            ring.append((cx + rr * math.cos(ang), cy + rr * math.sin(ang)))
+        ring.append(ring[0])
+        polys.append((f"poly{i:03d}", ring))
+    return polys
+
+
+def _inside(lon, lat, ring):
+    c = False
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        if ((y1 > lat) != (y2 > lat)) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            c = not c
+    return c
+
+
+# ----------------------------------------------------------------- tiles
+def test_tile_assignment_matches_numpy_oracle(spark):
+    pts = _synth_points(spark, 800)
+    rows = pts.select(
+        "point_id", E.tile_x("lon", 8).alias("tx"), E.tile_y("lat", 8).alias("ty"), "lon", "lat"
+    ).collect()
+    n = 256
+    for r in rows:
+        tx = min(max(int(math.floor((r.lon + 180.0) / 360.0 * n)), 0), n - 1)
+        t = math.tan(r.lat * DEG_TO_RAD)
+        ty = min(
+            max(int(math.floor((1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0 * n)), 0),
+            n - 1,
+        )
+        assert (r.tx, r.ty) == (tx, ty), r
+
+
+def test_tile_key_roundtrip_disjoint_across_zooms(spark):
+    from proj_spark.operators.tiles import assign_tiles
+
+    pts = _synth_points(spark, 300)
+    t = assign_tiles(pts, [4, 8, 12])
+    # tile_key encodes zoom: keys at different zooms never collide
+    assert t.groupBy("tile_key").agg(F.countDistinct("zoom").alias("nz")).where(
+        F.col("nz") > 1
+    ).count() == 0
+    # every input row appears once per zoom
+    assert t.count() == 900
+
+
+# ------------------------------------------------------------- cell index
+def test_cell_parent_contains_child(spark):
+    pts = _synth_points(spark, 500)
+    df = pts.select(
+        E.cell_id("lon", "lat", 7).alias("c7"),
+        E.cell_id("lon", "lat", 6).alias("c6"),
+    )
+    from proj_spark.functions.expressions import cell_parent
+
+    bad = df.where(cell_parent(F.col("c7"), 7) != F.col("c6")).count()
+    assert bad == 0
+
+
+def test_cell_neighbors_include_self_and_are_adjacent(spark):
+    pts = _synth_points(spark, 100)
+    df = pts.select(
+        E.cell_id("lon", "lat", 6).alias("c"),
+        E.cell_neighbors(E.cell_id("lon", "lat", 6), 6, k=1).alias("nbrs"),
+    )
+    rows = df.collect()
+    n = 1 << 6
+    for r in rows:
+        assert r.c in r.nbrs
+        assert len(r.nbrs) == 9  # interior cells (CONUS window, no pole clamp)
+        iy0, ix0 = divmod(r.c, 2 * n)
+        for nb in r.nbrs:
+            iy, ix = divmod(nb, 2 * n)
+            assert abs(iy - iy0) <= 1
+            assert min(abs(ix - ix0), 2 * n - abs(ix - ix0)) <= 1
+
+
+def test_cubeface_cell_covers_all_faces(spark):
+    pts = spark.createDataFrame(
+        [Row(lon=lon, lat=lat) for lon in range(-180, 180, 20) for lat in range(-80, 81, 20)]
+    )
+    faces = (
+        pts.select((F.floor(E.cubeface_cell("lon", "lat", 3) / (8 * 8))).alias("face"))
+        .distinct()
+        .collect()
+    )
+    assert sorted(r.face for r in faces) == [0, 1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------- PIP join
+def test_point_in_polygon_matches_python_oracle(spark):
+    from proj_spark.operators.spatial_join import point_in_polygon_join
+
+    polys = _fixture_polys()
+    pdf = spark.createDataFrame(
+        [
+            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
+            for i, (pid, ring) in enumerate(polys)
+        ]
+    )
+    pts = _synth_points(spark)
+    got = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(pts, pdf, res=6, point_id="point_id").collect()
+    }
+    exp = {}
+    for r in pts.collect():
+        for pid, ring in polys:
+            if _inside(r.lon, r.lat, ring):
+                exp[r.point_id] = pid
+                break
+    assert got == set(exp.items())
+    assert len(got) > 30  # fixture sanity: the join is non-trivial
+
+
+def test_point_in_polygon_first_match_priority(spark):
+    """Two overlapping polygons: lower poly_seq must win (grid-list
+    ordering semantics, ref src/pj_apply_gridshift.c:143)."""
+    from proj_spark.operators.spatial_join import point_in_polygon_join
+
+    sq = lambda cx, cy, r: [  # noqa: E731
+        {"lon": cx - r, "lat": cy - r},
+        {"lon": cx + r, "lat": cy - r},
+        {"lon": cx + r, "lat": cy + r},
+        {"lon": cx - r, "lat": cy + r},
+        {"lon": cx - r, "lat": cy - r},
+    ]
+    pdf = spark.createDataFrame(
+        [
+            {"poly_id": "b_second", "ring": sq(-100.0, 35.0, 5.0), "poly_seq": 1},
+            {"poly_id": "a_first", "ring": sq(-100.0, 35.0, 5.0), "poly_seq": 0},
+        ]
+    )
+    pts = spark.createDataFrame([Row(point_id=1, lon=-100.0, lat=35.0)])
+    out = point_in_polygon_join(pts, pdf, res=5, point_id="point_id").collect()
+    assert len(out) == 1 and out[0].poly_id == "a_first"
+
+
+def test_point_in_polygon_miss_passthrough(spark):
+    """left_first keeps misses with null poly (unshifted-on-miss,
+    ref src/pj_apply_gridshift.c:243)."""
+    from proj_spark.operators.spatial_join import point_in_polygon_join
+
+    pdf = spark.createDataFrame(
+        [
+            {
+                "poly_id": "p0",
+                "ring": [
+                    {"lon": 0.0, "lat": 0.0},
+                    {"lon": 1.0, "lat": 0.0},
+                    {"lon": 1.0, "lat": 1.0},
+                    {"lon": 0.0, "lat": 0.0},
+                ],
+                "poly_seq": 0,
+            }
+        ]
+    )
+    pts = spark.createDataFrame(
+        [Row(point_id=1, lon=0.6, lat=0.2), Row(point_id=2, lon=50.0, lat=50.0)]
+    )
+    out = {r.point_id: r.poly_id for r in point_in_polygon_join(
+        pts, pdf, res=5, point_id="point_id", how="left_first"
+    ).collect()}
+    assert out == {1: "p0", 2: None}
+
+
+# ------------------------------------------------------------------- kNN
+def test_knn_pruned_equals_bruteforce(spark):
+    from proj_spark.operators.knn import knn_join, knn_join_bruteforce
+
+    cand = _synth_points(spark, 2000).select(
+        F.col("point_id").alias("cid"), "lon", "lat"
+    )
+    q = _synth_points(spark, 2000).where(F.col("point_id") % 97 == 0).select(
+        F.col("point_id").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    kw = dict(q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat", k=4)
+    bf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_join_bruteforce(q, cand, **kw).collect()
+    }
+    pr = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_join(q, cand, res=6, ring=1, **kw).collect()
+    }
+    assert bf == pr
+
+
+def test_knn_deterministic_under_partitioning(spark):
+    """multistresstest analog: identical output at different
+    parallelism/partitioning."""
+    from proj_spark.operators.knn import knn_join_bruteforce
+
+    cand = _synth_points(spark, 1000).select(F.col("point_id").alias("cid"), "lon", "lat")
+    q = _synth_points(spark, 30).select(
+        F.col("point_id").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    kw = dict(q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat", k=5)
+    a = sorted(
+        map(tuple, knn_join_bruteforce(q.repartition(2), cand.repartition(3), **kw).collect())
+    )
+    b = sorted(
+        map(tuple, knn_join_bruteforce(q.repartition(7), cand.repartition(13), **kw).collect())
+    )
+    assert a == b
+
+
+# ------------------------------------------------------------- dedup/text
+def test_exact_dedup_counts(spark):
+    from proj_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=["aa", "bb", "aa", "cc", "aa"][i]) for i in range(5)]
+    )
+    out = {r.text: (r.canonical_id, r.n_dupes) for r in exact_dedup(df).collect()}
+    assert out == {"aa": (0, 3), "bb": (1, 1), "cc": (3, 1)}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    from proj_spark.operators.dedup import (
+        jaccard_refine,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle,
+        tokenize,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    base = [rng.choice(vocab) for _ in range(60)]
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(60)]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    # planted near-dup pair: 100 & 101 share 58/60 tokens in order
+    rows.append(Row(doc_id=100, text=" ".join(base)))
+    rows.append(Row(doc_id=101, text=" ".join(base[:58] + ["zzz", "qqq"])))
+    df = shingle(tokenize(spark.createDataFrame(rows)), w=3)
+    sigs = minhash_signatures(df, deterministic=False)
+    pairs = minhash_lsh_pairs(sigs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    ref = jaccard_refine(pairs, df, threshold=0.5)
+    top = {(r.id_a, r.id_b) for r in ref.collect()}
+    assert (100, 101) in top
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    from proj_spark.operators.dedup import simhash, tokenize
+
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog again and again"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy cat again and again"),
+        Row(doc_id=2, text="completely different words nothing shared here at all truly disjoint tokens"),
+    ]
+    sigs = {r.doc_id: r.simhash for r in simhash(tokenize(spark.createDataFrame(rows)), bits=16).collect()}
+    near = bin(sigs[0] ^ sigs[1]).count("1")
+    far = bin(sigs[0] ^ sigs[2]).count("1")
+    assert near < far
+
+
+def test_language_id_on_clear_samples(spark):
+    from proj_spark.operators.text import language_id
+
+    rows = [
+        Row(doc_id=0, text="the cat is in the house and the dog is on the mat"),
+        Row(doc_id=1, text="der hund ist in dem haus und die katze ist auf der matte"),
+        Row(doc_id=2, text="le chat est dans la maison et le chien est pour la table"),
+    ]
+    out = {r.doc_id: r.pred_lang for r in language_id(spark.createDataFrame(rows)).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+# -------------------------------------------------------------------- ANN
+def test_cosine_topk_matches_numpy(spark):
+    from proj_spark.operators.ann import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    q = df.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    for r in cosine_topk(df, q, k=4).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for qi in range(3):
+        order = sorted(range(60), key=lambda j: (-sims[qi, j], j))[:4]
+        assert [nid for _, nid in sorted(got[qi])] == order
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """LSH must achieve high recall when data is clustered (the
+    realistic regime; uniform random vectors are the worst case)."""
+    from proj_spark.operators.ann import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((5, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    )
+    q = df.where(F.col("vec_id") % 40 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(df, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(df, q, k=5, bits=8, dim=32, multiprobe_bits=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+# ------------------------------------------------------------------- skew
+def test_salted_agg_equals_plain_agg(spark):
+    from proj_spark.operators.skew import salted_agg
+
+    df = _synth_points(spark, 3000).withColumn("cell", E.cell_id("lon", "lat", 4))
+    plain = {
+        r.cell: r.n
+        for r in df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r.cell: r.n
+        for r in salted_agg(
+            df,
+            ["cell"],
+            {"n": (F.count(F.lit(1)), F.sum("n"))},
+            n_salts=8,
+            salt_by=["point_id"],
+        ).collect()
+    }
+    assert plain == salted

@@ -1,0 +1,139 @@
+"""Spark transform layer: pandas-UDF pipeline == numpy reference,
+error tolerance (NaN -> NULL, never task failure), grid shift through
+the distributed path, checkpoint/resume."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from proj_spark.functions.transform import transform
+from proj_spark.plans.pipeline import transform_arrays
+
+
+def _mesh_df(spark, n=400):
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-124, -110, n)
+    lat = rng.uniform(26, 48, n)
+    return (
+        spark.createDataFrame(
+            [Row(i=i, lon=float(lon[i]), lat=float(lat[i])) for i in range(n)]
+        ),
+        lon,
+        lat,
+    )
+
+
+def test_transform_udf_matches_numpy(spark):
+    df, lon, lat = _mesh_df(spark)
+    src, dst = "+proj=latlong +datum=WGS84", "+proj=utm +zone=11 +datum=WGS84"
+    out = transform(df, src, dst, "lon", "lat").orderBy("i").collect()
+    xs, ys, _ = transform_arrays(src, dst, lon, lat)
+    got_x = np.array([r.x for r in out])
+    got_y = np.array([r.y for r in out])
+    assert np.array_equal(got_x, xs)  # bit-identical: same kernel, same order
+    assert np.array_equal(got_y, ys)
+
+
+def test_transform_bad_points_yield_null_not_failure(spark):
+    """Transient-error semantics (src/pj_transform.c:70-76): an
+    unprojectable point nulls out, the job keeps going."""
+    df = spark.createDataFrame(
+        [
+            Row(i=0, lon=-115.0, lat=40.0),
+            Row(i=1, lon=-115.0, lat=90.0),     # pole: merc blows up
+            Row(i=2, lon=100.0, lat=40.0),      # far outside tmerc range is fine; pole is the sentinel case
+        ]
+    )
+    out = transform(
+        df, "+proj=latlong +datum=WGS84", "+proj=merc +datum=WGS84", "lon", "lat"
+    ).orderBy("i").collect()
+    assert out[0].x is not None
+    assert out[1].x is None or np.isnan(out[1].x)
+    assert len(out) == 3
+
+
+def test_gridshift_distributed_matches_local(spark):
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+
+    register_grid("conus_syn_t", make_synthetic_grid("conus_syn_t"))
+    src = "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn_t"
+    dst = "+proj=latlong +datum=WGS84"
+    df, lon, lat = _mesh_df(spark, 250)
+    out = transform(df, src, dst, "lon", "lat").orderBy("i").collect()
+    xs, ys, _ = transform_arrays(src, dst, lon, lat)
+    assert np.array_equal(np.array([r.x for r in out]), xs)
+    assert np.array_equal(np.array([r.y for r in out]), ys)
+    # the shift is real (points moved) and bounded (few arcsec)
+    d = np.abs(xs - lon)
+    assert d.max() > 1e-5 and d.max() < 2e-3
+
+
+def test_factors_scale_near_one_on_utm_cm(spark):
+    from proj_spark.functions.transform import factors_udf
+
+    df = spark.createDataFrame([Row(lon=-117.0, lat=35.0)])
+    udf = factors_udf("+proj=utm +zone=11 +datum=WGS84")
+    r = df.withColumn("f", udf("lon", "lat")).collect()[0]
+    assert abs(r.f.k - 0.9996) < 1e-4  # k0 on the central meridian
+    assert abs(r.f.s - r.f.h * r.f.k) < 1e-6  # conformal: s = h*k
+
+
+def test_geodesic_udf_matches_kernel(spark):
+    from proj_spark.functions.transform import geodesic_inverse_udf
+    from proj_spark.kernels.geodesy import geod_inverse
+
+    rows = [Row(lon1=-75.0, lat1=40.0, lon2=-74.0, lat2=41.0)]
+    df = spark.createDataFrame(rows)
+    udf = geodesic_inverse_udf()
+    got = df.withColumn("g", udf("lon1", "lat1", "lon2", "lat2")).collect()[0].g
+    s, a1, _ = geod_inverse(np.array([40.0]), np.array([-75.0]), np.array([41.0]), np.array([-74.0]))
+    assert got.s12 == pytest.approx(float(s[0]), abs=1e-9)
+    assert got.azi1 == pytest.approx(float(a1[0]), abs=1e-12)
+
+
+def test_checkpoint_resume_skips_completed_stage(spark, tmp_path):
+    from proj_spark.operators.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    p = CheckpointedPipeline(spark, root, key_col="id")
+    out1 = p.run_stage("double", build)
+    assert out1.count() == 100 and calls["n"] == 1
+
+    # a fresh pipeline over the same root resumes without rebuilding
+    p2 = CheckpointedPipeline(spark, root, key_col="id")
+    out2 = p2.run_stage("double", build)
+    assert out2.count() == 100 and calls["n"] == 1
+    assert p2.completed_stages() == ["double"]
+
+    lin = p2.lineage()
+    assert lin.where(F.col("stage") == "double").agg(F.sum("n_rows")).collect()[0][0] == 100
+    met = p2.metrics().collect()
+    assert met[0].n_rows == 100
+
+
+def test_healpix_cell_udf_equal_area(spark):
+    """Equal-area property: on a near-uniform sphere sample, HEALPix
+    cell populations are much more balanced than equirect cells at
+    matched cell count."""
+    from proj_spark.functions.transform import cell_id_equal_area_udf
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    lon = rng.uniform(-180, 180, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))  # uniform on sphere
+    df = spark.createDataFrame(
+        [Row(lon=float(lon[i]), lat=float(lat[i])) for i in range(n)]
+    )
+    udf = cell_id_equal_area_udf(3)
+    counts = [r.n for r in df.withColumn("c", udf("lon", "lat")).groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()]
+    counts = np.array(counts)
+    # every occupied healpix cell should be within ~5x of the mean
+    assert counts.max() / counts.mean() < 5.0
