@@ -46,18 +46,32 @@ def _image_table(spark, n_images: int):
 
 
 def _flagship(spark, n_images: int):
-    """images -> PIP join -> multi-zoom tiles -> rollup.
+    """images -> datum reprojection (grid shift, NAD27-style ->
+    WGS84) -> PIP join -> multi-zoom tiles -> rollup: the full
+    north-star pipeline.
 
     Returns (n_rows_processed, result_count).
     """
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _fixture_polygons
+    from proj_spark.functions.transform import transform
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
     from proj_spark.operators.spatial_join import point_in_polygon_join
     from proj_spark.operators.tiles import tile_counts
 
     imgs = _image_table(spark, n_images)
-    pts = imgs.select("image_id", "phash", "lon", "lat")
+    register_grid("conus_syn", make_synthetic_grid())
+    shifted = transform(
+        imgs.select("image_id", "phash", "lon", "lat"),
+        "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
+        "+proj=latlong +datum=WGS84",
+        "lon",
+        "lat",
+    )
+    pts = shifted.select(
+        "image_id", "phash", F.col("x").alias("lon"), F.col("y").alias("lat")
+    )
     polys = _fixture_polygons()
     pdf = spark.createDataFrame(
         [

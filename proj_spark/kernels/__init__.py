@@ -1,0 +1,4 @@
+"""Kernel package: importing it loads the full projection registry
+(core families + the extended pj_list inventory in extra.py)."""
+from . import core as core  # noqa: F401
+from . import extra as extra  # noqa: F401  (registers extra kernels)

