@@ -2,3 +2,4 @@
 (core families + the extended pj_list inventory in extra.py)."""
 from . import core as core  # noqa: F401
 from . import extra as extra  # noqa: F401  (registers extra kernels)
+from . import extra2 as extra2  # noqa: F401  (oblique/DGGS/putp batch)

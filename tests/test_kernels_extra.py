@@ -61,6 +61,27 @@ CASES = [
     ("+proj=poly +R=6370997", (-40, 40), (-60, 60), 1e-8),
     ("+proj=nsper +h=5000000 +lat_0=40 +R=6370997", (-25, 25), (20, 60), 1e-8),
     ("+proj=tpers +h=5000000 +lat_0=40 +tilt=10 +azi=20 +R=6370997", (-15, 15), (30, 50), 1e-8),
+    # ---- extra2 batch ----
+    ("+proj=wag4 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=wag5 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=putp2 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=putp3 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=putp3p +R=6370997", (-170, 170), (-60, 60), 1e-9),
+    ("+proj=putp4p +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=weren +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=putp5 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=putp5p +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=putp6 +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=putp6p +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=urmfps +n=0.9 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=wag1 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=hatano +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=natearth +R=6370997", (-170, 170), (-85, 85), 1e-8),
+    ("+proj=robin +R=6370997", (-170, 170), (-85, 85), 5e-7),
+    ("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 +ellps=bessel", (-5, 5), (42, 52), 1e-9),
+    ("+proj=gstmerc +lat_0=46.5 +lon_0=3 +k_0=0.998 +ellps=clrk80", (-8, 8), (40, 52), 1e-9),
+    ("+proj=healpix +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=healpix +ellps=GRS80", (-170, 170), (-85, 85), 1e-8),
 ]
 
 FWD_ONLY = [
