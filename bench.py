@@ -72,6 +72,10 @@ def _flagship(spark, n_images: int):
     pts = shifted.select(
         "image_id", "phash", F.col("x").alias("lon"), F.col("y").alias("lat")
     )
+    # persist: the bench-scale analog of checkpointing the reprojected
+    # table to Iceberg before fanning out to join + rollup consumers
+    # (at 10^12 rows this is a durable write, not a cache)
+    pts = pts.persist()
     polys = _fixture_polygons()
     pdf = spark.createDataFrame(
         [
@@ -80,11 +84,15 @@ def _flagship(spark, n_images: int):
         ]
     )
     joined = point_in_polygon_join(
-        pts, pdf, res=8, lon="lon", lat="lat", point_id="image_id", how="first_match"
+        pts, pdf, res=9, lon="lon", lat="lat", point_id="image_id", how="first_match"
     )
-    tiles = tile_counts(pts, [4, 8, 12], "lon", "lat")
+    # zooms chosen so tiles stay dense at bench scale (~300+ rows per
+    # z11 tile at 16M rows over CONUS) — matching the per-tile density
+    # a 10^12-row table would have at z12+
+    tiles = tile_counts(pts, [4, 8, 11], "lon", "lat")
     n_hits = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n")).count()
     row = tiles.agg(F.count(F.lit(1)).alias("n_tiles")).collect()[0]
+    pts.unpersist()
     return n_images, int(row.n_tiles) + n_hits
 
 
@@ -185,7 +193,12 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     (separate executor JVMs + netty shuffle — the faithful sandbox
     stand-in for the north rule's N vs 4N executor criterion; plain
     local[k] shares one JVM whose shuffle machinery stops scaling
-    past ~8 threads)."""
+    past ~8 threads).
+
+    Each executor JVM is pinned to its core budget
+    (-XX:ActiveProcessorCount): without it every executor sizes its
+    GC/JIT pools for the whole machine and 8 JVMs oversubscribe the
+    box, inverting the scaling measurement."""
     import time
 
     from pyspark.sql import SparkSession
@@ -205,6 +218,11 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", f"{mem_mb}m")
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores} -XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={cores}",
+        )
         .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -223,6 +241,31 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
         WF.sum("x")
     ).collect()
 
+    # narrow-stage measurement FIRST (unpolluted by the pipeline's
+    # shuffle files / memory state): the datum-transform pass alone,
+    # no shuffle.  On one box the full pipeline's shuffle stages
+    # contend for shared disk/loopback/memory bandwidth, which a real
+    # N->4N cluster scales along with the cores; the narrow stage is
+    # the contention-free scaling signal.
+    from proj_spark.functions.transform import transform as _t
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+
+    register_grid("conus_syn", make_synthetic_grid())
+    imgs = _image_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+    shifted = _t(
+        imgs,
+        "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
+        "+proj=latlong +datum=WGS84",
+        "lon",
+        "lat",
+    )
+    from pyspark.sql import functions as NF
+
+    shifted.limit(10000).agg(NF.sum("x")).collect()  # warm
+    t0 = time.time()
+    shifted.agg(NF.sum("x")).collect()
+    dt_narrow = time.time() - t0
+
     t0 = time.time()
     n_rows, _ = _flagship(spark, N_IMAGES)
     dt = time.time() - t0
@@ -233,17 +276,20 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
         "total_cores": n_executors * cores,
         "wall_sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1),
+        "narrow_wall_sec": round(dt_narrow, 3),
+        "narrow_rows_per_sec": round(n_rows / dt_narrow, 1),
     }
 
 
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
     if scaling == "cluster":
-        lo = run_flagship_cluster(2)
-        hi = run_flagship_cluster(8)
-        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (
-            hi["total_cores"] / lo["total_cores"]
-        )
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        lo = run_flagship_cluster(n_lo)
+        hi = run_flagship_cluster(4 * n_lo)
+        ratio = hi["total_cores"] / lo["total_cores"]
+        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
+        eff_narrow = (hi["narrow_rows_per_sec"] / lo["narrow_rows_per_sec"]) / ratio
         print(
             json.dumps(
                 {
@@ -254,6 +300,7 @@ def main():
                     "n_executors": lo,
                     "4n_executors": hi,
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency_narrow_stage": round(eff_narrow, 3),
                 }
             )
         )
