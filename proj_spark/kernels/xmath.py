@@ -172,3 +172,8 @@ def dms_param(v) -> float:
     from ..crs import dmstor  # local import to avoid cycle at module load
 
     return dmstor(str(v))
+
+
+def aatan2(y, x):
+    """Tolerant atan2 (src/aasincos.c aatan2): zero when both args ~0."""
+    return np.arctan2(y, x)

@@ -82,6 +82,19 @@ CASES = [
     ("+proj=gstmerc +lat_0=46.5 +lon_0=3 +k_0=0.998 +ellps=clrk80", (-8, 8), (40, 52), 1e-9),
     ("+proj=healpix +R=6370997", (-170, 170), (-85, 85), 1e-9),
     ("+proj=healpix +ellps=GRS80", (-170, 170), (-85, 85), 1e-8),
+    # ---- extra3 batch ----
+    ("+proj=etmerc +lon_0=9 +k_0=0.9996 +ellps=GRS80", (-30, 30), (-70, 70), 1e-9),
+    ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582 +k_0=0.99984 +ellps=GRS80", (110, 120), (0, 10), 1e-9),
+    ("+proj=omerc +lat_1=40 +lon_1=-80 +lat_2=44 +lon_2=-74 +ellps=GRS80", (-82, -70), (38, 46), 1e-9),
+    ("+proj=krovak +ellps=bessel", (-4, 4), (47, 52), 1e-9),
+    ("+proj=nzmg +ellps=intl", (-4, 4), (-47, -34), 1e-9),
+    ("+proj=oea +m=2 +n=2 +lat_0=40 +R=6370997", (-60, 60), (0, 70), 1e-9),
+    ("+proj=oea +m=3 +n=1.5 +theta=30 +lat_0=40 +R=6370997", (-60, 60), (0, 70), 1e-9),
+    ("+proj=goode +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=geos +h=35785831 +ellps=GRS80", (-60, 60), (-55, 55), 1e-9),
+    ("+proj=geos +h=35785831 +R=6370997", (-60, 60), (-55, 55), 1e-9),
+    ("+proj=lcca +lat_0=35 +ellps=GRS80", (-15, 15), (25, 45), 1e-9),
+    ("+proj=tpeqd +lat_1=40 +lon_1=-80 +lat_2=44 +lon_2=-74 +R=6370997", (-85, -68), (35, 48), 1e-9),
 ]
 
 FWD_ONLY = [
@@ -100,6 +113,10 @@ FWD_ONLY = [
     ("+proj=ortel +R=6370997", (-170, 170), (-85, 85)),
     ("+proj=bacon +R=6370997", (-170, 170), (-85, 85)),
     ("+proj=nicol +R=6370997", (-150, 150), (-80, 80)),
+    ("+proj=vandg3 +R=6370997", (-150, 150), (-75, 75)),
+    ("+proj=airy +lat_0=45 +R=6370997", (-40, 40), (10, 75)),
+    ("+proj=rpoly +R=6370997", (-40, 40), (-60, 60)),
+    ("+proj=urm5 +n=0.9 +R=6370997", (-150, 150), (-80, 80)),
 ]
 
 
@@ -135,4 +152,4 @@ def test_forward_finite(defn, lam_rng, phi_rng):
 
 def test_registry_coverage_count():
     """The registry must keep growing toward the pj_list inventory."""
-    assert len(set(REGISTRY)) >= 60, sorted(REGISTRY)
+    assert len(set(REGISTRY)) >= 100, sorted(REGISTRY)
