@@ -95,6 +95,17 @@ CASES = [
     ("+proj=geos +h=35785831 +R=6370997", (-60, 60), (-55, 55), 1e-9),
     ("+proj=lcca +lat_0=35 +ellps=GRS80", (-15, 15), (25, 45), 1e-9),
     ("+proj=tpeqd +lat_1=40 +lon_1=-80 +lat_2=44 +lon_2=-74 +R=6370997", (-85, -68), (35, 48), 1e-9),
+    # ---- extra4 batch (lam ranges are kernel-relative where the
+    #      kernel pins its own lam0: mod_ster family) ----
+    ("+proj=ob_tran +o_proj=moll +o_lat_p=45 +o_lon_p=-90 +R=6370997", (-150, 150), (-75, 75), 1e-9),
+    ("+proj=ob_tran +o_proj=mill +o_lat_1=30 +o_lon_1=-40 +o_lat_2=50 +o_lon_2=20 +R=6370997", (-150, 150), (-70, 70), 1e-9),
+    ("+proj=ocea +lat_1=30 +lon_1=-40 +lat_2=50 +lon_2=20 +R=6370997", (-150, 150), (-75, 75), 1e-9),
+    ("+proj=ocea +alpha=30 +lonc=-75 +lat_0=40 +R=6370997", (-120, -30), (0, 70), 1e-9),
+    ("+proj=mil_os +R=6370997", (-15, 15), (5, 30), 1e-9),
+    ("+proj=lee_os +R=6370997", (-15, 15), (-25, 5), 1e-9),
+    ("+proj=gs48 +R=6370997", (-18, 18), (25, 50), 1e-9),
+    ("+proj=alsk +ellps=clrk66", (-12, 12), (54, 71), 1e-9),
+    ("+proj=gs50 +ellps=clrk66", (-20, 18), (33, 58), 1e-9),
 ]
 
 FWD_ONLY = [
@@ -135,7 +146,9 @@ def test_roundtrip(defn, lam_rng, phi_rng, tol):
     x, y = cp.fwd(lam, phi)
     assert np.isfinite(x).all() and np.isfinite(y).all(), "fwd produced non-finite"
     lam2, phi2 = cp.inv(x, y)
-    np.testing.assert_allclose(lam2, lam, atol=tol, rtol=0)
+    from proj_spark.kernels.xmath import adjlon
+
+    np.testing.assert_allclose(adjlon(lam2 - lam), 0.0, atol=tol, rtol=0)
     np.testing.assert_allclose(phi2, phi, atol=tol, rtol=0)
 
 
