@@ -1,0 +1,290 @@
+"""Datum-shift grid file I/O: CTABLE2, NTv2 (.gsb), GTX readers, a
+CTABLE2 writer (the nad2bin-style grid compiler), and the magic-bytes
+format sniffer.
+
+Behavioral references:
+- CTABLE2 layout   — /root/reference/src/pj_gridinfo.c:165-195 (header
+  160 bytes: magic, id, ll, del, lim; float32 (lam,phi) pairs after)
+- NTv2 (.gsb)      — /root/reference/src/pj_gridinfo.c:397-622
+  (11x16-byte overview records, per-subgrid headers, 4xfloat32 nodes
+  in arcseconds, longitudes positive WEST, columns stored east->west)
+- GTX              — /root/reference/src/pj_gridinfo.c:711-812
+  (big-endian: 4 doubles origin/steps + 2 int32 dims + float32 heights)
+- format sniffer   — /root/reference/src/pj_gridinfo.c:822-934
+- grid compiler    — /root/reference/src/nad2bin.c (.lla -> binary)
+
+All grids load driver-side into :class:`ShiftGrid` (float32 cell
+values exactly like the reference's FLP) and are broadcast into UDF
+closures; a 100TB job ships grid files via --files and loads them
+once per executor process.
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ..operators.gridshift import ShiftGrid
+
+_CTABLE2_MAGIC = b"CTABLE V2.0     "
+_D2R = 0.017453292519943295
+_SEC2R = _D2R / 3600.0
+
+
+# ---------------------------------------------------------------- CTABLE2
+def write_ctable2(grid: ShiftGrid, path: str) -> None:
+    """Serialize a ShiftGrid to the CTABLE2 binary layout (the
+    nad2bin 'binary' output format)."""
+    hdr = bytearray(160)
+    hdr[0:16] = _CTABLE2_MAGIC
+    gid = grid.grid_id.encode()[:79]
+    hdr[16 : 16 + len(gid)] = gid
+    struct.pack_into("<dddd", hdr, 96, grid.ll_lam, grid.ll_phi, grid.del_lam, grid.del_phi)
+    struct.pack_into("<ii", hdr, 128, grid.lim_lam, grid.lim_phi)
+    # cvs rows are phi-major [phi, lam, 2]; file stores (lam, phi) pairs
+    body = np.ascontiguousarray(grid.cvs, dtype="<f4").tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(body)
+
+
+def read_ctable2(path: str) -> ShiftGrid:
+    with open(path, "rb") as f:
+        hdr = f.read(160)
+        if hdr[:16] != _CTABLE2_MAGIC:
+            raise ValueError(f"{path}: not a CTABLE2 file")
+        gid = hdr[16:96].split(b"\x00", 1)[0].decode(errors="replace").strip()
+        ll_lam, ll_phi, del_lam, del_phi = struct.unpack_from("<dddd", hdr, 96)
+        lim_lam, lim_phi = struct.unpack_from("<ii", hdr, 128)
+        data = np.frombuffer(f.read(lim_lam * lim_phi * 8), dtype="<f4")
+    cvs = data.reshape(lim_phi, lim_lam, 2).copy()
+    return ShiftGrid(
+        grid_id=gid or os.path.basename(path),
+        ll_lam=ll_lam,
+        ll_phi=ll_phi,
+        del_lam=del_lam,
+        del_phi=del_phi,
+        lim_lam=lim_lam,
+        lim_phi=lim_phi,
+        cvs=cvs,
+    )
+
+
+# ------------------------------------------------------------------- NTv2
+def _ntv2_rec(name: bytes, value) -> bytes:
+    """One 16-byte NTv2 header record: 8-byte name + 8-byte value."""
+    name = name.ljust(8)[:8]
+    if isinstance(value, bytes):
+        return name + value.ljust(8)[:8]
+    if isinstance(value, int):
+        return name + struct.pack("<i", value) + b"\x00\x00\x00\x00"
+    return name + struct.pack("<d", float(value))
+
+
+def write_ntv2(grids: list[ShiftGrid], path: str) -> None:
+    """Write a multi-subgrid NTv2 .gsb file (little-endian variant).
+
+    Conventions per the reference reader: values in arcseconds,
+    longitudes positive WEST, nodes run south->north rows with
+    columns stored east->west.
+    """
+    out = bytearray()
+    out += _ntv2_rec(b"NUM_OREC", 11)
+    out += _ntv2_rec(b"NUM_SREC", 11)
+    out += _ntv2_rec(b"NUM_FILE", len(grids))
+    out += _ntv2_rec(b"GS_TYPE", b"SECONDS")
+    out += _ntv2_rec(b"VERSION", b"NTv2.0")
+    out += _ntv2_rec(b"SYSTEM_F", b"NAD27")
+    out += _ntv2_rec(b"SYSTEM_T", b"NAD83")
+    out += _ntv2_rec(b"MAJOR_F", 6378206.4)
+    out += _ntv2_rec(b"MINOR_F", 6356583.8)
+    out += _ntv2_rec(b"MAJOR_T", 6378137.0)
+    out += _ntv2_rec(b"MINOR_T", 6356752.314)
+    for g in grids:
+        s_lat = g.ll_phi / _SEC2R
+        n_lat = (g.ll_phi + g.del_phi * (g.lim_phi - 1)) / _SEC2R
+        # positive west: west edge has the LARGER value
+        e_long = -(g.ll_lam + g.del_lam * (g.lim_lam - 1)) / _SEC2R
+        w_long = -g.ll_lam / _SEC2R
+        parent = getattr(g, "parent_id", None) or "NONE"
+        out += _ntv2_rec(b"SUB_NAME", g.grid_id.encode()[:8])
+        out += _ntv2_rec(b"PARENT", parent.encode()[:8])
+        out += _ntv2_rec(b"CREATED", b"NOW")
+        out += _ntv2_rec(b"UPDATED", b"NOW")
+        out += _ntv2_rec(b"S_LAT", s_lat)
+        out += _ntv2_rec(b"N_LAT", n_lat)
+        out += _ntv2_rec(b"E_LONG", e_long)
+        out += _ntv2_rec(b"W_LONG", w_long)
+        out += _ntv2_rec(b"LAT_INC", g.del_phi / _SEC2R)
+        out += _ntv2_rec(b"LONG_INC", g.del_lam / _SEC2R)
+        out += _ntv2_rec(b"GS_COUNT", g.lim_lam * g.lim_phi)
+        # nodes: (shift_lat, shift_lon, acc, acc) float32, arcsec,
+        # lon shift positive west; columns east->west
+        lam_sec = -(g.cvs[:, :, 0] / np.float32(_SEC2R))
+        phi_sec = g.cvs[:, :, 1] / np.float32(_SEC2R)
+        lam_rev = lam_sec[:, ::-1]
+        phi_rev = phi_sec[:, ::-1]
+        node = np.zeros((g.lim_phi, g.lim_lam, 4), dtype="<f4")
+        node[:, :, 0] = phi_rev
+        node[:, :, 1] = lam_rev
+        out += node.tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_ntv2(path: str) -> list[ShiftGrid]:
+    """Read every subgrid of an NTv2 .gsb file (detects endianness via
+    the NUM_OREC value like the reference)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8].rstrip() != b"NUM_OREC":
+        raise ValueError(f"{path}: not an NTv2 file")
+    (n_orec_le,) = struct.unpack_from("<i", data, 8)
+    endian = "<" if n_orec_le == 11 else ">"
+    f8 = endian + "d"
+    i4 = endian + "i"
+
+    def rec_f(off):
+        return struct.unpack_from(f8, data, off + 8)[0]
+
+    def rec_i(off):
+        return struct.unpack_from(i4, data, off + 8)[0]
+
+    n_file = rec_i(2 * 16)
+    pos = 11 * 16
+    grids = []
+    for _ in range(n_file):
+        sub_name = data[pos + 8 : pos + 16].decode(errors="replace").strip("\x00 ").strip()
+        parent = data[pos + 16 + 8 : pos + 32].decode(errors="replace").strip("\x00 ").strip()
+        s_lat = rec_f(pos + 4 * 16)
+        n_lat = rec_f(pos + 5 * 16)
+        e_long = rec_f(pos + 6 * 16)
+        w_long = rec_f(pos + 7 * 16)
+        lat_inc = rec_f(pos + 8 * 16)
+        long_inc = rec_f(pos + 9 * 16)
+        gs_count = rec_i(pos + 10 * 16)
+        pos += 11 * 16
+        lim_phi = int(round((n_lat - s_lat) / lat_inc)) + 1
+        lim_lam = int(round((w_long - e_long) / long_inc)) + 1
+        assert lim_phi * lim_lam == gs_count, (lim_phi, lim_lam, gs_count)
+        node = np.frombuffer(
+            data[pos : pos + gs_count * 16], dtype=endian + "f4"
+        ).reshape(lim_phi, lim_lam, 4)
+        pos += gs_count * 16
+        # undo the east->west column order and positive-west sign
+        phi_sec = node[:, ::-1, 0]
+        lam_sec = -node[:, ::-1, 1]
+        cvs = np.stack(
+            [lam_sec * np.float32(_SEC2R), phi_sec * np.float32(_SEC2R)], axis=-1
+        ).astype(np.float32)
+        g = ShiftGrid(
+            grid_id=sub_name,
+            ll_lam=-w_long * _SEC2R,
+            ll_phi=s_lat * _SEC2R,
+            del_lam=long_inc * _SEC2R,
+            del_phi=lat_inc * _SEC2R,
+            lim_lam=lim_lam,
+            lim_phi=lim_phi,
+            cvs=cvs,
+        )
+        g.parent_id = None if parent in ("", "NONE") else parent  # type: ignore[attr-defined]
+        grids.append(g)
+    # attach children to parents (probe order: parents first, children
+    # refine — ref pj_apply_gridshift.c:158-188)
+    by_name = {g.grid_id: g for g in grids}
+    roots = []
+    for g in grids:
+        pid = getattr(g, "parent_id", None)
+        if pid and pid in by_name:
+            parent_g = by_name[pid]
+            if parent_g.children is None:
+                parent_g.children = []
+            parent_g.children.append(g)
+        else:
+            roots.append(g)
+    return roots
+
+
+# -------------------------------------------------------------------- GTX
+def write_gtx(
+    path: str,
+    ll_lat_deg: float,
+    ll_lon_deg: float,
+    dlat_deg: float,
+    dlon_deg: float,
+    heights: np.ndarray,
+) -> None:
+    """NOAA GTX vertical grid (big-endian doubles + int32 dims +
+    float32 heights)."""
+    nrows, ncols = heights.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">dddd", ll_lat_deg, ll_lon_deg, dlat_deg, dlon_deg))
+        f.write(struct.pack(">ii", nrows, ncols))
+        f.write(np.ascontiguousarray(heights, dtype=">f4").tobytes())
+
+
+def read_gtx(path: str):
+    """Returns (ll_lat, ll_lon, dlat, dlon, heights[nrows, ncols])."""
+    with open(path, "rb") as f:
+        hdr = f.read(40)
+        ll_lat, ll_lon, dlat, dlon = struct.unpack(">dddd", hdr[:32])
+        nrows, ncols = struct.unpack(">ii", hdr[32:40])
+        if not (0 < nrows < 100000 and 0 < ncols < 100000):
+            raise ValueError(f"{path}: implausible GTX dims")
+        h = np.frombuffer(f.read(nrows * ncols * 4), dtype=">f4").reshape(nrows, ncols)
+    return ll_lat, ll_lon, dlat, dlon, h.astype(np.float32)
+
+
+# ----------------------------------------------------------------- sniffer
+def open_grid(path: str):
+    """Magic-bytes dispatch (ref pj_gridinfo.c:822-934): returns a
+    list[ShiftGrid] for horizontal grids, or the GTX tuple for
+    vertical grids."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:16] == _CTABLE2_MAGIC:
+        return [read_ctable2(path)]
+    if head[:8].rstrip() == b"NUM_OREC":
+        return read_ntv2(path)
+    # GTX has no magic; the reference sanity-checks the header values
+    try:
+        ll_lat, ll_lon, dlat, dlon, h = read_gtx(path)
+        if -90.0 <= ll_lat <= 90.0 and 0.0 < dlat < 10.0:
+            return (ll_lat, ll_lon, dlat, dlon, h)
+    except Exception:  # noqa: BLE001
+        pass
+    raise ValueError(f"{path}: unrecognized grid format")
+
+
+# --------------------------------------------------------------- vertical
+def apply_vgridshift(lam, phi, z, vgrid, inverse: bool = False):
+    """z +- bilinear(gtx) (ref src/pj_apply_vgridshift.c:46-170;
+    nodata sentinel -88.8888 passes through unshifted)."""
+    ll_lat, ll_lon, dlat, dlon, h = vgrid
+    lam_deg = np.degrees(np.asarray(lam, np.float64))
+    phi_deg = np.degrees(np.asarray(phi, np.float64))
+    gx = (lam_deg - ll_lon) / dlon
+    gy = (phi_deg - ll_lat) / dlat
+    nrows, ncols = h.shape
+    inside = (gx >= 0) & (gx <= ncols - 1) & (gy >= 0) & (gy <= nrows - 1)
+    ix = np.clip(np.floor(gx).astype(np.int64), 0, ncols - 2)
+    iy = np.clip(np.floor(gy).astype(np.int64), 0, nrows - 2)
+    fx = gx - ix
+    fy = gy - iy
+    h64 = h.astype(np.float64)
+    v = (
+        h64[iy, ix] * (1 - fx) * (1 - fy)
+        + h64[iy, ix + 1] * fx * (1 - fy)
+        + h64[iy + 1, ix] * (1 - fx) * fy
+        + h64[iy + 1, ix + 1] * fx * fy
+    )
+    nodata = (
+        (h64[iy, ix] == -88.8888)
+        | (h64[iy, ix + 1] == -88.8888)
+        | (h64[iy + 1, ix] == -88.8888)
+        | (h64[iy + 1, ix + 1] == -88.8888)
+    )
+    ok = inside & ~nodata
+    z = np.asarray(z, np.float64)
+    return np.where(ok, z + (v if inverse else -v), z)

@@ -1,0 +1,97 @@
+"""Grid file format roundtrips (CTABLE2 / NTv2 / GTX + sniffer) and
+shift equivalence between in-memory and file-loaded grids."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from proj_spark.operators.gridshift import apply_gridshift, make_synthetic_grid
+from proj_spark.sources.grids import (
+    apply_vgridshift,
+    open_grid,
+    read_ctable2,
+    read_gtx,
+    read_ntv2,
+    write_ctable2,
+    write_gtx,
+    write_ntv2,
+)
+
+
+@pytest.fixture()
+def grid():
+    return make_synthetic_grid("testgrid")
+
+
+def test_ctable2_roundtrip(grid, tmp_path):
+    p = str(tmp_path / "g.ct2")
+    write_ctable2(grid, p)
+    g2 = read_ctable2(p)
+    assert g2.grid_id == "testgrid"
+    assert (g2.ll_lam, g2.ll_phi, g2.del_lam, g2.del_phi) == (
+        grid.ll_lam, grid.ll_phi, grid.del_lam, grid.del_phi,
+    )
+    assert np.array_equal(g2.cvs, grid.cvs)  # float32 bit-exact
+
+
+def test_ntv2_roundtrip_shift_equivalence(grid, tmp_path):
+    p = str(tmp_path / "g.gsb")
+    write_ntv2([grid], p)
+    roots = read_ntv2(p)
+    assert len(roots) == 1
+    g2 = roots[0]
+    assert (g2.lim_lam, g2.lim_phi) == (grid.lim_lam, grid.lim_phi)
+    # values went through arcsec float32 conversion: compare applied
+    # shifts at full float64 pipeline tolerance
+    rng = np.random.default_rng(1)
+    lam = np.radians(rng.uniform(-124, -66, 200))
+    phi = np.radians(rng.uniform(25, 53, 200))
+    l1, p1 = apply_gridshift([grid], False, lam, phi)
+    l2, p2 = apply_gridshift([g2], False, lam, phi)
+    np.testing.assert_allclose(l2, l1, atol=2e-12)
+    np.testing.assert_allclose(p2, p1, atol=2e-12)
+
+
+def test_ntv2_parent_child_nesting(grid, tmp_path):
+    child = make_synthetic_grid(
+        "child0", ll_lon_deg=-110.0, ll_lat_deg=30.0, n_lon=21, n_lat=11,
+        cell_deg=0.5, amp_arcsec=1.0,
+    )
+    child.parent_id = "testgrid"  # type: ignore[attr-defined]
+    p = str(tmp_path / "nest.gsb")
+    write_ntv2([grid, child], p)
+    roots = read_ntv2(p)
+    assert len(roots) == 1
+    assert roots[0].children is not None and roots[0].children[0].grid_id == "child0"
+
+
+def test_gtx_roundtrip_and_vshift(tmp_path):
+    h = np.linspace(-30, 50, 21 * 41).reshape(21, 41).astype(np.float32)
+    p = str(tmp_path / "v.gtx")
+    write_gtx(p, 25.0, -125.0, 1.0, 1.0, h)
+    ll_lat, ll_lon, dlat, dlon, h2 = read_gtx(p)
+    assert (ll_lat, ll_lon, dlat, dlon) == (25.0, -125.0, 1.0, 1.0)
+    assert np.array_equal(h2, h)
+    lam = np.radians(np.array([-105.0, -50.0]))  # second point outside
+    phi = np.radians(np.array([35.0, 35.0]))
+    z = np.zeros(2)
+    z2 = apply_vgridshift(lam, phi, z, (ll_lat, ll_lon, dlat, dlon, h2))
+    assert z2[0] != 0.0  # shifted (geoid -> ellipsoid direction)
+    assert z2[1] == 0.0  # outside grid: unshifted passthrough
+
+
+def test_sniffer_dispatch(grid, tmp_path):
+    c = str(tmp_path / "a.ct2")
+    n = str(tmp_path / "b.gsb")
+    g = str(tmp_path / "c.gtx")
+    write_ctable2(grid, c)
+    write_ntv2([grid], n)
+    write_gtx(g, 25.0, -125.0, 1.0, 1.0, np.zeros((3, 4), np.float32))
+    assert open_grid(c)[0].grid_id == "testgrid"
+    assert open_grid(n)[0].grid_id == "testgrid"
+    assert open_grid(g)[4].shape == (3, 4)
+    junk = str(tmp_path / "junk.bin")
+    with open(junk, "wb") as f:
+        f.write(b"this is not a grid file at all, definitely not")
+    with pytest.raises(ValueError):
+        open_grid(junk)
