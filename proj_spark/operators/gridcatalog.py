@@ -16,8 +16,10 @@ reference's datum_date (pj_gc_parsedate).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Iterator, Tuple
 
 import numpy as np
+import pandas as pd
 
 from .gridshift import ShiftGrid, apply_gridshift
 
@@ -98,9 +100,6 @@ def apply_catalog_shift(
 def catalog_shift_udf(catalog: GridCatalog, inverse: bool = False):
     """pandas UDF ``(lon_deg, lat_deg, date_fyear) -> struct<lon,lat>``
     applying the as-of catalog shift (degrees at the API boundary)."""
-    from typing import Iterator, Tuple
-
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType, StructField, StructType
 
