@@ -981,6 +981,80 @@ def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geodesic_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waypoint densification along geodesics (geod -n semantics,
+    ref src/geod.c:34-57): inverse+direct Vincenty -> rows-only."""
+    from proj_spark.operators.geodesic_ops import geodesic_waypoints
+
+    n = _load(spark, sf_dir, "nation")
+    pairs = n.select(
+        F.col("n_nationkey").alias("pair_id"),
+        E.synth_lon((F.col("n_nationkey") * 7919 + 13).cast("double")).alias("lon1"),
+        E.synth_lat((F.col("n_nationkey") * 7919 + 13).cast("double")).alias("lat1"),
+        E.synth_lon((F.col("n_nationkey") * 104729 + 7).cast("double")).alias("lon2"),
+        E.synth_lat((F.col("n_nationkey") * 104729 + 7).cast("double")).alias("lat2"),
+    )
+    out = geodesic_waypoints(pairs, n_points=8)
+    return out.select(
+        "pair_id",
+        F.col("wp_idx").cast("long").alias("wp_idx"),
+        F.floor(F.col("wp_lon") * 1e6).cast("long").alias("wp_lon_e6"),
+        F.floor(F.col("wp_lat") * 1e6).cast("long").alias("wp_lat_e6"),
+    )
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polygon perimeter/area aggregation (role of
+    geod_polygon_compute, ref src/geodesic.c:1761) -> rows-only."""
+    from proj_spark.operators.geodesic_ops import polygon_metrics
+
+    polys = _fixture_polygons()
+    rows = [
+        {"poly_id": pid, "vertex_idx": i, "lon": x, "lat": y}
+        for pid, ring in polys
+        for i, (x, y) in enumerate(ring[:-1])
+    ]
+    vertices = spark.createDataFrame(rows)
+    out = polygon_metrics(vertices)
+    return out.select(
+        "poly_id",
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.floor(F.col("perimeter_m")).cast("long").alias("perimeter_m"),
+        F.floor(F.col("area_m2") / 1e6).cast("long").alias("area_km2"),
+    )
+
+
+def q_catalog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dependent datum shift via a dated grid catalog
+    (pj_gc_apply_gridshift, ref src/pj_gridcatalog.c:99-281):
+    as-of bracket + linear date blend -> rows-only."""
+    from proj_spark.operators.gridcatalog import (
+        CatalogEntry,
+        GridCatalog,
+        catalog_shift_udf,
+    )
+    from proj_spark.operators.gridshift import make_synthetic_grid
+
+    cat = GridCatalog(
+        "syn_epochs",
+        [
+            CatalogEntry(1990.0, make_synthetic_grid("e1990", amp_arcsec=1.0)),
+            CatalogEntry(2000.0, make_synthetic_grid("e2000", amp_arcsec=3.0)),
+        ],
+    )
+    pts = _points(spark, sf_dir, "supplier", "s_suppkey").withColumn(
+        "epoch", 1988.0 + (F.col("pk") % 16).cast("double")
+    )
+    udf = catalog_shift_udf(cat)
+    out = pts.withColumn("s", udf("lon", "lat", "epoch"))
+    return out.select(
+        "pk",
+        F.col("epoch").cast("long").alias("epoch_y"),
+        F.floor(F.col("s.lon") * 1e7).cast("long").alias("lon_e7"),
+        F.floor(F.col("s.lat") * 1e7).cast("long").alias("lat_e7"),
+    )
+
+
 def q_healpix_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area HEALPix cell rollup (ref PJ_healpix.c healpix_sphere)
     — kernel UDF, rows-only."""
@@ -1050,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_payload": q_images_payload,
         "factors": q_factors,
         "healpix_cells": q_healpix_cells,
+        "geodesic_waypoints": q_geodesic_waypoints,
+        "polygon_metrics": q_polygon_metrics,
+        "catalog_asof": q_catalog_asof,
     }
 
 

@@ -31,6 +31,9 @@ def test_every_query_has_oracle_or_is_documented():
         "images_payload",
         "factors",
         "healpix_cells",
+        "geodesic_waypoints",
+        "polygon_metrics",
+        "catalog_asof",
     }
 
 
