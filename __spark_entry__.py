@@ -965,6 +965,26 @@ def q_images_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (decode -> channel means, luma
+    histogram, phash, edge energy) + phash near-dup pair count over
+    the deterministic image table -> rows-only."""
+    from proj_spark.operators.multimodal import extract_features, phash_dedup_pairs
+    from proj_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 1000, partitions=4)
+    feats = extract_features(imgs)
+    n_pairs = phash_dedup_pairs(
+        feats.select(F.col("image_id"), "phash"), max_hamming=2
+    ).count()
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("mean_r")).cast("long").alias("avg_r"),
+        F.floor(F.avg("edge_energy") * 1000.0).cast("long").alias("avg_edge_milli"),
+        F.lit(n_pairs).cast("long").alias("n_neardup_pairs"),
+    )
+
+
 def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distortion analysis (pj_factors: scale h/k, areal s) on UTM-11;
     numeric derivatives -> rows-only."""
@@ -1127,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_waypoints": q_geodesic_waypoints,
         "polygon_metrics": q_polygon_metrics,
         "catalog_asof": q_catalog_asof,
+        "image_features": q_image_features,
     }
 
 

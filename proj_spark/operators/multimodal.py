@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column operators.
+
+Binary payloads stay opaque through shuffles (SURVEY.md §1.2) and are
+decoded only inside Arrow-batched UDFs.  The PNG and quantizing-lossy
+codecs are real (sources/images.py); formats that need native
+libraries absent from this container (real JPEG, video, audio) are
+STUBBED behind NotImplementedError at the single decode call site —
+the Spark-side plumbing (schemas, batching, partitioning) is real and
+tested either way.
+
+Scale notes:
+- all operators are narrow mapInPandas passes: parallelism = input
+  partitions, no shuffle; the bytes column never moves twice (join on
+  ids first, re-attach payloads last — SURVEY.md §7 'what's hard' e).
+- output images are re-encoded with the same codec family so payload
+  invariants (PSNR gate) remain checkable downstream.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.images import (
+    average_phash,
+    decode_image,
+    encode_ljpg,
+    encode_png,
+)
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("luma_hist", ArrayType(LongType())),
+        StructField("phash", LongType()),
+        StructField("edge_energy", DoubleType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame, bits_hist: int = 16) -> DataFrame:
+    """Decode each payload and emit vectorized image features: channel
+    means, a luma histogram, the perceptual hash, and a gradient
+    energy score (the 'feature-extract' stage of a curation pipeline).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                px = decode_image(r["bytes"], r["fmt"]).astype(np.float64)
+                luma = px @ np.array([0.299, 0.587, 0.114])
+                hist = np.histogram(luma, bins=bits_hist, range=(0, 256))[0]
+                gy, gx = np.gradient(luma)
+                out.append(
+                    (
+                        r["image_id"],
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        [int(v) for v in hist],
+                        average_phash(px.astype(np.uint8)),
+                        float(np.sqrt(gx * gx + gy * gy).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "mean_r", "mean_g", "mean_b",
+                    "luma_hist", "phash", "edge_energy",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded with the input's codec
+    family (the standard thumbnailing stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                px = decode_image(r["bytes"], r["fmt"])
+                h, w, _ = px.shape
+                yi = np.clip((np.arange(out_h) * h) // out_h, 0, h - 1)
+                xi = np.clip((np.arange(out_w) * w) // out_w, 0, w - 1)
+                small = px[np.ix_(yi, xi)]
+                data = encode_png(small) if r["fmt"] == "png" else encode_ljpg(small)
+                out.append((r["image_id"], data, out_w, out_h, r["fmt"]))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("bytes", BinaryType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling.
+
+    Real video decoding needs libav/ffmpeg, absent from this
+    container: fmt values other than the deterministic test container
+    'fakevid' raise NotImplementedError at the decode site (explicit
+    stub per the build brief).  'fakevid' payloads are a sequence of
+    concatenated length-prefixed PNG frames, so the sampling plumbing
+    (explode to frame rows, batching, schema) runs for real.
+    """
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                if r["fmt"] != "fakevid":
+                    raise NotImplementedError(
+                        f"video codec {r['fmt']!r} requires libav/ffmpeg "
+                        "(not available in this container)"
+                    )
+                data = r["bytes"]
+                pos = 0
+                idx = 0
+                while pos < len(data):
+                    (ln,) = struct.unpack_from(">I", data, pos)
+                    frame = data[pos + 4 : pos + 4 + ln]
+                    if idx % every_n == 0:
+                        out.append((r["media_id"], idx, bytes(frame), "png"))
+                    pos += 4 + ln
+                    idx += 1
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "bytes", "fmt"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(run, _FRAME_SCHEMA)
+
+
+def make_fakevid(frames: list[np.ndarray]) -> bytes:
+    """Build a 'fakevid' payload: length-prefixed PNG frames."""
+    import struct
+
+    parts = []
+    for px in frames:
+        data = encode_png(px)
+        parts.append(struct.pack(">I", len(data)) + data)
+    return b"".join(parts)
+
+
+def phash_dedup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance.
+
+    Buckets by the 4 x 16-bit phash quarters (pigeonhole: hamming <= 6
+    over 4 quarters guarantees at least one quarter with distance <= 1
+    — we bucket on exact quarter matches, which guarantees recall for
+    hamming <= 3 and is the standard trade at corpus scale), then
+    verifies with bit_count.  Native expressions; no Python.
+    """
+    from pyspark.sql import functions as F
+
+    q = [
+        (F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"q{i}"
+        )
+        for i in range(4)
+    ]
+    s = df.select(F.col("image_id").alias("id"), F.col("phash").alias("sig"), *q)
+    pairs = None
+    for i in range(4):
+        a = s.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"q{i}").alias("bk"))
+        b = s.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"q{i}").alias("bk"))
+        p = a.join(b, on="bk").where(F.col("id_a") < F.col("id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

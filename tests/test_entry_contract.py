@@ -34,6 +34,7 @@ def test_every_query_has_oracle_or_is_documented():
         "geodesic_waypoints",
         "polygon_metrics",
         "catalog_asof",
+        "image_features",
     }
 
 

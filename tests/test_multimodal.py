@@ -1,0 +1,73 @@
+"""Multimodal operators: feature extraction, resize, frame sampling
+(fakevid container + explicit stub), phash near-dup pairs."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from proj_spark.operators.multimodal import (
+    extract_features,
+    make_fakevid,
+    phash_dedup_pairs,
+    resize_images,
+    sample_frames,
+)
+from proj_spark.sources.images import decode_image, generate_images, synth_pixels
+
+
+def test_extract_features(spark):
+    imgs = generate_images(spark, 40, partitions=2)
+    feats = extract_features(imgs).collect()
+    assert len(feats) == 40
+    for r in feats:
+        assert 0.0 <= r.mean_r <= 255.0
+        assert len(r.luma_hist) == 16
+        assert sum(r.luma_hist) == 32 * 32
+        assert r.edge_energy > 0.0
+    # png rows: phash from decoded pixels must equal the stored phash
+    stored = {r.image_id: r.phash for r in imgs.select("image_id", "phash", "fmt").where(F.col("fmt") == "png").collect()}
+    got = {r.image_id: r.phash for r in feats}
+    for iid, ph in stored.items():
+        assert got[iid] == ph
+
+
+def test_resize_images_roundtrip(spark):
+    imgs = generate_images(spark, 10, partitions=1)
+    small = resize_images(imgs, 8, 8).collect()
+    for r in small:
+        px = decode_image(r.bytes, r.fmt)
+        assert px.shape == (8, 8, 3)
+
+
+def test_sample_frames_fakevid(spark):
+    frames = [synth_pixels(i, 16, 16) for i in range(25)]
+    payload = make_fakevid(frames)
+    df = spark.createDataFrame([Row(media_id="vid0", bytes=payload, fmt="fakevid")])
+    out = sample_frames(df, every_n=10).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in out] == [0, 10, 20]
+    assert np.array_equal(decode_image(out[1].bytes, "png"), frames[10])
+
+
+def test_sample_frames_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame([Row(media_id="vid1", bytes=b"\x00\x00", fmt="mp4")])
+    with pytest.raises(Exception, match="NotImplementedError|libav|ffmpeg"):
+        sample_frames(df).collect()
+
+
+def test_phash_dedup_pairs_finds_identical_images(spark):
+    # rows 2k and 2k+1 with identical pixels -> identical phash
+    rows = []
+    for k in range(10):
+        ph = int(np.int64(k * 1234567 + 42))
+        rows.append(Row(image_id=f"a{k}", phash=ph))
+        rows.append(Row(image_id=f"b{k}", phash=ph))
+    # plus distinct decoys far apart in hamming space
+    rng = np.random.default_rng(0)
+    for k in range(20):
+        rows.append(Row(image_id=f"z{k}", phash=int(rng.integers(-(2**62), 2**62))))
+    df = spark.createDataFrame(rows)
+    pairs = {(r.id_a, r.id_b) for r in phash_dedup_pairs(df, max_hamming=2).collect()}
+    for k in range(10):
+        assert (f"a{k}", f"b{k}") in pairs
