@@ -908,7 +908,9 @@ def healpix_sphere_fwd(lam, phi):
     y_eq = 3.0 * PI / 8.0 * np.sin(phi)
     sigma = np.sqrt(3.0 * (1.0 - np.abs(np.sin(phi))))
     cn = np.floor(2.0 * lam / PI + 2.0)
-    cn = np.clip(cn, 0.0, 3.0)
+    # reference clamps only the TOP (cn >= 4 -> 3); lam one ulp beyond
+    # -pi legitimately yields cn = -1 (golden tv_out.dist:104-105)
+    cn = np.minimum(cn, 3.0)
     lamc = -3.0 * PI / 4.0 + (PI / 2.0) * cn
     x_po = lamc + (lam - lamc) * sigma
     y_po = np.sign(phi) * PI / 4.0 * (2.0 - sigma)
@@ -924,7 +926,7 @@ def healpix_sphere_inv(x, y):
     lam_eq = x
     phi_eq = np.arcsin(np.clip(8.0 * y / (3.0 * PI), -1.0, 1.0))
     cn = np.floor(2.0 * x / PI + 2.0)
-    cn = np.clip(cn, 0.0, 3.0)
+    cn = np.minimum(cn, 3.0)
     xc = -3.0 * PI / 4.0 + (PI / 2.0) * cn
     tau = 2.0 - 4.0 * np.abs(y) / PI
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -549,13 +549,20 @@ def setup_healpix(crs) -> CompiledProj:
 
         apa = _authset(es)
         qp = float(m.qsfn(1.0, e, one_es))
+        # outputs scale by the authalic-sphere radius ratio sqrt(qp/2)
+        # (golden: tv_out.dist "healpix ellipsoid" x(-90deg) = -1.56904
+        # = -pi/2 * 0.99888 on +a=1 +ellps=WGS84)
+        ra = math.sqrt(0.5 * qp)
 
         def fwd(lam, phi):
             bphi = m.aasin(np.clip(m.qsfn(np.sin(phi), e, one_es) / qp, -1.0, 1.0))
-            return healpix_sphere_fwd(lam, bphi)
+            x, y = healpix_sphere_fwd(lam, bphi)
+            return x * ra, y * ra
 
         def inv(x, y):
-            lam, bphi = healpix_sphere_inv(x, y)
+            lam, bphi = healpix_sphere_inv(
+                np.asarray(x, np.float64) / ra, np.asarray(y, np.float64) / ra
+            )
             return lam, _authlat(bphi, apa)
 
     else:

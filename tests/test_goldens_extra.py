@@ -1,0 +1,111 @@
+"""Golden-vector tests transcribed from the reference regression
+corpus /root/reference/nad/tv_out.dist (driven by nad/testvarious):
+extended transverse Mercator (#97 blocks, tv_out.dist:59-71) and
+HEALPix sphere/ellipsoid (tv_out.dist:95-111).  Tolerances follow the
+golden print precision (%.2f m; %.3f arcsec DMS; %.5f healpix units).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from proj_spark.crs import dmstor
+from proj_spark.kernels.xmath import RAD_TO_DEG
+from proj_spark.plans.pipeline import transform_arrays
+
+ETMERC = "+proj=etmerc +k=0.998 +lon_0=-20 +datum=WGS84 +x_0=10000 +y_0=20000"
+LL = "+proj=latlong +datum=WGS84"
+
+
+def _dms(s: str) -> float:
+    return dmstor(s) * RAD_TO_DEG
+
+
+class TestEtmercGolden:
+    # tv_out.dist:60-64 — etmerc -> latlong
+    FWD_CASES = [
+        ((10000.0, 20000.0), ("20dW", "0dN")),
+        ((500000.0, 2000000.0), ("15d22'16.108\"W", "17d52'53.478\"N")),
+        ((1000000.0, 2000000.0), ("10d40'55.532\"W", "17d42'48.526\"N")),
+        ((2000000.0, 2000000.0), ("1d32'21.33\"W", "17d3'47.233\"N")),
+        ((4000000.0, 2000000.0), ("15d4'42.357\"E", "14d48'56.372\"N")),
+    ]
+
+    @pytest.mark.parametrize("xy,exp", FWD_CASES)
+    def test_etmerc_to_latlong(self, xy, exp):
+        lon, lat, _ = transform_arrays(ETMERC, LL, [xy[0]], [xy[1]])
+        # golden precision: 0.001 arcsec ~= 2.8e-7 deg
+        assert lon[0] == pytest.approx(_dms(exp[0]), abs=5e-7)
+        assert lat[0] == pytest.approx(_dms(exp[1]), abs=5e-7)
+
+    # tv_out.dist:67-71 — latlong -> etmerc
+    INV_CASES = [
+        (("0dE", "0dN"), (2278817.00, 20000.00)),
+        (("15d22'16.108\"W", "17d52'53.478\"N"), (499999.99, 2000000.01)),
+        (("10d40'55.532\"W", "17d42'48.526\"N"), (999999.99, 1999999.99)),
+        (("1d32'21.33\"W", "17d3'47.233\"N"), (2000000.00, 1999999.99)),
+        (("15d4'42.357\"E", "14d48'56.372\"N"), (4000000.00, 2000000.01)),
+    ]
+
+    @pytest.mark.parametrize("ll,exp", INV_CASES)
+    def test_latlong_to_etmerc(self, ll, exp):
+        x, y, _ = transform_arrays(LL, ETMERC, [_dms(ll[0])], [_dms(ll[1])])
+        # inputs quantized at 0.001" -> ~3cm positional tolerance
+        assert x[0] == pytest.approx(exp[0], abs=0.05)
+        assert y[0] == pytest.approx(exp[1], abs=0.05)
+
+
+class TestHealpixGolden:
+    # tv_out.dist:96-107 — sphere (+R=5 block scaled to R; +a=1 rows)
+    SPHERE_R5 = [
+        ((0.0, 0.0), (0.0, 0.0)),
+        ((0.0, 41.810314895778596), (0.0, 3.92699)),
+        ((0.0, -41.810314895778596), (0.0, -3.92699)),
+        ((90.0, 0.0), (7.85398, 0.0)),
+        ((-90.0, 0.0), (-7.85398, 0.0)),
+        ((-180.0, 0.0), (-15.70796, 0.0)),
+        ((-180.0, 90.0), (-19.63495, 7.85398)),
+        ((-180.0, -90.0), (-19.63495, -7.85398)),
+        ((0.0, 60.0), (1.43738, 5.36437)),
+        ((0.0, -60.0), (1.43738, -5.36437)),
+    ]
+
+    @pytest.mark.parametrize("ll,exp", SPHERE_R5)
+    def test_sphere_r5(self, ll, exp):
+        # parse like cs2cs does (dmstor with the shortened vm[]
+        # constants): "-180" lands one ulp BEYOND -pi, which flips the
+        # polar cap index — the golden -19.63495 (= -5pi/4 * R) rows
+        # depend on exactly this (see crs.py _VM note)
+        lon = _dms(str(ll[0]))
+        lat = _dms(str(ll[1]))
+        x, y, _ = transform_arrays(
+            "+proj=latlong +R=5", "+proj=healpix +R=5", [lon], [lat]
+        )
+        assert x[0] == pytest.approx(exp[0], abs=1e-5)
+        assert y[0] == pytest.approx(exp[1], abs=1e-5)
+
+    def test_sphere_a1(self):
+        # tv_out.dist:96-97
+        x, y, _ = transform_arrays(
+            "+proj=latlong +a=1 +es=0", "+proj=healpix +a=1 +es=0", [0.0], [41.81031]
+        )
+        assert x[0] == pytest.approx(0.0, abs=1e-5)
+        assert y[0] == pytest.approx(0.78540, abs=1e-5)
+
+    ELL_A1 = [
+        ((0.0, 41.937853904844985), (0.0, 0.78452)),
+        ((-90.0, 0.0), (-1.56904, 0.0)),
+        ((0.0, 0.0), (0.0, 0.0)),
+    ]
+
+    @pytest.mark.parametrize("ll,exp", ELL_A1)
+    def test_ellipsoid_a1(self, ll, exp):
+        # tv_out.dist:109-111 (+a=1 +ellps=WGS84 -> es of WGS84)
+        x, y, _ = transform_arrays(
+            "+proj=latlong +a=1 +rf=298.257223563",
+            "+proj=healpix +a=1 +rf=298.257223563",
+            [ll[0]],
+            [ll[1]],
+        )
+        assert x[0] == pytest.approx(exp[0], abs=1e-5)
+        assert y[0] == pytest.approx(exp[1], abs=1e-5)
