@@ -140,6 +140,20 @@ class CRS:
     def from_proj4(defn: str) -> "CRS":
         return _compile(defn)
 
+    def get_def(self) -> str:
+        """Serialize back to a proj-string (pj_get_def semantics,
+        ref src/pj_pr_list.c): the fully-expanded parameter set, with
+        +init resolved and defaults folded in."""
+        parts = [f"+proj={self.proj}"]
+        for k, v in self.params.items():
+            if k in ("proj", "init", "no_defs"):
+                continue
+            parts.append(f"+{k}" if v is True else f"+{k}={v}")
+        if "ellps" not in self.params and "a" not in self.params and "R" not in self.params:
+            parts.append(f"+a={self.a!r}")
+            parts.append(f"+es={self.es_orig!r}")
+        return " ".join(parts)
+
     @property
     def is_projected(self) -> bool:
         return not (self.is_latlong or self.is_geocent)
@@ -162,6 +176,15 @@ class CRS:
 @lru_cache(maxsize=256)
 def _compile(defn: str) -> CRS:
     params = parse_proj_string(defn)
+    # +init=file:key catalog expansion (src/pj_init.c:425-434):
+    # catalog params append AFTER explicit ones, so explicit params win
+    # via the first-occurrence-wins rule of parse_proj_string
+    if "init" in params:
+        from .sources.initfiles import get_init
+
+        init_params = parse_proj_string(get_init(str(params["init"])))
+        for k, v in init_params.items():
+            params.setdefault(k, v)
     if "proj" not in params:
         raise ValueError(f"no +proj in {defn!r}")
     proj = str(params["proj"])
