@@ -1,0 +1,153 @@
+"""Command-line surface mirroring the reference's three filters
+(ref src/proj.c, src/cs2cs.c, src/geod.c): text lines in, transformed
+text lines out.
+
+    python -m proj_spark.cli cs2cs "+proj=latlong +datum=NAD27 ..." \
+        +to "+proj=latlong +datum=WGS84" [-f FMT] [-E] < points.txt
+    python -m proj_spark.cli proj  [-I] "+proj=utm +zone=11 ..." < pts
+    python -m proj_spark.cli geod  "+ellps=WGS84" [-I] < pairs
+
+These are driver-local conveniences over the same kernel library the
+Spark operators use (one code path): each line is parsed with dmstor
+(DMS or decimal), batched, run through the fused numpy pipeline, and
+formatted.  The distributed equivalents are functions/transform.py.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .crs import CRS, dmstor
+from .functions.dms import VM_DEG
+from .kernels.xmath import RAD_TO_DEG
+from .plans.pipeline import transform_arrays
+
+
+def _parse_lines(lines):
+    us, vs, zs, tails = [], [], [], []
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        toks = line.split()
+        u, v = toks[0], toks[1]
+        z = 0.0
+        tail = ""
+        if len(toks) > 2:
+            try:
+                z = float(toks[2])
+                tail = " ".join(toks[3:])
+            except ValueError:
+                tail = " ".join(toks[2:])
+        us.append(dmstor(u) * RAD_TO_DEG)
+        vs.append(dmstor(v) * RAD_TO_DEG)
+        zs.append(z)
+        tails.append(tail)
+    return np.array(us), np.array(vs), np.array(zs), tails
+
+
+def _emit(xs, ys, zs, tails, fmt: str, echo_in=None, out=None):
+    out = out or sys.stdout  # resolve at call time (testable)
+    for i in range(len(xs)):
+        prefix = f"{echo_in[i]}\t" if echo_in is not None else ""
+        tail = f" {tails[i]}" if tails[i] else ""
+        if np.isnan(xs[i]) or np.isnan(ys[i]):
+            out.write(f"{prefix}*\t* {zs[i]:.3f}{tail}\n")
+        else:
+            out.write(f"{prefix}{fmt % xs[i]}\t{fmt % ys[i]} {zs[i]:.3f}{tail}\n")
+
+
+def cmd_cs2cs(args) -> int:
+    src = CRS.from_proj4(args.src)
+    dst = CRS.from_proj4(args.dst)
+    lines = list(args.infile)
+    u, v, z, tails = _parse_lines(lines)
+    # cs2cs input order is lon lat for latlong CRS (matching our deg API)
+    x, y, zo = transform_arrays(src, dst, u, v, z)
+    echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
+    _emit(x, y, zo, tails, args.fmt, echo)
+    return 0
+
+
+def cmd_proj(args) -> int:
+    crs = CRS.from_proj4(args.defn)
+    ll = "+proj=latlong +a=%r +es=%r" % (crs.a_orig, crs.es_orig)
+    lines = list(args.infile)
+    u, v, z, tails = _parse_lines(lines)
+    if args.inverse:
+        # projected in (plain floats, not DMS): re-parse as raw floats
+        toks = [ln.split() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")]
+        u = np.array([float(t[0]) for t in toks])
+        v = np.array([float(t[1]) for t in toks])
+        x, y, zo = transform_arrays(crs, ll, u, v, z)
+    else:
+        x, y, zo = transform_arrays(ll, crs, u, v, z)
+    echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
+    _emit(x, y, zo, tails, args.fmt, echo)
+    return 0
+
+
+def cmd_geod(args) -> int:
+    from .kernels.geodesy import geod_direct, geod_inverse
+
+    defn = args.defn if args.defn.startswith("+") else f"+ellps={args.defn}"
+    if "+proj=" not in defn:
+        defn = "+proj=latlong " + defn  # geod needs only the ellipsoid
+    crs = CRS.from_proj4(defn)
+    a = crs.a
+    f = 1.0 - (1.0 - crs.es) ** 0.5
+    for line in args.infile:
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        toks = line.split()
+        if args.inverse:
+            lat1, lon1, lat2, lon2 = (dmstor(t) * RAD_TO_DEG for t in toks[:4])
+            s12, azi1, azi2 = geod_inverse(
+                np.array([lat1]), np.array([lon1]), np.array([lat2]), np.array([lon2]), a, f
+            )
+            sys.stdout.write(f"{azi1[0]:.5f}\t{azi2[0]:.5f}\t{s12[0]:.3f}\n")
+        else:
+            lat1, lon1, azi = (dmstor(t) * RAD_TO_DEG for t in toks[:3])
+            s = float(toks[3])
+            lat2, lon2, azi2 = geod_direct(
+                np.array([lat1]), np.array([lon1]), np.array([azi]), np.array([s]), a, f
+            )
+            sys.stdout.write(f"{lat2[0]:.9f}\t{lon2[0]:.9f}\t{azi2[0]:.5f}\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="proj_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("cs2cs", help="CRS -> CRS filter (ref src/cs2cs.c)")
+    c.add_argument("src")
+    c.add_argument("plus_to", metavar="+to", choices=["+to"])
+    c.add_argument("dst")
+    c.add_argument("-f", dest="fmt", default="%.6f")
+    c.add_argument("-E", dest="echo", action="store_true")
+    c.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
+    c.set_defaults(fn=cmd_cs2cs)
+
+    p = sub.add_parser("proj", help="single-CRS fwd/inv filter (ref src/proj.c)")
+    p.add_argument("-I", dest="inverse", action="store_true")
+    p.add_argument("defn")
+    p.add_argument("-f", dest="fmt", default="%.2f")
+    p.add_argument("-E", dest="echo", action="store_true")
+    p.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
+    p.set_defaults(fn=cmd_proj)
+
+    g = sub.add_parser("geod", help="geodesic problems (ref src/geod.c)")
+    g.add_argument("-I", dest="inverse", action="store_true")
+    g.add_argument("defn")
+    g.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
+    g.set_defaults(fn=cmd_geod)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
