@@ -116,3 +116,44 @@ def test_polygon_metrics_square(spark):
     assert 440_000 < out.perimeter_m < 448_000
     # area ~ 111km^2 ~ 1.23e10 m2 within a few percent
     assert out.area_m2 == pytest.approx(1.23e10, rel=0.03)
+
+
+def test_stateful_tile_accumulator_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-tile running state across
+    micro-batches: two input files + maxFilesPerTrigger=1 -> two
+    micro-batches in one query -> counts accumulate via state."""
+    import os
+
+    from proj_spark.streaming.stateful import stream_tile_accumulator
+
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [Row(lon=-118.0 + i * 1e-4, lat=34.0) for i in range(5)]
+    rows2 = [Row(lon=-118.0 + i * 1e-4, lat=34.0) for i in range(3)]
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema("lon double, lat double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    out = stream_tile_accumulator(stream, zoom=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tile_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql(
+        "SELECT n_total, batches FROM tile_state_test ORDER BY n_total DESC"
+    ).collect()
+    # update mode emits one row per micro-batch; the latest shows the
+    # accumulated state across both batches
+    assert rows[0].n_total == 8
+    assert rows[0].batches == 2
+    assert rows[-1].n_total in (3, 5)  # first micro-batch emission
