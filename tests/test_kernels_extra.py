@@ -106,6 +106,15 @@ CASES = [
     ("+proj=gs48 +R=6370997", (-18, 18), (25, 50), 1e-9),
     ("+proj=alsk +ellps=clrk66", (-12, 12), (54, 71), 1e-9),
     ("+proj=gs50 +ellps=clrk66", (-20, 18), (33, 58), 1e-9),
+    # ---- extra5 batch ----
+    ("+proj=euler +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=murd1 +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=murd2 +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=murd3 +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=pconic +lat_1=30 +lat_2=50 +lat_0=40 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=tissot +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=vitk1 +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
+    ("+proj=igh +R=6370997", (-170, 170), (-75, 75), 1e-6),
 ]
 
 FWD_ONLY = [
@@ -165,4 +174,4 @@ def test_forward_finite(defn, lam_rng, phi_rng):
 
 def test_registry_coverage_count():
     """The registry must keep growing toward the pj_list inventory."""
-    assert len(set(REGISTRY)) >= 100, sorted(REGISTRY)
+    assert len(set(REGISTRY)) >= 115, sorted(REGISTRY)
