@@ -2,7 +2,7 @@
 oblique kernels plus remaining misc families (SURVEY.md §2.2).
 
 etmerc (Poder/Engsager), omerc (Hotine), krovak, nzmg (complex
-series via zpoly1), vandg3, oea, goode, geos, airy, lcca, rpoly,
+series via zpoly1), oea, goode, geos, airy, lcca, rpoly,
 tpeqd.  References cite /root/reference/src/*.c.
 """
 from __future__ import annotations
@@ -423,38 +423,6 @@ def setup_nzmg(crs) -> CompiledProj:
         return lam, phi
 
     return CompiledProj("nzmg", fwd, inv, **fr)
-
-
-# -------------------------------------------------------------- vandg III
-@_register("vandg3")
-def setup_vandg3(crs) -> CompiledProj:
-    """Van der Grinten III (ref src/PJ_vandg2.c vandg3 branch):
-    parallels stay straight; y1 = B/(1+D), x on the circle.  Forward
-    only (like the reference)."""
-    fr = _frame(crs)
-    TOL = 1e-10
-    TWORPI = 0.63661977236758134308
-
-    def fwd(lam, phi):
-        lam = np.asarray(lam, np.float64)
-        phi = np.asarray(phi, np.float64)
-        phi_zero = np.abs(phi) < TOL
-        lam_zero = np.abs(lam) < TOL
-        bt = np.abs(TWORPI * phi)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dt = TWORPI * np.abs(lam)
-            dt = dt + 1.0 / dt
-            dt = np.sqrt(np.maximum(dt * dt - 4.0, 0.0))
-            y1 = bt / (1.0 + dt)
-            # meridian circle of half-chord dt: x = pi*(sqrt(1 - y1^2 + dt^2/4) - dt/2)
-            x = PI * (np.sqrt(np.maximum(1.0 - y1 * y1 + dt * dt * 0.25, 0.0)) - 0.5 * dt)
-            y = PI * y1
-        x = np.where(phi_zero, lam, np.where(lam_zero, 0.0, np.where(lam < 0.0, -x, x)))
-        y_center = np.sign(phi) * PI * np.tan(0.5 * np.arcsin(np.clip(bt, -1.0, 1.0)))
-        y = np.where(phi_zero, 0.0, np.where(lam_zero, y_center, np.where(phi < 0.0, -y, y)))
-        return x, y
-
-    return CompiledProj("vandg3", fwd, None, **fr)
 
 
 # ------------------------------------------------------------------- oea

@@ -115,6 +115,15 @@ CASES = [
     ("+proj=tissot +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
     ("+proj=vitk1 +lat_1=30 +lat_2=50 +R=6370997", (-60, 60), (10, 70), 1e-9),
     ("+proj=igh +R=6370997", (-170, 170), (-75, 75), 1e-6),
+    # ---- extra6 batch ----
+    ("+proj=wink1 +lat_ts=45 +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=mbt_fps +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=mbtfpp +R=6370997", (-170, 170), (-85, 85), 1e-9),
+    ("+proj=mbtfpq +R=6370997", (-170, 170), (-85, 85), 1e-6),
+    ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 +k=0.9999079 +ellps=bessel", (2, 8), (49, 55), 1e-9),
+    ("+proj=calcofi +ellps=clrk66", (-8, 3), (25, 38), 1e-9),
+    ("+proj=labrd +lat_0=-18.9 +azi=18.9 +k_0=0.9995 +ellps=intl", (-3, 3), (-24, -14), 1e-8),
+    ("+proj=rouss +lat_0=45 +ellps=GRS80", (-4, 4), (41, 49), 1e-8),
 ]
 
 FWD_ONLY = [
@@ -137,6 +146,10 @@ FWD_ONLY = [
     ("+proj=airy +lat_0=45 +R=6370997", (-40, 40), (10, 75)),
     ("+proj=rpoly +R=6370997", (-40, 40), (-60, 60)),
     ("+proj=urm5 +n=0.9 +R=6370997", (-150, 150), (-80, 80)),
+    ("+proj=wink2 +lat_1=40 +R=6370997", (-170, 170), (-85, 85)),
+    ("+proj=vandg2 +R=6370997", (-150, 150), (-75, 75)),
+    ("+proj=vandg3 +R=6370997", (-150, 150), (-75, 75)),
+    ("+proj=vandg4 +R=6370997", (-150, 150), (-75, 75)),
 ]
 
 
@@ -174,4 +187,4 @@ def test_forward_finite(defn, lam_rng, phi_rng):
 
 def test_registry_coverage_count():
     """The registry must keep growing toward the pj_list inventory."""
-    assert len(set(REGISTRY)) >= 115, sorted(REGISTRY)
+    assert len(set(REGISTRY)) >= 128, sorted(REGISTRY)
