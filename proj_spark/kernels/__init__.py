@@ -8,3 +8,4 @@ from . import extra4 as extra4  # noqa: F401  (ob_tran/ocea/mod_ster)
 from . import extra5 as extra5  # noqa: F401  (sconics/igh)
 from . import extra6 as extra6  # noqa: F401  (wink/mbt/vandg/sterea/calcofi/labrd/rouss)
 from . import extra7 as extra7  # noqa: F401  (bipc/chamb)
+from . import extra8 as extra8  # noqa: F401  (qsc/lsat)

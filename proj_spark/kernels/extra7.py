@@ -123,13 +123,16 @@ def setup_bipc(crs) -> CompiledProj:
         z = np.zeros_like(r)
         for _ in range(NITER):
             z = 2.0 * np.arctan(np.power(r / F, 1.0 / n))
-            al = np.arccos(
-                np.clip(
-                    (np.power(np.tan(0.5 * z), n) + np.power(np.tan(0.5 * (R104 - z)), n)) / T,
-                    -1.0,
-                    1.0,
+            with np.errstate(invalid="ignore"):
+                # tan((R104-z)/2) < 0 beyond the cone: NaN al, like the
+                # C pow(); the fAz < NaN comparison is then False
+                al = np.arccos(
+                    np.clip(
+                        (np.power(np.tan(0.5 * z), n) + np.power(np.tan(0.5 * (R104 - z)), n)) / T,
+                        -1.0,
+                        1.0,
+                    )
                 )
-            )
             r = np.where(fAz < al, rp * np.cos(al + np.where(neg, Az, -Az)), r)
             if np.all(np.abs(rl - r) < EPS):
                 break
@@ -273,3 +276,125 @@ def setup_chamb(crs) -> CompiledProj:
         return x, y
 
     return CompiledProj("chamb", fwd, None, **fr)
+
+
+# ------------------------------------------------------------------ imw_p
+@_register("imw_p")
+def setup_imw_p(crs) -> CompiledProj:
+    """International Map of the World Polyconic (ref src/PJ_imw_p.c):
+    modified polyconic with two standard parallels, iterative
+    fixed-point inverse (per-point convergence mask)."""
+    fr = _frame(crs)
+    es = crs.es
+    p = crs.params
+    TOL = 1e-10
+    en = m.enfn(es)
+    phi_1 = m.dms_param(p["lat_1"])
+    phi_2 = m.dms_param(p["lat_2"])
+    if abs(0.5 * (phi_2 - phi_1)) < 1e-10 or abs(0.5 * (phi_2 + phi_1)) < 1e-10:
+        raise ValueError("imw_p: bad lat_1/lat_2")
+    if phi_2 < phi_1:
+        phi_1, phi_2 = phi_2, phi_1
+    if "lon_1" in p:
+        lam_1 = m.dms_param(p["lon_1"])
+    else:
+        sig = abs(0.5 * (phi_2 + phi_1) / m.DEG_TO_RAD)
+        sig = 2.0 if sig <= 60 else (4.0 if sig <= 76 else 8.0)
+        lam_1 = sig * m.DEG_TO_RAD
+
+    def _xy(phi):
+        sp = math.sin(phi)
+        R = 1.0 / (math.tan(phi) * math.sqrt(1.0 - es * sp * sp))
+        F = lam_1 * sp
+        return R * math.sin(F), R * (1.0 - math.cos(F)), sp, R
+
+    mode = 0
+    if phi_1 != 0.0:
+        x1, y1, sphi_1, R_1 = _xy(phi_1)
+    else:
+        mode = 1
+        y1 = 0.0
+        x1 = lam_1
+        sphi_1 = R_1 = 0.0
+    if phi_2 != 0.0:
+        x2, T2, sphi_2, R_2 = _xy(phi_2)
+    else:
+        mode = -1
+        T2 = 0.0
+        x2 = lam_1
+        sphi_2 = R_2 = 0.0
+    m1 = float(m.mlfn(phi_1, math.sin(phi_1), math.cos(phi_1), en))
+    m2 = float(m.mlfn(phi_2, math.sin(phi_2), math.cos(phi_2), en))
+    t = m2 - m1
+    s = x2 - x1
+    y2 = math.sqrt(t * t - s * s) + y1
+    C2 = y2 - T2
+    t = 1.0 / t
+    P_ = (m2 * y1 - m1 * y2) * t
+    Q = (y2 - y1) * t
+    Pp = (m2 * x1 - m1 * x2) * t
+    Qp = (x2 - x1) * t
+
+    def _loc_for(lam, phi):
+        """loc_for (PJ_imw_p.c:29-74), vectorized; returns x, y, yc."""
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        zero = phi == 0.0
+        phi_s = np.where(zero, 0.5, phi)  # safe placeholder
+        sp = np.sin(phi_s)
+        ml = m.mlfn(phi_s, sp, np.cos(phi_s), en)
+        xa = Pp + Qp * ml
+        ya = P_ + Q * ml
+        R = 1.0 / (np.tan(phi_s) * np.sqrt(1.0 - es * sp * sp))
+        C = np.sqrt(np.maximum(R * R - xa * xa, 0.0))
+        C = np.where(phi_s < 0.0, -C, C)
+        C = C + ya - R
+        if mode < 0:
+            xb = lam
+            yb = np.full_like(lam, C2)
+        else:
+            tt = lam * sphi_2
+            xb = R_2 * np.sin(tt)
+            yb = C2 + R_2 * (1.0 - np.cos(tt))
+        if mode > 0:
+            xc = lam
+            yc = np.zeros_like(lam)
+        else:
+            tt = lam * sphi_1
+            xc = R_1 * np.sin(tt)
+            yc = R_1 * (1.0 - np.cos(tt))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            D = (xb - xc) / (yb - yc)
+            B = xc + D * (C + R - yc)
+            x = D * np.sqrt(np.maximum(R * R * (1.0 + D * D) - B * B, 0.0))
+            x = np.where(phi_s > 0.0, -x, x)
+            x = (B + x) / (1.0 + D * D)
+            y = np.sqrt(np.maximum(R * R - x * x, 0.0))
+            y = np.where(phi_s > 0.0, -y, y)
+            y = y + C + R
+        x = np.where(zero, lam, x)
+        y = np.where(zero, 0.0, y)
+        return x, y, yc
+
+    def fwd(lam, phi):
+        x, y, _ = _loc_for(lam, phi)
+        return x, y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        phi = np.full_like(y, phi_2)
+        lam = x / math.cos(phi_2)
+        for _ in range(30):
+            tx, ty, yc = _loc_for(lam, phi)
+            done = (np.abs(tx - x) <= TOL) & (np.abs(ty - y) <= TOL)
+            if done.all():
+                break
+            with np.errstate(divide="ignore", invalid="ignore"):
+                phi_new = ((phi - phi_1) * (y - yc) / (ty - yc)) + phi_1
+                lam_new = lam * x / np.where(tx == 0.0, 1.0, tx)
+            phi = np.where(done, phi, phi_new)
+            lam = np.where(done, lam, lam_new)
+        return lam, phi
+
+    return CompiledProj("imw_p", fwd, inv, **fr)

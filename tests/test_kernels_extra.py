@@ -124,6 +124,15 @@ CASES = [
     ("+proj=calcofi +ellps=clrk66", (-8, 3), (25, 38), 1e-9),
     ("+proj=labrd +lat_0=-18.9 +azi=18.9 +k_0=0.9995 +ellps=intl", (-3, 3), (-24, -14), 1e-8),
     ("+proj=rouss +lat_0=45 +ellps=GRS80", (-4, 4), (41, 49), 1e-8),
+    # ---- extra7/8 batch ----
+    ("+proj=imw_p +lat_1=30 +lat_2=50 +ellps=GRS80", (-10, 10), (25, 55), 1e-8),
+    ("+proj=qsc +R=6370997", (-44, 44), (-44, 44), 1e-9),
+    ("+proj=qsc +ellps=GRS80", (-44, 44), (-44, 44), 1e-9),
+    ("+proj=qsc +lat_0=90 +R=6370997", (-170, 170), (48, 89), 1e-9),
+    ("+proj=qsc +lat_0=-90 +ellps=GRS80", (-170, 170), (-89, -48), 1e-9),
+    ("+proj=qsc +lon_0=90 +R=6370997", (-40, 40), (-44, 44), 1e-9),  # kernel-relative lam
+    ("+proj=qsc +lon_0=180 +R=6370997", (-40, 40), (-44, 44), 1e-9),  # kernel-relative lam
+    ("+proj=lsat +lsat=2 +path=22 +ellps=clrk66", (-8, 8), (-55, 55), 1e-7),
 ]
 
 FWD_ONLY = [
@@ -187,7 +196,7 @@ def test_forward_finite(defn, lam_rng, phi_rng):
 
 def test_registry_coverage_count():
     """The registry must keep growing toward the pj_list inventory."""
-    assert len(set(REGISTRY)) >= 128, sorted(REGISTRY)
+    assert len(set(REGISTRY)) >= 135, sorted(REGISTRY)
 
 
 def test_bipc_roundtrip_away_from_seam():
