@@ -431,3 +431,107 @@ def setup_lsat(crs) -> CompiledProj:
         return lam, phi
 
     return CompiledProj("lsat", fwd, inv, **fr)
+
+
+# --------------------------------------------------------------- rhealpix
+@_register("rhealpix")
+def setup_rhealpix(crs) -> CompiledProj:
+    """rHEALPix (ref src/PJ_healpix.c get_cap/combine_caps): HEALPix
+    with the four polar-cap triangles rotated and translated into one
+    north and one south polar square (+north_square/+south_square in
+    0..3)."""
+    from .core import healpix_sphere_fwd, healpix_sphere_inv
+    from .extra2 import setup_healpix
+
+    fr = _frame(crs)
+    ns = int(crs.params.get("north_square", 0))
+    ss = int(crs.params.get("south_square", 0))
+    if ns not in (0, 1, 2, 3) or ss not in (0, 1, 2, 3):
+        raise ValueError("rhealpix: squares must be in 0..3")
+    base = setup_healpix(crs)
+    es = crs.es
+    if es:
+        import math as _math
+
+        from . import xmath as _xm
+
+        ra = _math.sqrt(0.5 * float(_xm.qsfn(1.0, crs.e, crs.one_es)))
+    else:
+        ra = 1.0
+    EPS = 1e-15
+
+    def _rot(x, y, k):
+        """Rotate (x,y) counterclockwise by k*pi/2 (k int array)."""
+        k = np.mod(k, 4)
+        c = np.choose(k, [1.0, 0.0, -1.0, 0.0])
+        s = np.choose(k, [0.0, 1.0, 0.0, -1.0])
+        return x * c - y * s, x * s + y * c
+
+    def _combine(x, y, inverse: bool):
+        """combine_caps (PJ_healpix.c:389-470), vectorized, on the
+        UNIT healpix plane (ellipsoid scaling handled outside)."""
+        x = np.asarray(x, np.float64).copy()
+        y = np.asarray(y, np.float64).copy()
+        north = y > PI / 4.0
+        south = y < -PI / 4.0
+        for region, mask, square, csign in (("n", north, ns, 1.0), ("s", south, ss, -1.0)):
+            if not mask.any():
+                continue
+            xm = x[mask]
+            ym = y[mask]
+            c_y = csign * PI / 2.0
+            if not inverse:
+                # cap number from x position (get_cap fwd branch)
+                cn = np.select(
+                    [xm < -PI / 2.0, xm < 0.0, xm < PI / 2.0], [0, 1, 2], default=3
+                )
+                cx = np.choose(cn, [-3 * PI / 4, -PI / 4, PI / 4, 3 * PI / 4])
+                ax = -3.0 * PI / 4.0 + square * PI / 2.0
+                ay = c_y
+                k = (cn - square) if region == "n" else -(cn - square)
+                rx, ry = _rot(xm - cx, ym - c_y, k)
+                x[mask] = rx + ax
+                y[mask] = ry + ay
+            else:
+                # which HEALPix cap this point of the polar square
+                # came from (get_cap inverse branch)
+                xs = xm - square * PI / 2.0
+                if region == "n":
+                    c1 = (ym >= -xs - PI / 4.0 - EPS) & (ym < xs + 5.0 * PI / 4.0 - EPS)
+                    c2 = (ym > -xs - PI / 4.0 + EPS) & (ym >= xs + 5.0 * PI / 4.0 - EPS)
+                    c3 = (ym <= -xs - PI / 4.0 + EPS) & (ym > xs + 5.0 * PI / 4.0 + EPS)
+                    cn = np.select(
+                        [c1, c2, c3],
+                        [(square + 1) % 4, (square + 2) % 4, (square + 3) % 4],
+                        default=square,
+                    )
+                else:
+                    c1 = (ym <= xs + PI / 4.0 + EPS) & (ym > -xs - 5.0 * PI / 4.0 + EPS)
+                    c2 = (ym < xs + PI / 4.0 - EPS) & (ym <= -xs - 5.0 * PI / 4.0 + EPS)
+                    c3 = (ym >= xs + PI / 4.0 - EPS) & (ym < -xs - 5.0 * PI / 4.0 - EPS)
+                    cn = np.select(
+                        [c1, c2, c3],
+                        [(square + 1) % 4, (square + 2) % 4, (square + 3) % 4],
+                        default=square,
+                    )
+                cx = -3.0 * PI / 4.0 + square * PI / 2.0  # pole point of the square
+                ax = -3.0 * PI / 4.0 + cn * PI / 2.0
+                ay = c_y
+                k = -(cn - square) if region == "n" else (cn - square)
+                rx, ry = _rot(xm - cx, ym - c_y, k)
+                x[mask] = rx + ax
+                y[mask] = ry + ay
+        return x, y
+
+    def fwd(lam, phi):
+        x, y = base.fwd(lam, phi)
+        x, y = _combine(x / ra, y / ra, inverse=False)
+        return x * ra, y * ra
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) / ra
+        y = np.asarray(y, np.float64) / ra
+        x, y = _combine(x, y, inverse=True)
+        return base.inv(x * ra, y * ra)
+
+    return CompiledProj("rhealpix", fwd, inv, **fr)
