@@ -9,3 +9,4 @@ from . import extra5 as extra5  # noqa: F401  (sconics/igh)
 from . import extra6 as extra6  # noqa: F401  (wink/mbt/vandg/sterea/calcofi/labrd/rouss)
 from . import extra7 as extra7  # noqa: F401  (bipc/chamb)
 from . import extra8 as extra8  # noqa: F401  (qsc/lsat)
+from . import extra9 as extra9  # noqa: F401  (isea)

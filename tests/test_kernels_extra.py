@@ -249,3 +249,48 @@ def test_chamb_forward_properties():
     # an interior point lands strictly inside the triangle's span
     xi, yi = cp.fwd(np.array([-90 * D]), np.array([35 * D]))
     assert x[0] < xi[0] < x[1]
+
+
+def test_rhealpix_roundtrips_all_squares():
+    for ns in range(4):
+        crs = CRS.from_proj4(f"+proj=rhealpix +north_square={ns} +south_square={(ns + 2) % 4} +R=5")
+        cp = compile_proj(crs)
+        lam, phi = _mesh((-170, 170), (-85, 85), n=13)
+        x, y = cp.fwd(lam, phi)
+        lam2, phi2 = cp.inv(x, y)
+        from proj_spark.kernels.xmath import adjlon
+
+        np.testing.assert_allclose(adjlon(lam2 - lam), 0.0, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(phi2, phi, atol=1e-9, rtol=0)
+
+
+def test_isea_equal_area_property():
+    """ISEA is equal-area: the local area scale (Jacobian / cos(phi))
+    must be constant over the globe (verified to ~1e-4)."""
+    cp = compile_proj(CRS.from_proj4("+proj=isea +R=6371000"))
+    lam, phi = _mesh((-175, 175), (-80, 80), n=21)
+    x, y = cp.fwd(lam, phi)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    h = 1e-6
+    x1, y1 = cp.fwd(lam + h, phi)
+    x2, y2 = cp.fwd(lam, phi + h)
+    ja = np.abs((x1 - x) * (y2 - y) - (x2 - x) * (y1 - y)) / (h * h) / np.cos(phi)
+    ja = ja[np.isfinite(ja)]
+    assert ja.max() / ja.min() < 1.001
+
+
+def test_registry_covers_every_reference_id():
+    """Every PROJ_HEAD id in the reference's pj_list.h has a kernel."""
+    import re
+
+    ids = []
+    try:
+        with open("/root/reference/src/pj_list.h") as f:
+            for line in f:
+                mm = re.match(r"PROJ_HEAD\((\w+),", line.strip())
+                if mm:
+                    ids.append(mm.group(1))
+    except OSError:
+        pytest.skip("reference tree not available")
+    missing = [i for i in ids if i not in REGISTRY]
+    assert missing == [], missing
