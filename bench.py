@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
 
 
 _IMG_CACHE = os.environ.get(
@@ -72,10 +72,10 @@ def _flagship(spark, n_images: int):
     pts = shifted.select(
         "image_id", "phash", F.col("x").alias("lon"), F.col("y").alias("lat")
     )
-    # persist: the bench-scale analog of checkpointing the reprojected
-    # table to Iceberg before fanning out to join + rollup consumers
-    # (at 10^12 rows this is a durable write, not a cache)
-    pts = pts.persist()
+    # NOTE: at 10^12 rows the reprojected table would be checkpointed
+    # to Iceberg before fanning out (see operators/checkpoint.py); at
+    # bench scale recomputing the narrow transform per consumer is
+    # cheaper than a cache materialization
     polys = _fixture_polygons()
     pdf = spark.createDataFrame(
         [
@@ -92,7 +92,6 @@ def _flagship(spark, n_images: int):
     tiles = tile_counts(pts, [4, 8, 11], "lon", "lat")
     n_hits = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n")).count()
     row = tiles.agg(F.count(F.lit(1)).alias("n_tiles")).collect()[0]
-    pts.unpersist()
     return n_images, int(row.n_tiles) + n_hits
 
 
