@@ -289,6 +289,163 @@ FROM t3
 """
 
 
+# ===================================================== aea / stere / sinu
+_AEA = CRS.from_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +lon_0=-96 +ellps=GRS80")
+_STERE_N = CRS.from_proj4("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84")
+_SINU = CRS.from_proj4("+proj=sinu +lon_0=-100 +ellps=GRS80")
+
+
+def q_aea_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albers equal-area conic forward through the kernel pipeline vs
+    an independent SQL transcription (ref PJ_aea.c + pj_qsfn.c)."""
+    from proj_spark.functions.transform import transform
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    out = transform(pts, "+proj=latlong +ellps=GRS80", _AEA, "lon", "lat")
+    return out.select(
+        "pk",
+        F.floor(F.col("x") * 10.0).cast("long").alias("x_dm"),
+        F.floor(F.col("y") * 10.0).cast("long").alias("y_dm"),
+    )
+
+
+def _aea_oracle() -> str:
+    import math
+
+    import proj_spark.kernels.xmath as xm
+
+    es, e = _AEA.es, _AEA.e
+    one_es = _AEA.one_es
+    # setup_aea constant derivation (kernels/extra.py)
+    phi1 = 29.5 * 0.0174532925199433
+    phi2 = 45.5 * 0.0174532925199433
+    sinphi = math.sin(phi1)
+    cosphi = math.cos(phi1)
+    m1 = float(xm.msfn(sinphi, cosphi, es))
+    ml1 = float(xm.qsfn(sinphi, e, one_es))
+    sinphi2 = math.sin(phi2)
+    m2 = float(xm.msfn(sinphi2, math.cos(phi2), es))
+    ml2 = float(xm.qsfn(sinphi2, e, one_es))
+    n = (m1 * m1 - m2 * m2) / (ml2 - ml1)
+    c = m1 * m1 + n * ml1
+    dd = 1.0 / n
+    import numpy as _np
+
+    from proj_spark.kernels.core import compile_proj
+
+    cp = compile_proj(_AEA)
+    rho0 = dd * math.sqrt(c - n * float(xm.qsfn(math.sin(cp.phi0), e, one_es)))
+    qsfn = (
+        f"{one_es!r} * (sin(phi) / (1.0 - ({e!r} * sin(phi)) * ({e!r} * sin(phi)))"
+        f" - (0.5 / {e!r}) * ln((1.0 - {e!r} * sin(phi)) / (1.0 + {e!r} * sin(phi))))"
+    )
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL}),
+r AS (SELECT pk, lon * {D} - {cp.lam0!r} AS lam, lat * {D} AS phi FROM pts),
+t AS (
+  SELECT pk, lam, {dd!r} * sqrt({c!r} - {n!r} * ({qsfn})) AS rho FROM r
+)
+SELECT pk,
+       CAST(floor(({_AEA.a!r} * (rho * sin(lam * {n!r})) + 0.0) * 10.0) AS BIGINT) AS x_dm,
+       CAST(floor(({_AEA.a!r} * ({rho0!r} - rho * cos(lam * {n!r})) + 0.0) * 10.0) AS BIGINT) AS y_dm
+FROM t
+"""
+
+
+def q_stere_polar_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar stereographic (N pole, lat_ts=70) kernel vs SQL
+    transcription (ref PJ_stere.c e_forward N_POLE + pj_tsfn.c)."""
+    from proj_spark.functions.transform import transform
+
+    pts = _load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        E.synth_lon(F.col("p_partkey").cast("double"), lo=-180.0, span=360.0).alias("lon"),
+        E.synth_lat(F.col("p_partkey").cast("double"), lo=55.0, span=30.0).alias("lat"),
+    )
+    out = transform(pts, "+proj=latlong +ellps=WGS84", _STERE_N, "lon", "lat")
+    return out.select(
+        "pk",
+        F.floor(F.col("x") * 10.0).cast("long").alias("x_dm"),
+        F.floor(F.col("y") * 10.0).cast("long").alias("y_dm"),
+    )
+
+
+def _stere_oracle() -> str:
+    import math
+
+    import proj_spark.kernels.xmath as xm
+    from proj_spark.kernels.core import compile_proj
+
+    e = _STERE_N.e
+    cp = compile_proj(_STERE_N)
+    phits = abs(70.0 * 0.0174532925199433)
+    st = math.sin(phits)
+    akm1 = math.cos(phits) / float(xm.tsfn(phits, st, e))
+    st *= e
+    akm1 /= math.sqrt(1.0 - st * st)
+    akm1 *= cp.k0  # k0 = 1 here, kept for clarity
+    pts = (
+        f"SELECT p_partkey AS pk, "
+        f"(-180.0 + 360.0 * ((CAST(p_partkey AS DOUBLE) * {PHI}) - floor(CAST(p_partkey AS DOUBLE) * {PHI}))) AS lon, "
+        f"(55.0 + 30.0 * ((CAST(p_partkey AS DOUBLE) * {SQ3}) - floor(CAST(p_partkey AS DOUBLE) * {SQ3}))) AS lat "
+        f"FROM part"
+    )
+    # tsfn(phi) = tan(0.5*(HALFPI - phi)) / ((1 - e sinphi)/(1 + e sinphi))^(e/2)
+    ts = (
+        f"tan(0.5 * (1.5707963267948966 - phi)) / "
+        f"power((1.0 - {e!r} * sin(phi)) / (1.0 + {e!r} * sin(phi)), {0.5 * e!r})"
+    )
+    return f"""
+WITH pts AS ({pts}),
+r AS (
+  SELECT pk,
+         (lon * {D} - ({cp.lam0!r})) - 6.283185307179586 * floor(((lon * {D} - ({cp.lam0!r})) + 3.141592653589793) / 6.283185307179586) AS lam,
+         lat * {D} AS phi
+  FROM pts
+),
+t AS (SELECT pk, lam, {akm1!r} * ({ts}) AS xk FROM r)
+SELECT pk,
+       CAST(floor(({_STERE_N.a!r} * (xk * sin(lam)) + 0.0) * 10.0) AS BIGINT) AS x_dm,
+       CAST(floor(({_STERE_N.a!r} * (-(xk) * cos(lam)) + 0.0) * 10.0) AS BIGINT) AS y_dm
+FROM t
+"""
+
+
+def q_sinu_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal sinusoidal kernel vs SQL transcription (ref
+    PJ_gn_sinu.c sinu + pj_mlfn.c series)."""
+    from proj_spark.functions.transform import transform
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    out = transform(pts, "+proj=latlong +ellps=GRS80", _SINU, "lon", "lat")
+    return out.select(
+        "pk",
+        F.floor(F.col("x") * 10.0).cast("long").alias("x_dm"),
+        F.floor(F.col("y") * 10.0).cast("long").alias("y_dm"),
+    )
+
+
+def _sinu_oracle() -> str:
+    import proj_spark.kernels.xmath as xm
+    from proj_spark.kernels.core import compile_proj
+
+    es = _SINU.es
+    en = xm.enfn(es)
+    cp = compile_proj(_SINU)
+    ml = (
+        f"{en[0]!r} * phi - (cos(phi) * sin(phi)) * ({en[1]!r} + (sin(phi) * sin(phi)) * "
+        f"({en[2]!r} + (sin(phi) * sin(phi)) * ({en[3]!r} + (sin(phi) * sin(phi)) * {en[4]!r})))"
+    )
+    return f"""
+WITH pts AS ({_ORDERS_PTS_SQL}),
+r AS (SELECT pk, lon * {D} - ({cp.lam0!r}) AS lam, lat * {D} AS phi FROM pts)
+SELECT pk,
+       CAST(floor(({_SINU.a!r} * (lam * cos(phi) / sqrt(1.0 - {es!r} * sin(phi) * sin(phi))) + 0.0) * 10.0) AS BIGINT) AS x_dm,
+       CAST(floor(({_SINU.a!r} * ({ml}) + 0.0) * 10.0) AS BIGINT) AS y_dm
+FROM r
+"""
+
+
 # ========================================================== helmert + ECEF
 _HELMERT_SRC = "+proj=latlong +ellps=GRS80 +towgs84=-99.1,-225.3,-65.0,0.1,0.2,-0.3,1.2"
 
@@ -1123,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_fwd": q_utm_fwd,
         "lcc_fwd": q_lcc_fwd,
         "helmert_ecef": q_helmert_ecef,
+        "aea_fwd": q_aea_fwd,
+        "stere_polar_fwd": q_stere_polar_fwd,
+        "sinu_fwd": q_sinu_fwd,
         "cell_rollup": q_cell_rollup,
         "cubeface_rollup": q_cubeface_rollup,
         "knn": q_knn,
@@ -1167,6 +1327,9 @@ FROM pts
         "utm_fwd": _utm_oracle(),
         "lcc_fwd": _lcc_oracle(),
         "helmert_ecef": _helmert_oracle(),
+        "aea_fwd": _aea_oracle(),
+        "stere_polar_fwd": _stere_oracle(),
+        "sinu_fwd": _sinu_oracle(),
         "cell_rollup": _cell_oracle(_CUSTOMER_PTS_SQL, 7),
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),

@@ -1,0 +1,111 @@
+"""Physical-plan quality gates: the operators must produce the plans
+the 100TB design calls for (SURVEY.md §4) — broadcast joins on the
+small side, column pruning that keeps the binary payload out of
+scans, and no shuffle in narrow pipelines."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from proj_spark.functions import expressions as E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def images(spark, tmp_path_factory):
+    from proj_spark.sources.images import generate_images, with_centroids
+
+    path = str(tmp_path_factory.mktemp("plans") / "imgs")
+    with_centroids(generate_images(spark, 500, partitions=2)).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_scan_prunes_binary_payload(images):
+    """Selecting lon/lat must not read the bytes column (crucial:
+    bytes dominates the table size at 10^12 rows)."""
+    df = images.select("image_id", "lon", "lat")
+    plan = _plan(df.groupBy().count())
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert "bytes" not in scan_lines[0]
+
+
+def test_filter_pushdown_reaches_scan(images):
+    plan = _plan(images.select("image_id").where(F.col("fmt") == "png"))
+    assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,png)" in plan or "PushedFilters: [IsNotNull(fmt), EqualTo(fmt, png)" in plan, plan
+
+
+def test_pip_join_is_broadcast_not_shuffle(spark, images):
+    """The candidate join must broadcast the polygon cover: the probe
+    (image) side never hash-partitions for the join."""
+    from proj_spark.operators.spatial_join import point_in_polygon_join
+
+    pdf = spark.createDataFrame(
+        [
+            {
+                "poly_id": "p0",
+                "ring": [
+                    {"lon": -120.0, "lat": 30.0},
+                    {"lon": -90.0, "lat": 30.0},
+                    {"lon": -90.0, "lat": 45.0},
+                    {"lon": -120.0, "lat": 30.0},
+                ],
+                "poly_seq": 0,
+            }
+        ]
+    )
+    out = point_in_polygon_join(
+        images.select("image_id", "lon", "lat"), pdf, res=6, point_id="image_id", how="all"
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transform_is_narrow(spark, images):
+    """The reprojection pipeline must add no Exchange (shuffle)."""
+    from proj_spark.functions.transform import transform
+
+    out = transform(
+        images.select("lon", "lat"),
+        "+proj=latlong +datum=WGS84",
+        "+proj=utm +zone=11 +datum=WGS84",
+        "lon",
+        "lat",
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_tile_rollup_single_shuffle(images):
+    """Multi-zoom tile counts: exactly one exchange (the groupBy) —
+    the explode and tile math stay in the map side."""
+    from proj_spark.operators.tiles import tile_counts
+
+    out = tile_counts(images.select("lon", "lat"), [4, 8, 12], "lon", "lat")
+    plan = _plan(out)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_knn_candidate_join_is_broadcast(spark, images):
+    from proj_spark.operators.knn import knn_join
+
+    q = spark.createDataFrame([Row(qid=1, qlon=-100.0, qlat=40.0)])
+    out = knn_join(
+        q,
+        images.select(F.col("image_id").alias("cid"), "lon", "lat"),
+        k=3,
+        res=5,
+        ring=2,
+        q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat",
+        verify_cover=False,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
