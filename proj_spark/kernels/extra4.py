@@ -138,6 +138,8 @@ def setup_ob_tran(crs) -> CompiledProj:
 
         def inv(x, y):  # noqa: F811
             l2, p2 = link.inv(x, y)
+            # the general rotation inverse is valid for every pole
+            # placement (oblique, transverse, polar)
             return rot_inv(l2, p2)
 
     return CompiledProj("ob_tran", fwd, inv, **fr)

@@ -56,44 +56,32 @@ class TransformPlan:
 
 
 def _axis_normalize(axis: str, denormalize: bool):
-    """pj_adjust_axis (src/pj_transform.c:728-825) as a vector op."""
+    """pj_adjust_axis (src/pj_transform.c:728-825) as a vector op.
+
+    axis is a 3-char spec naming what each SLOT holds, e.g. "neu" =
+    slot0 north, slot1 east, slot2 up.  normalize maps slots -> (east,
+    north, up); denormalize maps (east, north, up) -> slots.  w/s/d
+    negate.
+    """
+    comp_of = {"e": ("x", 1.0), "w": ("x", -1.0), "n": ("y", 1.0),
+               "s": ("y", -1.0), "u": ("z", 1.0), "d": ("z", -1.0)}
 
     def fn(x, y, z):
-        comps = {"x": x, "y": y, "z": z}
-        out = {}
-        for i, ax in enumerate(axis):
-            tgt = "xyz"[i]
-            val = comps[tgt] if denormalize else None
-            if denormalize:
-                # write the normalized component into the slot
-                if ax == "e":
-                    out.setdefault("x", comps["x"])
-                elif ax == "w":
-                    out["x"] = -comps["x"]
-                elif ax == "n":
-                    out.setdefault("y", comps["y"])
-                elif ax == "s":
-                    out["y"] = -comps["y"]
-                elif ax == "u":
-                    out.setdefault("z", comps["z"])
-                elif ax == "d":
-                    out["z"] = -comps["z"]
-                del val
-            else:
-                src_val = comps[tgt]
-                if ax == "e":
-                    out["x"] = src_val
-                elif ax == "w":
-                    out["x"] = -src_val
-                elif ax == "n":
-                    out["y"] = src_val
-                elif ax == "s":
-                    out["y"] = -src_val
-                elif ax == "u":
-                    out["z"] = src_val
-                elif ax == "d":
-                    out["z"] = -src_val
-        return out.get("x", x), out.get("y", y), out.get("z", z)
+        slots = {0: x, 1: y, 2: z}
+        if denormalize:
+            # output slot i holds (sign * component named by axis[i])
+            enu = {"x": x, "y": y, "z": z}
+            out = [None, None, None]
+            for i, a in enumerate(axis):
+                name, sign = comp_of[a]
+                out[i] = enu[name] if sign > 0 else -enu[name]
+            return out[0], out[1], out[2]
+        # normalize: component named by axis[i] comes from slot i
+        enu = {}
+        for i, a in enumerate(axis):
+            name, sign = comp_of[a]
+            enu[name] = slots[i] if sign > 0 else -slots[i]
+        return enu.get("x", x), enu.get("y", y), enu.get("z", z)
 
     return fn
 

@@ -109,3 +109,56 @@ class TestHealpixGolden:
         )
         assert x[0] == pytest.approx(exp[0], abs=1e-5)
         assert y[0] == pytest.approx(exp[1], abs=1e-5)
+
+
+class TestAxisAndVerticalUnits:
+    """Pipeline stages 1/2/8/9 (pj_adjust_axis + vto_meter,
+    src/pj_transform.c:104-121,349-367)."""
+
+    def test_axis_swap_neu(self):
+        # neu: northing first
+        x, y, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84",
+            "+proj=utm +zone=11 +datum=WGS84 +axis=neu",
+            [-117.0],
+            [35.0],
+        )
+        xe, ye, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84", "+proj=utm +zone=11 +datum=WGS84", [-117.0], [35.0]
+        )
+        assert x[0] == ye[0] and y[0] == xe[0]
+
+    def test_axis_south_negates(self):
+        x, y, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84",
+            "+proj=utm +zone=11 +datum=WGS84 +axis=esu",
+            [-117.0],
+            [35.0],
+        )
+        xe, ye, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84", "+proj=utm +zone=11 +datum=WGS84", [-117.0], [35.0]
+        )
+        assert x[0] == xe[0] and y[0] == -ye[0]
+
+    def test_vertical_units(self):
+        # z in us-ft on the destination side
+        _, _, z = transform_arrays(
+            "+proj=latlong +datum=WGS84",
+            "+proj=utm +zone=11 +datum=WGS84 +vunits=us-ft",
+            [-117.0],
+            [35.0],
+            [100.0],
+        )
+        assert z[0] == pytest.approx(100.0 / 0.304800609601219241, rel=1e-12)
+
+    def test_projected_units_us_ft(self):
+        x_ft, _, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84",
+            "+proj=utm +zone=11 +datum=WGS84 +units=us-ft",
+            [-117.0],
+            [35.0],
+        )
+        x_m, _, _ = transform_arrays(
+            "+proj=latlong +datum=WGS84", "+proj=utm +zone=11 +datum=WGS84", [-117.0], [35.0]
+        )
+        assert x_ft[0] == pytest.approx(x_m[0] / 0.304800609601219241, rel=1e-12)

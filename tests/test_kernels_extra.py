@@ -294,3 +294,37 @@ def test_registry_covers_every_reference_id():
         pytest.skip("reference tree not available")
     missing = [i for i in ids if i not in REGISTRY]
     assert missing == [], missing
+
+
+def test_ob_tran_transverse_inverse():
+    """The general rotation inverse covers the transverse case too
+    (pole on the equator)."""
+    cp = compile_proj(
+        CRS.from_proj4("+proj=ob_tran +o_proj=merc +o_lat_p=0 +o_lon_p=90 +R=6370997")
+    )
+    lam, phi = _mesh((-60, 60), (-60, 60), n=9)
+    x, y = cp.fwd(lam, phi)
+    lam2, phi2 = cp.inv(x, y)
+    from proj_spark.kernels.xmath import adjlon
+
+    np.testing.assert_allclose(adjlon(lam2 - lam), 0.0, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(phi2, phi, atol=1e-9, rtol=0)
+
+
+def test_chebyshev_fast_path_tolerance():
+    """mk_cheby analog: a degree-12 fit of ellipsoidal tmerc over a
+    UTM zone must land far below 1mm, and the evaluator must agree
+    with its own reported residual."""
+    from proj_spark.kernels.xmath import DEG_TO_RAD as D
+    from proj_spark.plans.cheby import fit_chebyshev
+
+    cp = compile_proj(CRS.from_proj4("+proj=tmerc +ellps=GRS80"))
+    kern = fit_chebyshev(
+        cp.fwd, (-3.5 * D, 3.5 * D), (30.0 * D, 60.0 * D), degree=12
+    )
+    # residual in kernel units (earth radii): 1e-10 ~= 0.6mm
+    assert kern.max_residual < 2e-10, kern.max_residual
+    lam, phi = _mesh((-3, 3), (32, 58), n=7)
+    xa, ya = kern.fwd(lam, phi)
+    xe, ye = cp.fwd(lam, phi)
+    assert np.hypot(xa - xe, ya - ye).max() <= kern.max_residual * 1.5
