@@ -116,3 +116,39 @@ def catalog_shift_udf(catalog: GridCatalog, inverse: bool = False):
             yield pd.DataFrame({"lon": lo / d2r, "lat": la / d2r})
 
     return _udf
+
+
+def read_catalog_csv(path: str, grids_by_name: dict | None = None) -> GridCatalog:
+    """Load a dated catalog from CSV (pj_gc_reader.c semantics):
+    ``grid_name,date[,priority]`` rows, one per entry; grid payloads
+    resolve by name against ``grids_by_name`` or the registered-grid
+    table, loading grid FILES via sources.grids.open_grid when the
+    name looks like a path."""
+    import csv
+    import os
+
+    from ..operators.gridshift import _GRID_REGISTRY as _GRIDS
+
+    entries = []
+    with open(path, newline="") as f:
+        name = os.path.splitext(os.path.basename(path))[0]
+        for row in csv.reader(f):
+            if not row or row[0].lstrip().startswith("#"):
+                continue
+            gname = row[0].strip()
+            date = parse_date(row[1].strip())
+            grid = None
+            if grids_by_name and gname in grids_by_name:
+                grid = grids_by_name[gname]
+            elif gname in _GRIDS:
+                g = _GRIDS[gname]
+                grid = g[0] if isinstance(g, list) else g
+            elif os.path.exists(gname):
+                from ..sources.grids import open_grid
+
+                loaded = open_grid(gname)
+                grid = loaded[0] if isinstance(loaded, list) else None
+            if grid is None:
+                raise KeyError(f"catalog grid {gname!r} not found")
+            entries.append(CatalogEntry(date, grid))
+    return GridCatalog(name, entries)

@@ -71,3 +71,19 @@ def test_catalog_udf_on_spark(spark, catalog):
     assert d[0] < d[1] < d[2]
     # 1995 is the exact midpoint of the two shifts
     assert d[1] == pytest.approx(0.5 * (d[0] + d[2]), rel=1e-9)
+
+
+def test_read_catalog_csv(tmp_path):
+    from proj_spark.operators.gridcatalog import read_catalog_csv
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+    from proj_spark.sources.grids import write_ctable2
+
+    register_grid("csvcat_mem", make_synthetic_grid("csvcat_mem", amp_arcsec=1.0))
+    gfile = str(tmp_path / "epoch2000.ct2")
+    write_ctable2(make_synthetic_grid("epoch2000", amp_arcsec=3.0), gfile)
+    cat_file = tmp_path / "cat.csv"
+    cat_file.write_text(f"# dated grids\ncsvcat_mem,1990.0\n{gfile},2000-01-01\n")
+    cat = read_catalog_csv(str(cat_file))
+    assert [round(e.date, 2) for e in cat.entries] == [1990.0, 2000.0]
+    assert cat.entries[0].grid.grid_id == "csvcat_mem"
+    assert cat.entries[1].grid.grid_id == "epoch2000"
