@@ -170,11 +170,9 @@ def factors_udf(crs: CRS | str):
         if es:
             t = 1.0 - es * sinphi * sinphi
             n = np.sqrt(t)
-            r = one_es / (t * t)  # (1-es)/t^2 : rho*nu scale
             h = np.hypot(x_p, y_p) * t * np.sqrt(t) / one_es
             k = np.hypot(x_l, y_l) / cosphi * n
             s = (y_p * x_l - x_p * y_l) * (t * t / one_es) / cosphi
-            del r
         else:
             h = np.hypot(x_p, y_p)
             k = np.hypot(x_l, y_l) / cosphi

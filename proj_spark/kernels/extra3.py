@@ -227,7 +227,7 @@ def setup_omerc(crs) -> CompiledProj:
         Sp = 0.5 * (Q + 1.0 / Q)
         V = np.sin(B * lam)
         U = (S * singam - V * cosgam) / Sp
-        bad = np.abs(np.abs(U) - 1.0) < EPS10
+        bad = pole | (np.abs(np.abs(U) - 1.0) < EPS10)
         with np.errstate(divide="ignore", invalid="ignore"):
             v = np.where(bad, np.nan, 0.5 * BrA * np.log((1.0 - U) / (1.0 + U)))
             temp = np.cos(B * lam)
@@ -236,7 +236,6 @@ def setup_omerc(crs) -> CompiledProj:
                 AB * lam,
                 BrA * np.arctan2(S * cosgam + V * singam, temp),
             )
-        del pole
         if not no_off:
             u = u - u_0
         if no_rot:
@@ -325,7 +324,6 @@ def setup_krovak(crs) -> CompiledProj:
         deltav = np.arcsin(np.clip(np.cos(s) * np.sin(d) / np.cos(u), -1.0, 1.0))
         lam = -deltav / alfa
         # iterate geographic latitude (PJ_krovak.c inverse loop)
-        fi1 = u
         phi = u.copy()
         for _ in range(30):
             phi_new = 2.0 * (
@@ -340,7 +338,6 @@ def setup_krovak(crs) -> CompiledProj:
                 phi = phi_new
                 break
             phi = phi_new
-        del fi1
         return lam, phi
 
     return CompiledProj("krovak", fwd, inv, **fr)

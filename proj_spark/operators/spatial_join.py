@@ -47,8 +47,6 @@ def polygon_edges(polys: DataFrame, ring: str = "ring", poly_id: str = "poly_id"
         polys = polys.withColumn(
             "poly_seq", F.row_number().over(Window.orderBy(poly_id)) - 1
         )
-    r = F.col(ring)
-    n = F.size(r)
     # edges i -> i+1 (ring is closed: last == first, so stop at n-2)
     edges = F.expr(
         f"transform(slice({ring}, 1, size({ring}) - 1), (v, i) -> "
@@ -64,7 +62,6 @@ def polygon_edges(polys: DataFrame, ring: str = "ring", poly_id: str = "poly_id"
         .withColumn("bbox_s", F.array_min(lats))
         .withColumn("bbox_n", F.array_max(lats))
     )
-    del n
     return out
 
 
