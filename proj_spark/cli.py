@@ -32,6 +32,8 @@ def _parse_lines(lines):
         if not line.strip() or line.lstrip().startswith("#"):
             continue
         toks = line.split()
+        if len(toks) < 2:
+            toks = [toks[0] if toks else "", ""]
         u, v = toks[0], toks[1]
         z = 0.0
         tail = ""
@@ -41,8 +43,15 @@ def _parse_lines(lines):
                 tail = " ".join(toks[3:])
             except ValueError:
                 tail = " ".join(toks[2:])
-        us.append(dmstor(u) * RAD_TO_DEG)
-        vs.append(dmstor(v) * RAD_TO_DEG)
+        # unparseable coordinate -> NaN lane -> '*' output line, like the
+        # reference's HUGE_VAL handling (cs2cs.c:99-100,123)
+        try:
+            uu = dmstor(u) * RAD_TO_DEG
+            vv = dmstor(v) * RAD_TO_DEG
+        except ValueError:
+            uu = vv = float("nan")
+        us.append(uu)
+        vs.append(vv)
         zs.append(z)
         tails.append(tail)
     return np.array(us), np.array(vs), np.array(zs), tails

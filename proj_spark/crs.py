@@ -25,16 +25,6 @@ PJD_7PARAM = 2
 PJD_GRIDSHIFT = 3
 PJD_WGS84 = 4
 
-_DMS_RE = re.compile(
-    r"""^\s*([+-]?)
-        (?:(\d+(?:\.\d*)?)d)?          # degrees
-        (?:(\d+(?:\.\d*)?)')?          # minutes
-        (?:(\d+(?:\.\d*)?)")?          # seconds
-        ([NSEWnsew]?)\s*$""",
-    re.VERBOSE,
-)
-
-
 # per-component deg/min/sec -> rad multipliers; these are deliberately
 # the reference's own shortened constants (src/dmstor.c vm[]) — they
 # differ from DEG_TO_RAD in the last ulp, and golden behavior depends
@@ -42,32 +32,67 @@ _DMS_RE = re.compile(
 # the reference wraps 0 deg to 360 deg in nad/tv_out.dist)
 _VM = (0.0174532925199433, 0.0002908882086657216, 0.0000048481368110953599)
 
+_NUM_RE = re.compile(r"(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+
 
 def dmstor(s: str) -> float:
-    """DMS or decimal string -> radians (semantics of src/dmstor.c:19).
+    """DMS or decimal string -> radians. Sequential parser mirroring
+    src/dmstor.c:41-70: each number's trailing unit char picks its slot
+    (d->deg, '->min, "->sec, r->radians); a number with NO unit char
+    lands in the next expected slot, so ``116d2'11.12630`` parses the
+    bare 11.12630 as seconds.  A postfix hemisphere letter REPLACES the
+    leading sign (reference behavior).
 
-    Accepts ``79d00'00.000"W``, ``1w``, ``0dE``, ``-3.5`` etc.
+    Accepts ``79d00'00.000"W``, ``116d2'11.12630``, ``1w``, ``0dE``,
+    ``-3.5``, ``1.5r`` etc.
     """
     s = s.strip()
     if not s:
         return 0.0
-    # plain decimal (possibly with trailing hemisphere letter)
-    m = re.match(r"^([+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)([NSEWnsew]?)$", s)
-    if m:
-        v = float(m.group(1)) * _VM[0]
-        if m.group(2) and m.group(2) in "SWsw":
-            v = -v
-        return v
-    m = _DMS_RE.match(s)
-    if not m:
+    i = 0
+    neg = False
+    if s[0] in "+-":
+        neg = s[0] == "-"
+        i = 1
+    start = i
+    v = 0.0
+    nl = 0
+    while nl < 3:
+        mm = _NUM_RE.match(s, i)
+        if not mm:
+            break
+        tv = float(mm.group(0))
+        i = mm.end()
+        c = s[i] if i < len(s) else "\x00"
+        if c in "Dd":
+            n = 0
+        elif c == "'":
+            n = 1
+        elif c == '"':
+            n = 2
+        elif c in "rR":
+            if nl:
+                raise ValueError(f"unparseable DMS value: {s!r}")
+            i += 1
+            v = tv
+            break
+        else:
+            # bare number: next expected slot, then stop (dmstor.c:60-62)
+            v += tv * _VM[nl]
+            break
+        if n < nl:
+            raise ValueError(f"unparseable DMS value: {s!r}")
+        v += tv * _VM[n]
+        i += 1
+        nl = n + 1
+    if i == start and not (i < len(s) and s[i] in "NnEeSsWw"):
         raise ValueError(f"unparseable DMS value: {s!r}")
-    sign, d, mi, se, hemi = m.groups()
-    v = float(d or 0) * _VM[0] + float(mi or 0) * _VM[1] + float(se or 0) * _VM[2]
-    if sign == "-":
-        v = -v
-    if hemi and hemi in "SWsw":
-        v = -v
-    return v
+    if i < len(s) and s[i] in "NnEeSsWw":
+        neg = s[i] in "SsWw"
+        i += 1
+    if i != len(s):
+        raise ValueError(f"unparseable DMS value: {s!r}")
+    return -v if neg else v
 
 
 def parse_proj_string(defn: str) -> dict[str, str | bool]:

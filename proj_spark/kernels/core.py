@@ -857,10 +857,12 @@ def setup_moll(crs) -> CompiledProj:
         return x, y
 
     def inv(x, y):
-        theta = np.arcsin(np.clip(y / cy, -1, 1))
+        # aasin (not clip): points off the projection disc must error out
+        # as NaN like the reference I_ERROR path (testvarious #225)
+        theta = m.aasin(y / cy)
         lam = x / (cx * np.cos(theta))
         theta = theta + theta
-        phi = np.arcsin(np.clip((theta + np.sin(theta)) / cp, -1, 1))
+        phi = m.aasin((theta + np.sin(theta)) / cp)
         return lam, phi
 
     return CompiledProj("moll", fwd, inv, **fr)

@@ -172,14 +172,19 @@ def setup_omerc(crs) -> CompiledProj:
         A = k0
         E = D = F = 1.0
 
-    if "alpha" in p or "gamma" in p:
-        # azimuth form
-        alpha_c = m.dms_param(p.get("alpha", p.get("gamma", "0")))
-        gamma = m.dms_param(p["gamma"]) if "gamma" in p else None
+    alp = "alpha" in p
+    gam = "gamma" in p
+    if alp or gam:
+        # azimuth form — PJ_omerc.c:157-168: gamma0 comes from +alpha
+        # when given (even alongside +gamma); the ROTATION angle is the
+        # raw +gamma when given, else alpha_c
         lamc = m.dms_param(p.get("lonc", "0"))
-        if gamma is None:
+        if alp:
+            alpha_c = m.dms_param(p["alpha"])
             gamma0 = math.asin(math.sin(alpha_c) / D)
+            gamma = m.dms_param(p["gamma"]) if gam else alpha_c
         else:
+            gamma = m.dms_param(p["gamma"])
             gamma0 = gamma
             alpha_c = math.asin(D * math.sin(gamma0))
         lam0 = lamc - math.asin(0.5 * (F - 1.0 / F) * math.tan(gamma0)) / B
@@ -202,44 +207,56 @@ def setup_omerc(crs) -> CompiledProj:
             lam2 += 2 * PI
         lam0 = m.adjlon(np.array([0.5 * (lam1 + lam2) - math.atan(J * math.tan(0.5 * B * (lam1 - lam2)) / pp) / B]))[0]
         gamma0 = math.atan(2.0 * math.sin(B * m.adjlon(np.array([lam1 - lam0]))[0]) / (F_ - 1.0 / F_))
-        alpha_c = math.asin(max(-1.0, min(1.0, D * math.sin(gamma0))))
+        gamma = alpha_c = math.asin(max(-1.0, min(1.0, D * math.sin(gamma0))))
 
     singam = math.sin(gamma0)
     cosgam = math.cos(gamma0)
-    sinrot = math.sin(alpha_c)
-    cosrot = math.cos(alpha_c)
-    BrA = 1.0 / B * A
-    AB = A * B
+    # rotation by gamma (the raw +gamma when given), NOT alpha_c —
+    # PJ_omerc.c:186-187
+    sinrot = math.sin(gamma)
+    cosrot = math.cos(gamma)
+    ArB = A / B  # PJ_omerc.c ArB; its reciprocal BrA = B/A
     rB = 1.0 / B
     if no_off:
         u_0 = 0.0
     else:
-        u_0 = abs(BrA * math.atan(math.sqrt(max(D * D - 1.0, 0.0)) / cosrot if cosrot != 0 else 0.0))
+        # atan2 against cos(alpha_c), PJ_omerc.c:192-195
+        u_0 = abs(ArB * math.atan2(math.sqrt(max(D * D - 1.0, 0.0)), math.cos(alpha_c)))
         if phi0 < 0.0:
             u_0 = -u_0
+    hg0 = 0.5 * gamma0
+    v_pole_n = ArB * math.log(math.tan(FORTPI - hg0))
+    v_pole_s = ArB * math.log(math.tan(FORTPI + hg0))
     # effective lam0 replaces the CRS frame value
     fr["lam0"] = lam0
 
     def fwd(lam, phi):
+        # pole lanes take the finite (v_pole, ArB*phi) branch like the
+        # reference (PJ_omerc.c:56-59), not NaN
         pole = np.abs(np.abs(phi) - HALFPI) <= EPS10
-        Q = E / np.power(m.tsfn(phi, np.sin(phi), e), B)
-        S = 0.5 * (Q - 1.0 / Q)
-        Sp = 0.5 * (Q + 1.0 / Q)
-        V = np.sin(B * lam)
-        U = (S * singam - V * cosgam) / Sp
-        bad = pole | (np.abs(np.abs(U) - 1.0) < EPS10)
         with np.errstate(divide="ignore", invalid="ignore"):
-            v = np.where(bad, np.nan, 0.5 * BrA * np.log((1.0 - U) / (1.0 + U)))
+            Q = E / np.power(m.tsfn(phi, np.sin(phi), e), B)
+            S = 0.5 * (Q - 1.0 / Q)
+            T = 0.5 * (Q + 1.0 / Q)
+            V = np.sin(B * lam)
+            U = (S * singam - V * cosgam) / T
+            bad = ~pole & (np.abs(np.abs(U) - 1.0) < EPS10)
+            v_reg = 0.5 * ArB * np.log((1.0 - U) / (1.0 + U))
             temp = np.cos(B * lam)
-            u = np.where(
+            # seam branch uses A*lam (PJ_omerc.c:52), not AB*lam
+            u_reg = np.where(
                 np.abs(temp) < TOL,
-                AB * lam,
-                BrA * np.arctan2(S * cosgam + V * singam, temp),
+                A * lam,
+                ArB * np.arctan2(S * cosgam + V * singam, temp),
             )
-        if not no_off:
-            u = u - u_0
+        v = np.where(pole, np.where(phi > 0, v_pole_n, v_pole_s), v_reg)
+        u = np.where(pole, ArB * phi, u_reg)
+        v = np.where(bad, np.nan, v)
+        u = np.where(bad, np.nan, u)
         if no_rot:
+            # reference never applies u_0 in the no_rot branch
             return u, v
+        u = u - u_0
         x = v * cosrot + u * sinrot
         y = u * cosrot - v * sinrot
         return x, y
@@ -249,19 +266,17 @@ def setup_omerc(crs) -> CompiledProj:
             u, v = np.asarray(x, np.float64), np.asarray(y, np.float64)
         else:
             v = x * cosrot - y * sinrot
-            u = y * cosrot + x * sinrot
-        if not no_off:
-            u = u + u_0
-        Qp = np.exp(-B * v / A)
+            u = y * cosrot + x * sinrot + u_0
+        Qp = np.exp(-v / ArB)
         Sp = 0.5 * (Qp - 1.0 / Qp)
         Tp = 0.5 * (Qp + 1.0 / Qp)
-        Vp = np.sin(u / BrA)
+        Vp = np.sin(u / ArB)
         Up = (Vp * cosgam + Sp * singam) / Tp
         at_pole = np.abs(np.abs(Up) - 1.0) < EPS10
         with np.errstate(divide="ignore", invalid="ignore"):
             ts = np.power(E / np.sqrt((1.0 + Up) / (1.0 - Up)), 1.0 / B)
             phi = m.phi2(ts, e)
-            lam = -rB * np.arctan2(Sp * cosgam - Vp * singam, np.cos(u / BrA))
+            lam = -rB * np.arctan2(Sp * cosgam - Vp * singam, np.cos(u / ArB))
         phi = np.where(at_pole, np.where(Up < 0.0, -HALFPI, HALFPI), phi)
         lam = np.where(at_pole, 0.0, lam)
         return lam, phi

@@ -3,14 +3,20 @@
 stereographic conformal family (alsk, gs48, gs50, lee_os, mil_os)
 via complex polynomials.  References cite /root/reference/src/*.c.
 
-Sphere-rotation convention (shared by ob_tran and ocea, matching
-PJ_ob_tran.c o_forward): with pole (lamp, phip),
-  lam' = atan2(cos(phi) sin(t), sin(phip) cos(phi) cos(t) + cos(phip) sin(phi))
-  sin(phi') = sin(phip) sin(phi) - cos(phip) cos(phi) cos(t),  t = lam - lamp
-and the exact inverse (derived from the basis vectors):
-  lam = lamp + atan2(cos(phi') sin(lam'),
-                     sin(phip) cos(phi') cos(lam') - cos(phip) sin(phi'))
-  phi = asin(cos(phip) cos(phi') cos(lam') + sin(phip) sin(phi'))
+Sphere-rotation convention (matching PJ_ob_tran.c o_forward /
+o_inverse EXACTLY): with pole (lamp, phip), the rotation uses the
+UNSHIFTED input longitude and adds lamp to the OUTPUT longitude —
+phi' does not depend on lamp at all:
+  lam' = adjlon(atan2(cos(phi) sin(lam),
+                      sin(phip) cos(phi) cos(lam) + cos(phip) sin(phi)) + lamp)
+  phi' = aasin(sin(phip) sin(phi) - cos(phip) cos(phi) cos(lam))
+inverse (o_inverse — subtract lamp from lam' FIRST, t = lam' - lamp):
+  phi = aasin(sin(phip) sin(phi') + cos(phip) cos(phi') cos(t))
+  lam = atan2(cos(phi') sin(t), sin(phip) cos(phi') cos(t) - cos(phip) sin(phi'))
+When |phip| <= 1e-10 the reference switches to the exact transverse
+forms t_forward/t_inverse; we reproduce that by pinning
+sin(phip)=0, cos(phip)=1, under which the general formulas reduce to
+the transverse ones identically.
 """
 from __future__ import annotations
 
@@ -33,27 +39,36 @@ def _register(*names):
     return deco
 
 
+_OB_TRAN_TOL = 1e-10  # PJ_ob_tran.c:13 TOL
+
+
 def _sphere_rot(lamp: float, phip: float):
-    """Build (rot_fwd, rot_inv) closures for the pole (lamp, phip)."""
-    sphip, cphip = math.sin(phip), math.cos(phip)
+    """Build (rot_fwd, rot_inv) closures for the pole (lamp, phip),
+    reproducing PJ_ob_tran.c o_forward/o_inverse (and, via the exact
+    sphip=0/cphip=1 degeneration, t_forward/t_inverse)."""
+    if abs(phip) <= _OB_TRAN_TOL:  # transverse branch, PJ_ob_tran.c:137-141
+        sphip, cphip = 0.0, 1.0
+    else:
+        sphip, cphip = math.sin(phip), math.cos(phip)
 
     def rot_fwd(lam, phi):
-        t = lam - lamp
-        cost = np.cos(t)
+        coslam = np.cos(lam)
         sinphi = np.sin(phi)
         cosphi = np.cos(phi)
-        lam2 = np.arctan2(cosphi * np.sin(t), sphip * cosphi * cost + cphip * sinphi)
-        phi2 = m.aasin(np.clip(sphip * sinphi - cphip * cosphi * cost, -1.0, 1.0))
+        lam2 = m.adjlon(
+            np.arctan2(cosphi * np.sin(lam), sphip * cosphi * coslam + cphip * sinphi)
+            + lamp
+        )
+        phi2 = m.aasin(np.clip(sphip * sinphi - cphip * cosphi * coslam, -1.0, 1.0))
         return lam2, phi2
 
     def rot_inv(lam2, phi2):
-        cosl = np.cos(lam2)
+        t = lam2 - lamp
+        cost = np.cos(t)
         sinp = np.sin(phi2)
         cosp = np.cos(phi2)
-        lam = m.adjlon(
-            lamp + np.arctan2(cosp * np.sin(lam2), sphip * cosp * cosl - cphip * sinp)
-        )
-        phi = m.aasin(np.clip(cphip * cosp * cosl + sphip * sinp, -1.0, 1.0))
+        phi = m.aasin(np.clip(sphip * sinp + cphip * cosp * cost, -1.0, 1.0))
+        lam = np.arctan2(cosp * np.sin(t), sphip * cosp * cost - cphip * sinp)
         return lam, phi
 
     return rot_fwd, rot_inv
@@ -148,22 +163,65 @@ def setup_ob_tran(crs) -> CompiledProj:
 # ------------------------------------------------------------------- ocea
 @_register("ocea")
 def setup_ocea(crs) -> CompiledProj:
-    """Oblique cylindrical equal area (ref src/PJ_ocea.c), sphere:
-    normal-aspect CEA in the rotated frame (x = lam'/k0, y = k0
-    sin(phi') — Jacobian cos(phi'), equal-area)."""
+    """Oblique cylindrical equal area — mirrors src/PJ_ocea.c exactly,
+    including its quirks: the alpha branch evaluates
+    ``atan(-cos(alpha) / (-sin(phi_0) * sin(alpha))) + lonc`` with
+    phi_0 pinned to 0 (lat_0 is never read, PJ_ocea.c:40), the frame
+    lam0 is overridden to singam + pi/2 (PJ_ocea.c:61), and the kernel
+    output carries the reference's rok=a/k0 / rtk=a*k0 factors (which
+    the generic pj_fwd wrapper then multiplies by a again, exactly as
+    the reference does)."""
     fr = _frame(crs)
-    k0 = fr["k0"]
-    lamp, phip = _pole_from_params(crs.params, fr["phi0"])
-    rot_fwd, rot_inv = _sphere_rot(lamp, phip)
+    a, k0 = crs.a, fr["k0"]
+    rok = a / k0
+    rtk = a * k0
+    p = crs.params
+    if "alpha" in p:
+        alpha = m.dms_param(p["alpha"])
+        lonz = m.dms_param(p.get("lonc", 0.0))
+        phi_0 = 0.0  # the reference never reads lat_0 here
+        # IEEE atan(x/±0) -> ±pi/2, like the C code
+        with np.errstate(divide="ignore"):
+            singam = float(
+                np.arctan(
+                    np.float64(-math.cos(alpha))
+                    / (np.float64(-math.sin(phi_0)) * np.float64(math.sin(alpha)))
+                )
+            ) + lonz
+        pole = math.asin(math.cos(phi_0) * math.sin(alpha))
+    else:
+        phi1 = m.dms_param(p["lat_1"])
+        phi2 = m.dms_param(p["lat_2"])
+        lam1 = m.dms_param(p["lon_1"])
+        lam2 = m.dms_param(p["lon_2"])
+        singam = math.atan2(
+            math.cos(phi1) * math.sin(phi2) * math.cos(lam1)
+            - math.sin(phi1) * math.cos(phi2) * math.cos(lam2),
+            math.sin(phi1) * math.cos(phi2) * math.sin(lam2)
+            - math.cos(phi1) * math.sin(phi2) * math.sin(lam1),
+        )
+        pole = math.atan(-math.cos(singam - lam1) / math.tan(phi1))
+    fr["lam0"] = singam + HALFPI  # PJ_ocea.c:61 overrides lam0
+    sinphi_p, cosphi_p = math.sin(pole), math.cos(pole)
 
     def fwd(lam, phi):
-        l2, p2 = rot_fwd(lam, phi)
-        return l2 / k0, k0 * np.sin(p2)
+        sinlam = np.sin(lam)
+        t = np.cos(lam)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.arctan((np.tan(phi) * cosphi_p + sinphi_p * sinlam) / t)
+        x = np.where(t < 0.0, x + np.pi, x) * rtk
+        y = rok * (sinphi_p * np.sin(phi) - cosphi_p * np.cos(phi) * sinlam)
+        return x, y
 
     def inv(x, y):
-        l2 = np.asarray(x, np.float64) * k0
-        p2 = m.aasin(np.clip(np.asarray(y, np.float64) / k0, -1.0, 1.0))
-        return rot_inv(l2, p2)
+        ys = np.asarray(y, np.float64) / rok
+        xs = np.asarray(x, np.float64) / rtk
+        with np.errstate(invalid="ignore"):
+            t = np.sqrt(1.0 - ys * ys)
+        s = np.sin(xs)
+        phi = m.aasin(np.clip(ys * sinphi_p + t * cosphi_p * s, -1.0, 1.0))
+        lam = np.arctan2(t * sinphi_p * s - ys * cosphi_p, t * np.cos(xs))
+        return lam, phi
 
     return CompiledProj("ocea", fwd, inv, **fr)
 

@@ -185,9 +185,38 @@ def null_grid() -> ShiftGrid:
 register_grid("null", null_grid())
 
 
+def _load_grid_file(tok: str) -> list[ShiftGrid] | None:
+    """pj_open_lib analog: try the literal path, then the grid search
+    path, and sniff the format (pj_gridinfo_init)."""
+    import os
+
+    from ..sources import initfiles
+    from ..sources.grids import open_grid  # lazy: avoids import cycle
+
+    dirs = [
+        *initfiles._SEARCH_PATH,
+        os.environ.get("PROJ_SPARK_LIB", ""),
+        initfiles._BUNDLED,
+    ]
+    candidates = [tok] if os.path.isabs(tok) or os.sep in tok else []
+    candidates += [os.path.join(d, tok) for d in dirs if d]
+    for path in candidates:
+        if not os.path.isfile(path):
+            continue
+        loaded = open_grid(path)
+        if isinstance(loaded, ShiftGrid):
+            return [loaded]
+        if isinstance(loaded, list):
+            return loaded
+        # GTX tuple: a vertical grid — not usable as a horizontal shift
+        raise ValueError(f"{tok}: GTX is a vertical grid (use +geoidgrids)")
+    return None
+
+
 def resolve_gridlist(nadgrids: str) -> list[ShiftGrid]:
     """Parse the comma list; '@' prefix = optional (missing grid is
-    skipped silently), matching pj_gridlist.c:163-224."""
+    skipped silently), matching pj_gridlist.c:163-224.  Unregistered
+    names fall back to disk via the search path (pj_open_lib)."""
     out: list[ShiftGrid] = []
     for tok in nadgrids.split(","):
         tok = tok.strip()
@@ -195,6 +224,10 @@ def resolve_gridlist(nadgrids: str) -> list[ShiftGrid]:
         if optional:
             tok = tok[1:]
         grids = _GRID_REGISTRY.get(tok)
+        if grids is None:
+            grids = _load_grid_file(tok)
+            if grids is not None:
+                _GRID_REGISTRY[tok] = grids  # cache for later plans
         if grids is None:
             if optional:
                 continue

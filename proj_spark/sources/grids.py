@@ -120,8 +120,10 @@ def write_ntv2(grids: list[ShiftGrid], path: str) -> None:
         out += _ntv2_rec(b"LONG_INC", g.del_lam / _SEC2R)
         out += _ntv2_rec(b"GS_COUNT", g.lim_lam * g.lim_phi)
         # nodes: (shift_lat, shift_lon, acc, acc) float32, arcsec,
-        # lon shift positive west; columns east->west
-        lam_sec = -(g.cvs[:, :, 0] / np.float32(_SEC2R))
+        # lon shift positive west (same convention as our internal cvs —
+        # ref pj_gridinfo.c:330 stores the raw seconds un-negated);
+        # columns east->west
+        lam_sec = g.cvs[:, :, 0] / np.float32(_SEC2R)
         phi_sec = g.cvs[:, :, 1] / np.float32(_SEC2R)
         lam_rev = lam_sec[:, ::-1]
         phi_rev = phi_sec[:, ::-1]
@@ -172,9 +174,12 @@ def read_ntv2(path: str) -> list[ShiftGrid]:
             data[pos : pos + gs_count * 16], dtype=endian + "f4"
         ).reshape(lim_phi, lim_lam, 4)
         pos += gs_count * 16
-        # undo the east->west column order and positive-west sign
+        # undo the east->west column order; KEEP the positive-west sign —
+        # the reference stores NTv2 lam shifts un-negated (pj_gridinfo.c:330)
+        # and nad_cvt applies them as `lam -= t.lam`, i.e. the internal cvs
+        # convention IS positive-west, same as CTABLE2.
         phi_sec = node[:, ::-1, 0]
-        lam_sec = -node[:, ::-1, 1]
+        lam_sec = node[:, ::-1, 1]
         cvs = np.stack(
             [lam_sec * np.float32(_SEC2R), phi_sec * np.float32(_SEC2R)], axis=-1
         ).astype(np.float32)

@@ -162,3 +162,71 @@ class TestAxisAndVerticalUnits:
             "+proj=latlong +datum=WGS84", "+proj=utm +zone=11 +datum=WGS84", [-117.0], [35.0]
         )
         assert x_ft[0] == pytest.approx(x_m[0] / 0.304800609601219241, rel=1e-12)
+
+
+class TestObTranGolden:
+    """testvarious #225 block (tv_out.dist:274-278): transverse ob_tran
+    over moll with +lon_0=180 (o_lon_p/o_lat_p parse to 0 -> transverse
+    branch). Locks the PJ_ob_tran.c rotation convention: unshifted lam
+    inside the rotation, lamp added to the output longitude."""
+
+    OB = "+proj=ob_tran +o_proj=moll +o_lon_p=0 +o_lat_p=0 +lon_0=180 +ellps=WGS84"
+
+    def test_inverse_golden(self):
+        # 300000 400000 -> 42d45'22.377"W 85d35'28.083"N
+        lon, lat, _ = transform_arrays(self.OB, LL, [300000.0], [400000.0])
+        assert lon[0] == pytest.approx(_dms("42d45'22.377\"W"), abs=5e-7)
+        assert lat[0] == pytest.approx(_dms("85d35'28.083\"N"), abs=5e-7)
+
+    def test_inverse_error_is_nan(self):
+        # 20000000 30000000 -> '*' (off the moll disc, I_ERROR -19)
+        lon, lat, _ = transform_arrays(self.OB, LL, [20000000.0], [30000000.0])
+        assert np.isnan(lon[0]) and np.isnan(lat[0])
+
+    def test_forward_golden(self):
+        # 10 20 -> -1384841.19 7581707.88  (print precision %.2f)
+        x, y, _ = transform_arrays(LL, self.OB, [10.0], [20.0])
+        assert x[0] == pytest.approx(-1384841.19, abs=0.02)
+        assert y[0] == pytest.approx(7581707.88, abs=0.02)
+
+
+class TestOmercGolden:
+    """omerc golden vectors from tv_out.dist: RSO Borneo (ticket 62,
+    +alpha AND +gamma -> rotation by the raw gamma), #114 sensitivity
+    (two-point, no_rot, km units), #190 pole differences (finite
+    values at |phi|=89.9 near the pole branch, both hemispheres)."""
+
+    LLC = "+proj=latlong +a=6377298.556 +rf=300.8017"
+    RSO = ("+proj=omerc +a=6377298.556 +rf=300.8017 +lat_0=4 +lonc=115 "
+           "+alpha=53d18'56.9537 +gamma=53d7'48.3685 +k_0=0.99984 "
+           "+x_0=590476.87 +y_0=442857.65")
+
+    def test_rso_borneo(self):
+        lon = _dms("116d2'11.12630")
+        lat = _dms("5d54'19.90183")
+        x, y, _ = transform_arrays(self.LLC, self.RSO, [lon], [lat])
+        assert x[0] == pytest.approx(704570.40, abs=0.01)
+        assert y[0] == pytest.approx(653979.68, abs=0.01)
+
+    def test_114_sensitivity(self):
+        om = ("+proj=omerc +ellps=WGS84 +lon_1=62.581150 +lat_1=74.856102 "
+              "+lon_2=53.942810 +lat_2=74.905884 +units=km +no_rot")
+        x, y, _ = transform_arrays(
+            LL, om, [56.958381652832, 56.9584], [72.8798, 72.8798]
+        )
+        np.testing.assert_allclose(x, [-9985.16336453, 9985.16263662], atol=1e-7)
+        np.testing.assert_allclose(y, [-227.67701050, -227.67701050], atol=1e-7)
+
+    @pytest.mark.parametrize("south", [False, True])
+    def test_190_poles(self, south):
+        sgn = -1.0 if south else 1.0
+        om = (f"+proj=omerc +ellps=WGS84 +no_rot +lon_1=-27 +lat_1={70*sgn} "
+              f"+lon_2=-38 +lat_2={80*sgn} +lat_0={70*sgn}")
+        lons = [-27.0, -27.0, -27.0, 163.0, 163.0]
+        lats = [v * sgn for v in (70.0, 80.0, 89.9, 89.9, 80.0)]
+        x, y, _ = transform_arrays(LL, om, lons, lats)
+        exp_x = np.array([7846957.203, 8944338.041, 10033520.737,
+                          10055728.173, 11163496.121]) * sgn
+        exp_y = [0.000, 204911.652, 402158.063, 404099.799, 397796.828]
+        np.testing.assert_allclose(x, exp_x, atol=2e-3)
+        np.testing.assert_allclose(y, exp_y, atol=2e-3)

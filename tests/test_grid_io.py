@@ -52,6 +52,77 @@ def test_ntv2_roundtrip_shift_equivalence(grid, tmp_path):
     np.testing.assert_allclose(p2, p1, atol=2e-12)
 
 
+def test_ntv2_known_bytes_shift_is_westward(tmp_path):
+    """Hand-built NTv2 byte sequence (NOT via write_ntv2, so a symmetric
+    sign error cannot hide): every node carries a +1.0 arcsec longitude
+    shift, which NTv2 defines as positive WEST. The reference loads the
+    raw value un-negated (pj_gridinfo.c:330) and nad_cvt applies it as
+    ``lam -= t.lam`` — so the output longitude must DECREASE by 1"."""
+    import struct as _s
+
+    def rec(name, value):
+        name = name.ljust(8)[:8]
+        if isinstance(value, bytes):
+            return name + value.ljust(8)[:8]
+        if isinstance(value, int):
+            return name + _s.pack("<i", value) + b"\x00" * 4
+        return name + _s.pack("<d", float(value))
+
+    nlat, nlon = 5, 7
+    out = bytearray()
+    out += rec(b"NUM_OREC", 11)
+    out += rec(b"NUM_SREC", 11)
+    out += rec(b"NUM_FILE", 1)
+    out += rec(b"GS_TYPE", b"SECONDS")
+    out += rec(b"VERSION", b"NTv2.0")
+    out += rec(b"SYSTEM_F", b"NAD27")
+    out += rec(b"SYSTEM_T", b"NAD83")
+    out += rec(b"MAJOR_F", 6378206.4)
+    out += rec(b"MINOR_F", 6356583.8)
+    out += rec(b"MAJOR_T", 6378137.0)
+    out += rec(b"MINOR_T", 6356752.314)
+    out += rec(b"SUB_NAME", b"FIX")
+    out += rec(b"PARENT", b"NONE")
+    out += rec(b"CREATED", b"NOW")
+    out += rec(b"UPDATED", b"NOW")
+    out += rec(b"S_LAT", 30.0 * 3600)      # arcsec
+    out += rec(b"N_LAT", 34.0 * 3600)
+    out += rec(b"E_LONG", 100.0 * 3600)    # positive west: 100W..106W
+    out += rec(b"W_LONG", 106.0 * 3600)
+    out += rec(b"LAT_INC", 3600.0)
+    out += rec(b"LONG_INC", 3600.0)
+    out += rec(b"GS_COUNT", nlat * nlon)
+    node = np.zeros((nlat * nlon, 4), dtype="<f4")
+    node[:, 0] = 0.0   # lat shift
+    node[:, 1] = 1.0   # lon shift: +1 arcsec, positive WEST
+    out += node.tobytes()
+    p = str(tmp_path / "fix.gsb")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+
+    roots = read_ntv2(p)
+    assert len(roots) == 1 and roots[0].lim_lam == nlon and roots[0].lim_phi == nlat
+    lam_in = np.radians(np.array([-103.0]))
+    phi_in = np.radians(np.array([32.0]))
+    lam_out, phi_out = apply_gridshift(roots, False, lam_in, phi_in)
+    one_arcsec_rad = np.radians(1.0 / 3600.0)
+    # forward NAD27->NAD83 applies in.lam -= t.lam: 1" WESTWARD (decrease)
+    np.testing.assert_allclose(lam_out - lam_in, -one_arcsec_rad, rtol=1e-6)
+    np.testing.assert_allclose(phi_out, phi_in, atol=1e-15)
+
+
+def test_ntv2_ctable2_conversion_consistent(grid, tmp_path):
+    """NTv2 -> internal -> CTABLE2 -> internal preserves the shift values
+    (both formats share the positive-west internal cvs convention)."""
+    n = str(tmp_path / "conv.gsb")
+    write_ntv2([grid], n)
+    g_n = read_ntv2(n)[0]
+    c = str(tmp_path / "conv.ct2")
+    write_ctable2(g_n, c)
+    g_c = read_ctable2(c)
+    assert np.array_equal(g_c.cvs, g_n.cvs)
+
+
 def test_ntv2_parent_child_nesting(grid, tmp_path):
     child = make_synthetic_grid(
         "child0", ll_lon_deg=-110.0, ll_lat_deg=30.0, n_lon=21, n_lat=11,

@@ -307,8 +307,13 @@ def test_ob_tran_transverse_inverse():
     lam2, phi2 = cp.inv(x, y)
     from proj_spark.kernels.xmath import adjlon
 
-    np.testing.assert_allclose(adjlon(lam2 - lam), 0.0, atol=1e-9, rtol=0)
-    np.testing.assert_allclose(phi2, phi, atol=1e-9, rtol=0)
+    # (0,0) lands exactly on the rotated pole (phi' = -pi/2) where merc
+    # diverges — the reference errors there too; all other lanes roundtrip
+    pole = (np.abs(lam) < 1e-12) & (np.abs(phi) < 1e-12)
+    assert np.all(np.isnan(lam2[pole]))
+    ok = ~pole
+    np.testing.assert_allclose(adjlon(lam2[ok] - lam[ok]), 0.0, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(phi2[ok], phi[ok], atol=1e-9, rtol=0)
 
 
 def test_chebyshev_fast_path_tolerance():
