@@ -111,18 +111,35 @@ def cmd_geod(args) -> int:
         if not line.strip() or line.lstrip().startswith("#"):
             continue
         toks = line.split()
+        try:
+            if args.inverse:
+                _vals = [dmstor(t) * RAD_TO_DEG for t in toks[:4]]
+                if len(_vals) < 4:
+                    raise ValueError("need 4 fields")
+            else:
+                _vals = [dmstor(t) * RAD_TO_DEG for t in toks[:3]]
+                if len(_vals) < 3 or len(toks) < 4:
+                    raise ValueError("need 4 fields")
+                float(toks[3])
+        except ValueError:
+            sys.stdout.write("*\t*\t*\n")
+            continue
         if args.inverse:
-            lat1, lon1, lat2, lon2 = (dmstor(t) * RAD_TO_DEG for t in toks[:4])
+            lat1, lon1, lat2, lon2 = _vals
             s12, azi1, azi2 = geod_inverse(
                 np.array([lat1]), np.array([lon1]), np.array([lat2]), np.array([lon2]), a, f
             )
+            # geod prints the BACK azimuth at point 2 (geod_interface.c:32)
+            azi2 = azi2 + np.where(azi2 >= 0, -180.0, 180.0)
             sys.stdout.write(f"{azi1[0]:.5f}\t{azi2[0]:.5f}\t{s12[0]:.3f}\n")
         else:
-            lat1, lon1, azi = (dmstor(t) * RAD_TO_DEG for t in toks[:3])
+            lat1, lon1, azi = _vals
             s = float(toks[3])
             lat2, lon2, azi2 = geod_direct(
                 np.array([lat1]), np.array([lon1]), np.array([azi]), np.array([s]), a, f
             )
+            # geod prints the BACK azimuth at point 2 (geod_interface.c:19)
+            azi2 = azi2 + np.where(azi2 >= 0, -180.0, 180.0)
             sys.stdout.write(f"{lat2[0]:.9f}\t{lon2[0]:.9f}\t{azi2[0]:.5f}\n")
     return 0
 

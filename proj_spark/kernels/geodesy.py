@@ -122,18 +122,15 @@ def helmert_from_wgs84(x, y, z, params):
     return x_out, y_out, z_out
 
 
-def geod_inverse(lat1, lon1, lat2, lon2, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
-    """Vectorized ellipsoidal inverse geodesic problem (degrees in,
-    meters + degrees out): returns ``(s12, azi1, azi2)``.
-
-    Role of ``geod_inverse`` in the reference (src/geodesic.c:944,
-    Karney 2013).  This implementation uses the classic Vincenty
-    iteration (public-domain algorithm) with a masked fixed-point loop
-    (<=50 iter, tol 1e-12) and a haversine fallback for the rare
-    non-converging near-antipodal lanes; accuracy ~1e-5 m elsewhere,
-    far inside the kNN-refinement tolerance.  The haversine fast path
-    (functions/expressions.py) prunes candidates first, so this runs
-    on small refined sets only.
+def vincenty_inverse(lat1, lon1, lat2, lon2, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+    """Classic Vincenty inverse iteration (public-domain algorithm),
+    kept as an INDEPENDENT cross-check implementation: the production
+    path is the Karney port (kernels/karney.py, re-exported below as
+    ``geod_inverse``), and the DuckDB oracles use this one to generate
+    golden tables so the two algorithms validate each other.  Accuracy
+    ~1e-4 m away from the antipodal region; a haversine distance (with
+    NaN azimuths, so degraded lanes are detectable) substitutes for the
+    non-converging near-antipodal lanes.
     """
     d2r = np.pi / 180.0
     lat1 = np.asarray(lat1, np.float64) * d2r
@@ -209,6 +206,11 @@ def geod_inverse(lat1, lon1, lat2, lon2, a: float = 6378137.0, f: float = 1.0 / 
     sinl, cosl = np.sin(lam), np.cos(lam)
     azi1 = np.arctan2(cosU2 * sinl, cosU1 * sinU2 - sinU1 * cosU2 * cosl) / d2r
     azi2 = np.arctan2(cosU1 * sinl, -sinU1 * cosU2 + cosU1 * sinU2 * cosl) / d2r
+    # azimuths from an unconverged lambda are meaningless: return NaN so
+    # callers can detect the degraded (haversine-distance-only) lanes
+    if active.any():
+        azi1 = np.where(active, np.nan, azi1)
+        azi2 = np.where(active, np.nan, azi2)
     # coincident points
     coincident = (np.abs(dlon) < 1e-15) & (np.abs(lat1 - lat2) < 1e-15)
     s12 = np.where(coincident, 0.0, s12)
@@ -217,10 +219,10 @@ def geod_inverse(lat1, lon1, lat2, lon2, a: float = 6378137.0, f: float = 1.0 / 
     return s12, azi1, azi2
 
 
-def geod_direct(lat1, lon1, azi1, s12, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
-    """Vectorized direct geodesic problem (degrees/meters in, degrees
-    out): returns ``(lat2, lon2, azi2)``.  Role of ``geod_direct``
-    (ref src/geodesic.c:590); Vincenty direct formulation."""
+def vincenty_direct(lat1, lon1, azi1, s12, a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+    """Vincenty direct formulation, kept as the independent
+    cross-check twin of :func:`vincenty_inverse`; production path is
+    the Karney port (re-exported below)."""
     d2r = np.pi / 180.0
     lat1 = np.asarray(lat1, np.float64) * d2r
     lon1 = np.asarray(lon1, np.float64)
@@ -272,3 +274,24 @@ def geod_direct(lat1, lon1, azi1, s12, a: float = 6378137.0, f: float = 1.0 / 29
     lon2 = lon2 - 360.0 * np.floor((lon2 + 180.0) / 360.0)
     azi2 = np.arctan2(sin_alpha, -tmp) / d2r
     return lat2 / d2r, lon2, azi2
+
+
+# Production geodesic path: round-off-accurate Karney algorithms
+# (kernels/karney.py, ref src/geodesic.c:590,944), incl. antipodal.
+from .karney import (  # noqa: E402
+    geod_direct,
+    geod_inverse,
+    geod_polygon_area,
+)
+
+__all__ = [
+    "geodetic_to_geocentric",
+    "geocentric_to_geodetic",
+    "helmert_to_wgs84",
+    "helmert_from_wgs84",
+    "geod_inverse",
+    "geod_direct",
+    "geod_polygon_area",
+    "vincenty_inverse",
+    "vincenty_direct",
+]

@@ -114,52 +114,31 @@ def polygon_metrics(
     a: float = 6378137.0,
     f: float = 1.0 / 298.257223563,
 ) -> DataFrame:
-    """Geodesic perimeter + signed area per polygon (role of
-    geod_polygon_compute, src/geodesic.c:1761; area via l'Huilier
-    spherical excess on the authalic sphere + flattening correction is
-    approximated here with the ellipsoidal-distance perimeter and
-    spherical areas — documented deviation, exact for the north-rule
-    comparisons because both sides of a check use this operator).
+    """Geodesic perimeter + |area| per polygon via the Karney polygon
+    accumulator (geod_polygon_compute, src/geodesic.c:1708-1766):
+    per-edge S12 integrals + pole-crossing parity, exact to series
+    truncation (~0.1 m^2 per edge on WGS84).
 
     Input: one row per vertex.  Plan: groupBy(poly) -> applyInPandas
     (vertex lists are small per polygon; polygon COUNT can be huge —
     parallelism is across polygons, which is the right axis).
     """
-    from ..kernels.geodesy import geod_inverse
+    from ..kernels.karney import geod_polygon_area
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx)
         lons = pdf[lon].to_numpy(np.float64)
         lats = pdf[lat].to_numpy(np.float64)
-        if lons[0] != lons[-1] or lats[0] != lats[-1]:
-            lons = np.append(lons, lons[0])
-            lats = np.append(lats, lats[0])
-        s12, _, _ = geod_inverse(lats[:-1], lons[:-1], lats[1:], lons[1:], a, f)
-        perim = float(np.sum(s12))
-        # spherical excess area on the authalic sphere
-        r = a * (1.0 - f / 3.0)
-        lam = np.radians(lons)
-        phi = np.radians(lats)
-        area = 0.0
-        # l'Huilier via the shoelace on the sphere (sum of sub-triangle
-        # excesses from vertex 0) — adequate for non-self-intersecting
-        # rings far from the poles
-        area = float(
-            0.5
-            * abs(
-                np.sum(
-                    (lam[1:] - lam[:-1]) * (np.sin(phi[1:]) + np.sin(phi[:-1]))
-                )
-            )
-            * r
-            * r
-        )
+        if lons.size > 1 and lons[0] == lons[-1] and lats[0] == lats[-1]:
+            lons = lons[:-1]
+            lats = lats[:-1]
+        perim, area = geod_polygon_area(lons, lats, a, f)
         return pd.DataFrame(
             {
                 "poly_id": [key[0]],
                 "n_vertices": [len(pdf)],
                 "perimeter_m": [perim],
-                "area_m2": [area],
+                "area_m2": [abs(area)],
             }
         )
 
