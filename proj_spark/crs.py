@@ -151,6 +151,9 @@ class CRS:
     datum_type: int = PJD_UNKNOWN
     datum_params: tuple[float, ...] = (0.0,) * 7
     nadgrids: str | None = None
+    # vertical datum: +geoidgrids (pj_init.c:496-498, applied as
+    # pj_transform stages 6/8 — pj_transform.c:215-222,240-247)
+    geoidgrids: str | None = None
     # flags
     is_latlong: bool = False
     is_geocent: bool = False
@@ -380,6 +383,7 @@ def _compile(defn: str) -> CRS:
         datum_type=datum_type,
         datum_params=tuple(datum_params),
         nadgrids=nadgrids,
+        geoidgrids=str(params["geoidgrids"]) if "geoidgrids" in params else None,
         is_latlong=is_latlong,
         is_geocent=is_geocent,
         geoc=geoc,

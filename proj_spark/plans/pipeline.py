@@ -166,9 +166,23 @@ def build_plan(src: CRS, dst: CRS) -> TransformPlan:
         fg = src.from_greenwich
         stages.append(("pm_restore", lambda x, y, z, fg=fg: (x + fg, y, z)))
 
+    # 4b. geoid -> ellipsoidal heights on the source side
+    # (pj_transform.c:215-222: BEFORE the datum leg)
+    if src.geoidgrids is not None:
+        from ..sources.grids import apply_vgridshift_stage
+
+        stages.append(("src_vgridshift", apply_vgridshift_stage(src.geoidgrids, inverse=False)))
+
     # 5. datum transform (pj_datum_transform, src/pj_transform.c:602-720)
     datum_stages = _plan_datum(src, dst)
     stages.extend(datum_stages)
+
+    # 5b. ellipsoidal -> geoid heights on the destination side
+    # (pj_transform.c:240-247: AFTER the datum leg)
+    if dst.geoidgrids is not None:
+        from ..sources.grids import apply_vgridshift_stage
+
+        stages.append(("dst_vgridshift", apply_vgridshift_stage(dst.geoidgrids, inverse=True)))
 
     # 6. prime meridian remove
     if dst.from_greenwich != 0.0:

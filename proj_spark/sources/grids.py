@@ -263,9 +263,10 @@ def open_grid(path: str):
 
 
 # --------------------------------------------------------------- vertical
-def apply_vgridshift(lam, phi, z, vgrid, inverse: bool = False):
-    """z +- bilinear(gtx) (ref src/pj_apply_vgridshift.c:46-170;
-    nodata sentinel -88.8888 passes through unshifted)."""
+def _vgrid_sample(lam, phi, vgrid):
+    """Bilinear geoid-undulation sample; returns (value, ok_mask).
+    nodata sentinel -88.8888 disqualifies the cell
+    (pj_apply_vgridshift.c:46-170)."""
     ll_lat, ll_lon, dlat, dlon, h = vgrid
     lam_deg = np.degrees(np.asarray(lam, np.float64))
     phi_deg = np.degrees(np.asarray(phi, np.float64))
@@ -290,6 +291,74 @@ def apply_vgridshift(lam, phi, z, vgrid, inverse: bool = False):
         | (h64[iy + 1, ix] == -88.8888)
         | (h64[iy + 1, ix + 1] == -88.8888)
     )
-    ok = inside & ~nodata
+    return v, inside & ~nodata
+
+
+def apply_vgridshift(lam, phi, z, vgrid, inverse: bool = False):
+    """z +- bilinear(gtx): forward (src side, geoid -> ellipsoidal
+    heights) ADDS the undulation, inverse SUBTRACTS it
+    (pj_apply_vgridshift.c:160-163); outside/nodata passes through."""
+    v, ok = _vgrid_sample(lam, phi, vgrid)
     z = np.asarray(z, np.float64)
-    return np.where(ok, z + (v if inverse else -v), z)
+    return np.where(ok, z + (-v if inverse else v), z)
+
+
+# name -> vgrid tuple (ll_lat, ll_lon, dlat, dlon, heights)
+_VGRID_REGISTRY: dict[str, list] = {}
+
+
+def register_vgrid(name: str, vgrid) -> None:
+    _VGRID_REGISTRY[name] = [vgrid]
+
+
+def resolve_vgridlist(spec: str) -> list:
+    """Comma list of vertical grids; '@' prefix marks optional entries
+    (pj_gridlist semantics); unregistered names fall back to GTX files
+    on the search path."""
+    from .initfiles import _BUNDLED, _SEARCH_PATH
+
+    out = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        optional = tok.startswith("@")
+        if optional:
+            tok = tok[1:]
+        grids = _VGRID_REGISTRY.get(tok)
+        if grids is None:
+            dirs = [*_SEARCH_PATH, os.environ.get("PROJ_SPARK_LIB", ""), _BUNDLED]
+            cands = [tok] if os.path.isabs(tok) or os.sep in tok else []
+            cands += [os.path.join(d, tok) for d in dirs if d]
+            for path in cands:
+                if os.path.isfile(path):
+                    loaded = open_grid(path)
+                    if not isinstance(loaded, tuple):
+                        raise ValueError(f"{tok}: not a vertical (GTX) grid")
+                    grids = [loaded]
+                    _VGRID_REGISTRY[tok] = grids
+                    break
+        if grids is None:
+            if optional:
+                continue
+            raise FileNotFoundError(f"required vertical grid {tok!r} not found")
+        out.extend(grids)
+    return out
+
+
+def apply_vgridshift_stage(spec: str, inverse: bool):
+    """Pipeline stage factory for +geoidgrids (first containing grid
+    wins, like the horizontal path)."""
+    vgrids = resolve_vgridlist(spec)
+
+    def fn(lam, phi, z):
+        z = np.asarray(z, np.float64).copy()
+        remaining = ~np.isnan(np.asarray(lam, np.float64))
+        for vg in vgrids:
+            if not np.any(remaining):
+                break
+            v, ok = _vgrid_sample(lam, phi, vg)
+            sel = remaining & ok
+            z = np.where(sel, z + (-v if inverse else v), z)
+            remaining = remaining & ~sel
+        return lam, phi, z
+
+    return fn

@@ -166,3 +166,48 @@ def test_sniffer_dispatch(grid, tmp_path):
         f.write(b"this is not a grid file at all, definitely not")
     with pytest.raises(ValueError):
         open_grid(junk)
+
+
+def test_geoidgrids_pipeline_stages(tmp_path):
+    """+geoidgrids wiring (pj_transform.c:215-222,240-247): the source
+    side ADDS the undulation before the datum leg, the destination side
+    SUBTRACTS it after; a same-grid roundtrip restores z exactly."""
+    import numpy as np
+
+    from proj_spark.plans.pipeline import transform_arrays
+    from proj_spark.sources.grids import register_vgrid
+
+    h = np.full((31, 61), 13.25, dtype=np.float32)
+    register_vgrid("flat13", (24.0, -125.0, 1.0, 1.0, h))
+
+    src = "+proj=latlong +datum=WGS84 +geoidgrids=flat13"
+    dst = "+proj=latlong +datum=WGS84"
+    lon = [-100.0, -50.0]  # second point outside the grid
+    lat = [35.0, 35.0]
+    _, _, z = transform_arrays(src, dst, lon, lat, [100.0, 100.0])
+    assert z[0] == pytest.approx(113.25, abs=1e-9)  # geoid -> ellipsoidal: +N
+    assert z[1] == 100.0  # outside: passthrough
+
+    # destination side subtracts
+    _, _, z2 = transform_arrays(dst, src, lon, lat, [113.25, 100.0])
+    assert z2[0] == pytest.approx(100.0, abs=1e-9)
+    # roundtrip through both sides is identity
+    _, _, z3 = transform_arrays(src, src, [-100.0], [35.0], [42.0])
+    assert z3[0] == pytest.approx(42.0, abs=1e-12)
+
+
+def test_geoidgrids_from_gtx_file(tmp_path):
+    """+geoidgrids resolves a GTX file from disk via the search path."""
+    import numpy as np
+
+    from proj_spark.plans.pipeline import transform_arrays
+
+    h = np.linspace(-30, 50, 21 * 41).reshape(21, 41).astype(np.float32)
+    p = str(tmp_path / "geoid.gtx")
+    write_gtx(p, 25.0, -125.0, 1.0, 1.0, h)
+    src = f"+proj=latlong +datum=WGS84 +geoidgrids={p}"
+    _, _, z = transform_arrays(src, "+proj=latlong +datum=WGS84", [-105.0], [35.0], [0.0])
+    assert z[0] != 0.0
+    # inverse direction recovers
+    _, _, zb = transform_arrays("+proj=latlong +datum=WGS84", src, [-105.0], [35.0], [z[0]])
+    assert zb[0] == pytest.approx(0.0, abs=1e-9)
