@@ -73,19 +73,32 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def token_dictionary(df: DataFrame, tokens: str = "tokens") -> DataFrame:
+def token_dictionary(
+    df: DataFrame, tokens: str = "tokens", max_vocab: int = 2_000_000
+) -> DataFrame:
     """Deterministic token -> dense id (1-based, lexicographic).
 
     Reproducible in ANSI SQL (row_number over sorted distinct), which
-    is what makes minhash/simhash oracle-checkable.  The window has no
-    partition — fine for test-scale vocabularies; at web scale use the
-    fast mode (xxhash64) instead, which needs no dictionary at all.
+    is what makes minhash/simhash oracle-checkable.  The unpartitioned
+    window is a single-task sort — ORACLE/TEST MODE ONLY; at web scale
+    use the fast mode (xxhash64), which needs no dictionary at all.
+    ``max_vocab`` is a hard guard: the call fails fast instead of
+    silently funnelling a web-scale vocabulary through one task.
     """
-    return (
+    vocab = (
         df.select(F.explode(tokens).alias("token"))
         .where(F.col("token") != "")
         .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("token")).cast("long"))
+    )
+    n = vocab.limit(max_vocab + 1).count()
+    if n > max_vocab:
+        raise ValueError(
+            f"token_dictionary: vocabulary exceeds max_vocab={max_vocab}; "
+            "deterministic mode is for oracle/test scale — use the "
+            "xxhash64 fast mode (deterministic=False) at corpus scale"
+        )
+    return vocab.withColumn(
+        "tid", F.row_number().over(Window.orderBy("token")).cast("long")
     )
 
 
@@ -246,26 +259,62 @@ def simhash(
     return summed.select(id_col, sig.alias("simhash"))
 
 
-def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 2, bits: int = 16) -> DataFrame:
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    bits: int = 16,
+    pair_cap: int = 10000,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Bucket by signature halves (pigeonhole: distance<=2 over 2 halves
-    means at least one half matches exactly), join within buckets,
-    verify with bit_count — native expressions throughout.
+    Pigeonhole over ``max_hamming + 1`` DISJOINT bit bands: any pair
+    within distance max_hamming agrees exactly on at least one band
+    (recall guaranteed), so candidates come from per-(band, bucket)
+    self-joins over 2^(bits/n_bands)-way buckets instead of the old
+    2-half / 256-bucket scheme.  Per-bucket membership is capped at
+    ``pair_cap`` by id order — the same guard as minhash LSH — so one
+    degenerate bucket (e.g. all-zero signatures from empty docs) can
+    never go quadratic at corpus scale.  Native expressions only.
     """
-    half = bits // 2
-    lo = (F.col("simhash") % (1 << half)).alias("lo")
-    hi = (F.floor(F.col("simhash") / (1 << half))).alias("hi")
-    s = sigs.select(F.col(id_col).alias("id"), F.col("simhash"), lo, hi)
-    pairs = None
-    for part in ["lo", "hi"]:
-        a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), F.col(part).alias("bk"))
-        b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), F.col(part).alias("bk"))
-        p = a.join(b, on="bk").where(F.col("id_a") < F.col("id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    n_bands = max_hamming + 1
+    widths = [
+        bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
+    ]
+    parts = []
+    off = 0
+    for i, wdt in enumerate(widths):
+        parts.append(
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << wdt) - 1))
+            .alias(f"b{i}")
+        )
+        off += wdt
+    s = sigs.select(F.col(id_col).alias("id"), F.col("simhash"), *parts)
+    exploded = None
+    for i in range(n_bands):
+        e = s.select(
+            F.lit(i).alias("band"),
+            F.col(f"b{i}").alias("bkey"),
+            F.col("id"),
+            F.col("simhash"),
+        )
+        exploded = e if exploded is None else exploded.unionByName(e)
+    w = Window.partitionBy("band", "bkey").orderBy("id")
+    exploded = exploded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= pair_cap
+    )
+    a = exploded.select(
+        "band", "bkey", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = exploded.select(
+        "band", "bkey", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        pairs.withColumn("hamming", ham)
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -24,10 +24,13 @@ reproducibility requirement).
 """
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from ..functions import expressions as E
 
@@ -83,12 +86,22 @@ def knn_join(
     c_lon: str = "c_lon",
     c_lat: str = "c_lat",
     verify_cover: bool = True,
+    fallback_frac: float = 0.05,
+    max_ring: int = 4,
 ) -> DataFrame:
-    """Cell-pruned kNN with brute-force fallback for uncovered queries.
+    """Cell-pruned kNN with coverage-checked fallback.
 
     The candidate side computes one cell id (narrow); the query side
     (small) explodes its (2*ring+1)^2 k-ring and is broadcast, so the
     big side never shuffles for the join.
+
+    Queries failing the coverage guarantee are retried: if MORE than
+    ``fallback_frac`` of queries fail (sparse data / bad (res, ring)
+    choice), the ring is ESCALATED (ring+1, up to ``max_ring``) for the
+    failing subset instead of brute-forcing them against the full
+    candidate table — the silent O(|C|x|Q|) cliff the round-1 review
+    flagged.  Only a small residue ever reaches brute force, and the
+    fallback fraction is logged either way.
     """
     c = candidates.select(
         F.col(c_id).alias("neighbor_id"),
@@ -113,22 +126,70 @@ def knn_join(
     if not verify_cover:
         return ranked
 
-    # coverage radius: ring of R cells guarantees correctness iff the
-    # k-th neighbor is closer than `ring` whole cells in the tightest
-    # direction.  Cell height is 180/2^res deg everywhere; cell width
-    # shrinks with cos(lat) — height is the binding dimension and
-    # longitude compression only enlarges the safe radius, so use
-    # ring * cell_height_m as the conservative bound.
-    cell_h_m = math.pi * EARTH_M * (180.0 / (1 << res)) / 180.0
-    safe_m = ring * cell_h_m
+    # coverage radius: a ring of R cells guarantees correctness iff the
+    # k-th neighbor is closer than R whole cells in the TIGHTEST metric
+    # dimension.  Cell height is 180/2^res deg everywhere, but cell
+    # WIDTH in meters shrinks with cos(lat) — longitude compression
+    # REDUCES the guaranteed radius (a fixed metric distance spans more
+    # cells east-west at high latitude), so the bound must use the
+    # narrowest width across the ring extent, per query.
+    cell_h_deg = 180.0 / (1 << res)
+    cell_h_m = math.pi * EARTH_M * cell_h_deg / 180.0
 
-    per_q = ranked.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("_n"), F.max("dist_m").alias("_maxd")
+    # LEFT join from the query side: a query whose entire k-ring held no
+    # candidates produces NO groupBy row — it must count as failed, not
+    # silently vanish from the result
+    per_q = q.join(
+        ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_m").alias("_maxd")
+        ),
+        on="query_id",
+        how="left",
     )
-    bad_q = per_q.where((F.col("_n") < k) | (F.col("_maxd") > safe_m)).select("query_id")
+    phi_far = F.least(
+        F.abs(F.col("_qlat")) + F.lit(float(ring) * cell_h_deg), F.lit(89.999999)
+    )
+    safe_m = F.lit(float(ring) * cell_h_m) * F.cos(F.radians(phi_far))
+    bad_q = per_q.where(
+        F.col("_n").isNull() | (F.col("_n") < k) | (F.col("_maxd") >= safe_m)
+    ).select("query_id")
     bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
 
     good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
+    # queries are small by contract: counting them is cheap and lets the
+    # driver choose escalation vs brute force with eyes open
+    n_bad = bad_q.count()
+    if n_bad == 0:
+        return ranked
+    n_q = q.count()
+    frac = n_bad / max(n_q, 1)
+    if frac > fallback_frac and ring < max_ring:
+        _LOG.warning(
+            "knn_join: %d/%d queries (%.1f%%) failed the ring-%d coverage "
+            "guarantee; escalating failing subset to ring=%d",
+            n_bad, n_q, 100.0 * frac, ring, ring + 1,
+        )
+        redo = knn_join(
+            bad_queries,
+            candidates,
+            k=k,
+            res=res,
+            ring=ring + 1,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+            verify_cover=True,
+            fallback_frac=fallback_frac,
+            max_ring=max_ring,
+        )
+        return good.unionByName(redo)
+    _LOG.info(
+        "knn_join: %d/%d queries (%.1f%%) fell back to brute force",
+        n_bad, n_q, 100.0 * frac,
+    )
     redo = knn_join_bruteforce(
         bad_queries,
         candidates,

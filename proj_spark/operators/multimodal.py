@@ -177,15 +177,19 @@ def make_fakevid(frames: list[np.ndarray]) -> bytes:
     return b"".join(parts)
 
 
-def phash_dedup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_dedup_pairs(
+    df: DataFrame, max_hamming: int = 6, pair_cap: int = 10000
+) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance.
 
-    Buckets by the 4 x 16-bit phash quarters (pigeonhole: hamming <= 6
-    over 4 quarters guarantees at least one quarter with distance <= 1
-    — we bucket on exact quarter matches, which guarantees recall for
-    hamming <= 3 and is the standard trade at corpus scale), then
-    verifies with bit_count.  Native expressions; no Python.
+    Buckets by the 4 x 16-bit phash quarters (pigeonhole: exact-quarter
+    matching guarantees recall for hamming <= 3; the standard trade at
+    corpus scale), verifies with bit_count.  Per-(quarter, bucket)
+    membership is capped at ``pair_cap`` by id order — a degenerate
+    bucket (e.g. all-black thumbnails hashing identically) cannot go
+    quadratic.  Native expressions; no Python.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     q = [
@@ -195,15 +199,24 @@ def phash_dedup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
         for i in range(4)
     ]
     s = df.select(F.col("image_id").alias("id"), F.col("phash").alias("sig"), *q)
-    pairs = None
+    exploded = None
     for i in range(4):
-        a = s.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"q{i}").alias("bk"))
-        b = s.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"q{i}").alias("bk"))
-        p = a.join(b, on="bk").where(F.col("id_a") < F.col("id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+        e = s.select(
+            F.lit(i).alias("band"), F.col(f"q{i}").alias("bk"),
+            F.col("id"), F.col("sig"),
+        )
+        exploded = e if exploded is None else exploded.unionByName(e)
+    w = Window.partitionBy("band", "bk").orderBy("id")
+    exploded = exploded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= pair_cap
+    )
+    a = exploded.select("band", "bk", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = exploded.select("band", "bk", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        pairs.withColumn("hamming", ham)
+        a.join(b, on=["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -366,3 +366,79 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_simhash_near_pairs_banded_recall_and_cap(spark):
+    """Round-2 fix: pigeonhole bands + pair_cap.  (a) recall: every
+    pair within max_hamming survives the banded bucketing (checked vs
+    an all-pairs numpy oracle on random signatures); (b) a degenerate
+    bucket (identical signatures) is truncated by pair_cap instead of
+    going quadratic."""
+    import itertools
+
+    from proj_spark.operators.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(9)
+    sigs = rng.integers(0, 1 << 16, 300).tolist()
+    # plant some near-dups
+    for i in range(0, 30, 3):
+        sigs[i + 1] = sigs[i] ^ 1          # hamming 1
+        sigs[i + 2] = sigs[i] ^ 0x8001     # hamming 2
+    df = spark.createDataFrame([Row(doc_id=i, simhash=int(s)) for i, s in enumerate(sigs)])
+    got = {(r.id_a, r.id_b) for r in simhash_near_pairs(df, max_hamming=2, bits=16).collect()}
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(range(300), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    assert got == exp  # guaranteed recall at hamming <= bands-1
+
+    # cap: 50 identical signatures with pair_cap=10 -> C(10,2) pairs max
+    df2 = spark.createDataFrame([Row(doc_id=i, simhash=42) for i in range(50)])
+    n = simhash_near_pairs(df2, max_hamming=2, bits=16, pair_cap=10).count()
+    assert n == 45  # C(10,2), not C(50,2)=1225
+
+
+def test_phash_dedup_pairs_cap(spark):
+    from proj_spark.operators.multimodal import phash_dedup_pairs
+
+    df = spark.createDataFrame([Row(image_id=f"i{i:03d}", phash=7) for i in range(40)])
+    n = phash_dedup_pairs(df, max_hamming=2, pair_cap=8).count()
+    assert n == 28  # C(8,2), truncated bucket
+
+
+def test_token_dictionary_vocab_guard(spark):
+    from proj_spark.operators.dedup import token_dictionary, tokenize
+
+    rows = [Row(doc_id=i, text=f"tok{i} common word") for i in range(30)]
+    df = tokenize(spark.createDataFrame(rows))
+    with pytest.raises(ValueError, match="max_vocab"):
+        token_dictionary(df, max_vocab=5)
+    ok = token_dictionary(df, max_vocab=1000)
+    assert ok.count() == 32  # 30 unique + 'common' + 'word'
+
+
+def test_knn_ring_escalation_on_sparse_data(spark, caplog):
+    """Sparse candidates at fine resolution: most queries fail ring-1
+    coverage; the join must escalate the ring (logged) and still match
+    brute force exactly — not silently brute-force everything."""
+    import logging
+
+    from proj_spark.operators.knn import knn_join, knn_join_bruteforce
+
+    cand = _synth_points(spark, 120).select(F.col("point_id").alias("cid"), "lon", "lat")
+    q = _synth_points(spark, 400).where(F.col("point_id") % 16 == 0).select(
+        F.col("point_id").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    kw = dict(q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat", k=4)
+    bf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_join_bruteforce(q, cand, **kw).collect()
+    }
+    with caplog.at_level(logging.WARNING, logger="proj_spark.operators.knn"):
+        pr = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in knn_join(q, cand, res=8, ring=1, **kw).collect()
+        }
+    assert bf == pr
+    assert any("escalating failing subset" in r.message for r in caplog.records)
