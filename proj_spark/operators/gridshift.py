@@ -203,7 +203,13 @@ def _load_grid_file(tok: str) -> list[ShiftGrid] | None:
     for path in candidates:
         if not os.path.isfile(path):
             continue
-        loaded = open_grid(path)
+        try:
+            loaded = open_grid(path)
+        except ValueError:
+            # unreadable/corrupt file == the reference's "missing"
+            # format stub (pj_gridinfo.c:861-866): optional entries
+            # skip it, required ones raise at the caller
+            return None
         if isinstance(loaded, ShiftGrid):
             return [loaded]
         if isinstance(loaded, list):

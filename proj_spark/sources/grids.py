@@ -241,23 +241,236 @@ def read_gtx(path: str):
     return ll_lat, ll_lon, dlat, dlon, h.astype(np.float32)
 
 
+# ------------------------------------------------------------- CTABLE v1
+_CTABLE1_HDR = 128  # struct CTABLE on LP64: id[80] + 2*LP(16) + ILP(8) + ptr(8)
+
+
+def write_ctable(grid: ShiftGrid, path: str) -> None:
+    """Original platform-specific CTABLE dump (nad2bin.c 'ctable'
+    output: raw struct followed by FLP pairs, little-endian host)."""
+    hdr = bytearray(_CTABLE1_HDR)
+    gid = grid.grid_id.encode()[:79]
+    hdr[0 : len(gid)] = gid
+    struct.pack_into("<dddd", hdr, 80, grid.ll_lam, grid.ll_phi, grid.del_lam, grid.del_phi)
+    struct.pack_into("<ii", hdr, 112, grid.lim_lam, grid.lim_phi)
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(np.ascontiguousarray(grid.cvs, dtype="<f4").tobytes())
+
+
+def read_ctable(path: str) -> ShiftGrid:
+    """Original CTABLE reader (nad_ctable_init/_load, nad_init.c:80-150):
+    a raw struct dump — id[80], ll, del (radians, float64), lim (int32
+    pair), dangling cvs pointer — then float32 (lam,phi) pairs."""
+    with open(path, "rb") as f:
+        hdr = f.read(_CTABLE1_HDR)
+        if len(hdr) < _CTABLE1_HDR:
+            raise ValueError(f"{path}: truncated CTABLE header")
+        gid = hdr[0:80].split(b"\x00", 1)[0].decode(errors="replace").strip()
+        ll_lam, ll_phi, del_lam, del_phi = struct.unpack_from("<dddd", hdr, 80)
+        lim_lam, lim_phi = struct.unpack_from("<ii", hdr, 112)
+        if not (1 <= lim_lam <= 100000 and 1 <= lim_phi <= 100000):
+            raise ValueError(f"{path}: implausible CTABLE dims")
+        data = np.frombuffer(f.read(lim_lam * lim_phi * 8), dtype="<f4")
+    cvs = data.reshape(lim_phi, lim_lam, 2).copy()
+    return ShiftGrid(
+        grid_id=gid or os.path.basename(path),
+        ll_lam=ll_lam,
+        ll_phi=ll_phi,
+        del_lam=del_lam,
+        del_phi=del_phi,
+        lim_lam=lim_lam,
+        lim_phi=lim_phi,
+        cvs=cvs,
+    )
+
+
+# ------------------------------------------------------------------- NTv1
+def read_ntv1(path: str) -> ShiftGrid:
+    """NTv1 Canadian grid (pj_gridinfo.c:624-709 header + 196-262 data):
+    176-byte header of labeled big-endian fields, then float64
+    (phi_sec, lam_sec) pairs with columns stored east->west; lam kept
+    positive-west like NTv2."""
+    with open(path, "rb") as f:
+        hdr = f.read(176)
+        if len(hdr) < 176 or hdr[:6] != b"HEADER":
+            raise ValueError(f"{path}: not an NTv1 file")
+        (nrec,) = struct.unpack_from(">i", hdr, 8)
+        if nrec != 12:
+            raise ValueError(f"{path}: NTv1 wrong record count")
+        ll_phi_deg = struct.unpack_from(">d", hdr, 24)[0]
+        ur_phi_deg = struct.unpack_from(">d", hdr, 40)[0]
+        ur_lam_deg = -struct.unpack_from(">d", hdr, 56)[0]
+        ll_lam_deg = -struct.unpack_from(">d", hdr, 72)[0]
+        del_phi_deg = struct.unpack_from(">d", hdr, 88)[0]
+        del_lam_deg = struct.unpack_from(">d", hdr, 104)[0]
+        lim_lam = int(abs(ur_lam_deg - ll_lam_deg) / del_lam_deg + 0.5) + 1
+        lim_phi = int(abs(ur_phi_deg - ll_phi_deg) / del_phi_deg + 0.5) + 1
+        raw = np.frombuffer(f.read(lim_lam * lim_phi * 16), dtype=">f8").reshape(
+            lim_phi, lim_lam, 2
+        )
+    # file pairs are (phi, lam) arcsec with columns east->west; reverse
+    # columns, keep values un-negated (positive west)
+    phi_sec = raw[:, ::-1, 0]
+    lam_sec = raw[:, ::-1, 1]
+    cvs = np.stack(
+        [lam_sec * _SEC2R, phi_sec * _SEC2R], axis=-1
+    ).astype(np.float32)
+    return ShiftGrid(
+        grid_id=os.path.basename(path),
+        ll_lam=ll_lam_deg * _D2R,
+        ll_phi=ll_phi_deg * _D2R,
+        del_lam=del_lam_deg * _D2R,
+        del_phi=del_phi_deg * _D2R,
+        lim_lam=lim_lam,
+        lim_phi=lim_phi,
+        cvs=cvs,
+    )
+
+
+def _ntv1_label(field: bytes, pos: int, hdr: bytearray) -> None:
+    hdr[pos : pos + len(field)] = field
+
+
+def write_ntv1(grid: ShiftGrid, path: str) -> None:
+    """NTv1 writer (for fixtures/tests): labeled big-endian header
+    fields at the offsets pj_gridinfo_init_ntv1 reads, then float64
+    (phi_sec, lam_sec) pairs east->west."""
+    hdr = bytearray(176)
+    _ntv1_label(b"HEADER", 0, hdr)
+    struct.pack_into(">i", hdr, 8, 12)
+    _ntv1_label(b"S LAT", 16, hdr)
+    struct.pack_into(">d", hdr, 24, grid.ll_phi / _D2R)
+    _ntv1_label(b"N LAT", 32, hdr)
+    struct.pack_into(">d", hdr, 40, (grid.ll_phi + grid.del_phi * (grid.lim_phi - 1)) / _D2R)
+    _ntv1_label(b"E LONG", 48, hdr)
+    struct.pack_into(">d", hdr, 56, -(grid.ll_lam + grid.del_lam * (grid.lim_lam - 1)) / _D2R)
+    _ntv1_label(b"W LONG", 64, hdr)
+    struct.pack_into(">d", hdr, 72, -grid.ll_lam / _D2R)
+    _ntv1_label(b"N GRID", 80, hdr)
+    struct.pack_into(">d", hdr, 88, grid.del_phi / _D2R)
+    _ntv1_label(b"W GRID", 96, hdr)
+    struct.pack_into(">d", hdr, 104, grid.del_lam / _D2R)
+    _ntv1_label(b"TYPE", 112, hdr)
+    _ntv1_label(b"SECONDS", 120, hdr)
+    _ntv1_label(b"FROM", 128, hdr)
+    _ntv1_label(b"NAD27", 136, hdr)
+    _ntv1_label(b"TO      NAD83   ", 144, hdr)
+    lam_sec = (grid.cvs[:, ::-1, 0] / np.float32(_SEC2R)).astype(">f8")
+    phi_sec = (grid.cvs[:, ::-1, 1] / np.float32(_SEC2R)).astype(">f8")
+    body = np.stack([phi_sec, lam_sec], axis=-1).astype(">f8")
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(body.tobytes())
+
+
+# -------------------------------------------------------------- .lla ASCII
+_USEC_TO_RAD = 4.848136811095359935899141023e-12  # nad2bin.c U_SEC_TO_RAD
+
+
+def parse_lla(text: str) -> ShiftGrid:
+    """Parse the nad2bin ASCII grid source (.lla): header line, dims
+    line ``lim.lam lim.phi <skip> ll.lam del.lam ll.phi del.phi``
+    (degrees), then per-row delta-encoded integer micro-arcsec pairs
+    (nad2bin.c:100-141)."""
+    lines = text.splitlines()
+    grid_id = lines[0].strip()
+    rest = " ".join(lines[1:]).split()
+    it = iter(rest)
+
+    def nxt():
+        return next(it)
+
+    lim_lam = int(nxt())
+    lim_phi = int(nxt())
+    nxt()  # skipped field
+    ll_lam = float(nxt())
+    del_lam = float(nxt())
+    ll_phi = float(nxt())
+    del_phi = float(nxt())
+    cvs = np.zeros((lim_phi, lim_lam, 2), dtype=np.float32)
+    for i in range(lim_phi):
+        row_tag = nxt()
+        if not row_tag.endswith(":"):
+            # "0: 12 34" may tokenize as "0:" or "0:12" — handle both
+            if ":" in row_tag:
+                tag, first = row_tag.split(":", 1)
+                assert int(tag) == i, (tag, i)
+                laml = int(first) if first else int(nxt())
+            else:
+                raise ValueError(f"bad row tag {row_tag!r}")
+        else:
+            assert int(row_tag[:-1]) == i, (row_tag, i)
+            laml = int(nxt())
+        phil = int(nxt())
+        cvs[i, 0, 0] = laml * _USEC_TO_RAD
+        cvs[i, 0, 1] = phil * _USEC_TO_RAD
+        for j in range(1, lim_lam):
+            laml += int(nxt())
+            phil += int(nxt())
+            cvs[i, j, 0] = laml * _USEC_TO_RAD
+            cvs[i, j, 1] = phil * _USEC_TO_RAD
+    return ShiftGrid(
+        grid_id=grid_id,
+        ll_lam=ll_lam * _D2R,
+        ll_phi=ll_phi * _D2R,
+        del_lam=del_lam * _D2R,
+        del_phi=del_phi * _D2R,
+        lim_lam=lim_lam,
+        lim_phi=lim_phi,
+        cvs=cvs,
+    )
+
+
+def compile_lla(text: str, path: str, fmt: str = "ctable2") -> ShiftGrid:
+    """nad2bin analog: .lla source -> binary grid file."""
+    g = parse_lla(text)
+    if fmt == "ctable2":
+        write_ctable2(g, path)
+    elif fmt == "ctable":
+        write_ctable(g, path)
+    elif fmt == "ntv2":
+        write_ntv2([g], path)
+    elif fmt == "ntv1":
+        write_ntv1(g, path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return g
+
+
 # ----------------------------------------------------------------- sniffer
 def open_grid(path: str):
-    """Magic-bytes dispatch (ref pj_gridinfo.c:822-934): returns a
-    list[ShiftGrid] for horizontal grids, or the GTX tuple for
+    """Magic-bytes dispatch in the reference's order
+    (pj_gridinfo.c:872-934: NTv1 labels, NTv2 records, .gtx extension,
+    CTABLE2 magic, CTABLE-v1 fallback with plausibility checks):
+    returns list[ShiftGrid] for horizontal grids, a GTX tuple for
     vertical grids."""
     with open(path, "rb") as f:
-        head = f.read(16)
+        head = f.read(160)
+    if (
+        head[0:6] == b"HEADER"
+        and head[96:102] == b"W GRID"
+        and head[144:160] == b"TO      NAD83   "
+    ):
+        return [read_ntv1(path)]
+    if head[:8].rstrip() == b"NUM_OREC" and head[48:55] == b"GS_TYPE":
+        return read_ntv2(path)
+    if path.lower().endswith("gtx"):
+        ll_lat, ll_lon, dlat, dlon, h = read_gtx(path)
+        return (ll_lat, ll_lon, dlat, dlon, h)
     if head[:16] == _CTABLE2_MAGIC:
         return [read_ctable2(path)]
-    if head[:8].rstrip() == b"NUM_OREC":
-        return read_ntv2(path)
-    # GTX has no magic; the reference sanity-checks the header values
+    # GTX without extension: sanity-check header plausibility first
     try:
         ll_lat, ll_lon, dlat, dlon, h = read_gtx(path)
         if -90.0 <= ll_lat <= 90.0 and 0.0 < dlat < 10.0:
             return (ll_lat, ll_lon, dlat, dlon, h)
     except Exception:  # noqa: BLE001
+        pass
+    # CTABLE v1 fallback, validated like nad_ctable_init
+    try:
+        return [read_ctable(path)]
+    except ValueError:
         pass
     raise ValueError(f"{path}: unrecognized grid format")
 

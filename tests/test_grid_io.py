@@ -211,3 +211,101 @@ def test_geoidgrids_from_gtx_file(tmp_path):
     # inverse direction recovers
     _, _, zb = transform_arrays("+proj=latlong +datum=WGS84", src, [-105.0], [35.0], [z[0]])
     assert zb[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ctable_v1_roundtrip(grid, tmp_path):
+    from proj_spark.sources.grids import read_ctable, write_ctable
+
+    p = str(tmp_path / "g.ct1")
+    write_ctable(grid, p)
+    g2 = read_ctable(p)
+    assert g2.grid_id == "testgrid"
+    assert (g2.lim_lam, g2.lim_phi) == (grid.lim_lam, grid.lim_phi)
+    assert np.array_equal(g2.cvs, grid.cvs)
+    # sniffer falls through to the v1 reader
+    assert open_grid(p)[0].grid_id == "testgrid"
+
+
+def test_ntv1_roundtrip_and_sniff(grid, tmp_path):
+    from proj_spark.sources.grids import read_ntv1, write_ntv1
+
+    p = str(tmp_path / "g.dat")
+    write_ntv1(grid, p)
+    g2 = read_ntv1(p)
+    assert (g2.lim_lam, g2.lim_phi) == (grid.lim_lam, grid.lim_phi)
+    # NTv1 stores float64 arcsec; values derived from float32 radians
+    # roundtrip to float32-exactness
+    np.testing.assert_allclose(g2.cvs, grid.cvs, atol=1e-12)
+    assert open_grid(p)[0].lim_lam == grid.lim_lam
+    # applied shifts are equivalent through the full pipeline math
+    rng = np.random.default_rng(2)
+    lam = np.radians(rng.uniform(-124, -66, 100))
+    phi = np.radians(rng.uniform(25, 53, 100))
+    l1, p1 = apply_gridshift([grid], False, lam, phi)
+    l2, p2 = apply_gridshift([g2], False, lam, phi)
+    np.testing.assert_allclose(l2, l1, atol=2e-12)
+    np.testing.assert_allclose(p2, p1, atol=2e-12)
+
+
+def test_multigrid_first_match_ordering(tmp_path):
+    """testdatumfile analog (nad/testdatumfile:37-50): gridlist
+    '@conus_v1,@canada_ntv1' — a CONUS point uses the first grid, a
+    Canada-only point falls through to the NTv1 grid, an uncovered
+    point passes through unshifted."""
+    from proj_spark.operators.gridshift import resolve_gridlist
+    from proj_spark.sources.grids import write_ctable, write_ntv1
+
+    conus = make_synthetic_grid("conus_v1", ll_lon_deg=-125.0, ll_lat_deg=24.0,
+                                n_lon=61, n_lat=26, amp_arcsec=2.0)
+    canada = make_synthetic_grid("canada_n1", ll_lon_deg=-141.0, ll_lat_deg=40.0,
+                                 n_lon=81, n_lat=31, amp_arcsec=4.0)
+    pc = str(tmp_path / "conus")
+    pn = str(tmp_path / "ntv1_can.dat")
+    write_ctable(conus, pc)
+    write_ntv1(canada, pn)
+    grids = resolve_gridlist(f"@{pc},@{pn},@{tmp_path}/missing_optional")
+    assert len(grids) == 2
+    lam = np.radians(np.array([-100.0, -120.0, -100.0, 10.0]))
+    phi = np.radians(np.array([35.0, 60.0, 45.0, 0.0]))
+    out_lam, out_phi = apply_gridshift(grids, False, lam, phi)
+    # point 0: conus only; point 1: canada only; point 3: nowhere
+    assert out_lam[0] != lam[0] and out_lam[1] != lam[1]
+    assert out_lam[3] == lam[3] and out_phi[3] == phi[3]
+    # point 2 (-100, 45): covered by BOTH -> first in list (conus) wins
+    exp_lam, exp_phi = apply_gridshift([conus], False, lam[2:3], phi[2:3])
+    assert out_lam[2] == exp_lam[0] and out_phi[2] == exp_phi[0]
+
+
+def test_lla_parse_reference_null_and_compile(tmp_path):
+    """Parse the reference's shipped null.lla verbatim, and compile a
+    synthetic .lla through every output format (nad2bin analog)."""
+    import os
+
+    from proj_spark.sources.grids import compile_lla, parse_lla, read_ctable2
+
+    null_path = "/root/reference/nad/null.lla"
+    if os.path.isfile(null_path):
+        g = parse_lla(open(null_path).read())
+        assert (g.lim_lam, g.lim_phi) == (3, 3)
+        assert np.all(g.cvs == 0.0)
+        assert g.grid_id == "Null transform for whole world"
+
+    # synthetic delta-encoded source: values in micro-arcsec
+    text = (
+        "tiny test grid\n"
+        "   3   2   1  -120.00000     1.00000    30.00000   1.00000\n"
+        "0: 1000000 2000000 10 20 10 20\n"
+        "1: 1000020 2000040 10 20 10 20\n"
+    )
+    g = parse_lla(text)
+    assert (g.lim_lam, g.lim_phi) == (3, 2)
+    # row 0: lam values 1000000, 1000010, 1000020 micro-arcsec
+    usec = 4.848136811095359935899141023e-12
+    np.testing.assert_allclose(
+        g.cvs[0, :, 0], np.float32([1000000 * usec, 1000010 * usec, 1000020 * usec])
+    )
+    for fmt in ["ctable", "ctable2", "ntv2", "ntv1"]:
+        p = str(tmp_path / f"c.{fmt}")
+        compile_lla(text, p, fmt=fmt)
+        loaded = open_grid(p)
+        assert loaded[0].lim_lam == 3
