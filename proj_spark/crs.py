@@ -283,12 +283,40 @@ def _compile(defn: str) -> CRS:
         es = 0.0
     if a <= 0.0:
         raise ValueError(f"invalid semi-major axis in {defn!r}")
-    # spherification switches (subset: R_A used by some kernels)
-    if "R_A" in params:
-        SIXTH = 0.1666666666666666667
-        RA4 = 0.04722222222222222222
-        RA6 = 0.02215608465608465608
+    # spherification switches (pj_ell_set.c:60-88, full set); b is the
+    # derived minor axis at this point
+    _b = a * math.sqrt(1.0 - es)
+    SIXTH = 0.1666666666666666667
+    RA4 = 0.04722222222222222222
+    RA6 = 0.02215608465608465608
+    RV4 = 0.06944444444444444444  # 5/72
+    RV6 = 0.04243827160493827160  # 55/1296
+    if "R_A" in params:  # sphere with the ellipsoid's area
         a *= 1.0 - es * (SIXTH + es * (RA4 + es * RA6))
+        es = 0.0
+    elif "R_V" in params:  # sphere with the ellipsoid's volume
+        a *= 1.0 - es * (SIXTH + es * (RV4 + es * RV6))
+        es = 0.0
+    elif "R_a" in params:  # arithmetic mean of semi-axes
+        a = 0.5 * (a + _b)
+        es = 0.0
+    elif "R_g" in params:  # geometric mean
+        a = math.sqrt(a * _b)
+        es = 0.0
+    elif "R_h" in params:  # harmonic mean
+        a = 2.0 * a * _b / (a + _b)
+        es = 0.0
+    elif "R_lat_a" in params or "R_lat_g" in params:
+        # arithmetic / geometric mean of principal radii at a latitude
+        arith = "R_lat_a" in params
+        tmp = math.sin(dmstor(str(params["R_lat_a" if arith else "R_lat_g"])))
+        if abs(tmp) > 1.0:
+            raise ValueError("|R_lat_*| must be <= 90")
+        tmp = 1.0 - es * tmp * tmp
+        if arith:
+            a *= 0.5 * (1.0 - es + tmp) / (tmp * math.sqrt(tmp))
+        else:
+            a *= math.sqrt(1.0 - es) / tmp
         es = 0.0
 
     one_es = 1.0 - es

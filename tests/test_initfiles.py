@@ -57,3 +57,39 @@ def test_get_def_roundtrip():
     x1, y1, _ = transform_arrays("+proj=latlong +ellps=bessel", c, lon, lat)
     x2, y2, _ = transform_arrays("+proj=latlong +ellps=bessel", d, lon, lat)
     assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+
+def test_spherification_variants():
+    """pj_ell_set.c:60-88 R_* switches (full set, round-2 addition)."""
+    import math
+
+    from proj_spark.crs import CRS
+
+    a_w, b_w = 6378137.0, 6356752.314245179
+    cases = {
+        "+R_A": 6371007.180918,   # authalic (equal area)
+        "+R_V": 6371000.790009,   # equal volume
+        "+R_a": 0.5 * (a_w + b_w),
+        "+R_g": math.sqrt(a_w * b_w),
+        "+R_h": 2.0 * a_w * b_w / (a_w + b_w),
+    }
+    for flag, exp in cases.items():
+        crs = CRS.from_proj4(f"+proj=merc +ellps=WGS84 {flag}")
+        assert crs.es == 0.0, flag
+        assert abs(crs.a - exp) < 0.5, (flag, crs.a, exp)
+    # latitude-mean variants at 45 deg
+    es = 0.0066943799901413165
+    t = 1.0 - es * 0.5
+    crs = CRS.from_proj4("+proj=merc +ellps=WGS84 +R_lat_a=45")
+    assert abs(crs.a - a_w * 0.5 * (1.0 - es + t) / (t * math.sqrt(t))) < 1e-6
+    crs = CRS.from_proj4("+proj=merc +ellps=WGS84 +R_lat_g=45")
+    assert abs(crs.a - a_w * math.sqrt(1.0 - es) / t) < 1e-6
+    # R_* changes projected output end-to-end
+    from proj_spark.plans.pipeline import transform_arrays
+
+    x1, _, _ = transform_arrays("+proj=latlong +ellps=WGS84",
+                                "+proj=merc +ellps=WGS84 +R_A", [10.0], [0.0])
+    x2, _, _ = transform_arrays("+proj=latlong +ellps=WGS84",
+                                "+proj=merc +ellps=WGS84", [10.0], [0.0])
+    assert abs(x1[0] - 6371007.180918 * math.radians(10.0)) < 0.01
+    assert x1[0] != x2[0]
