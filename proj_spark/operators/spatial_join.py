@@ -158,21 +158,53 @@ def point_in_polygon_join(
         "cell", "poly_id", "poly_seq", "edges", "full"
     )
     pts = points.withColumn("_cell", E.cell_id(lon, lat, res))
-    cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
-    # fully-interior cells skip the (non-codegen) ray-cast refinement
-    hit = cand.where(F.col("full") | _inside_expr(lon, lat)).drop(
-        "cell", "_cell", "edges", "full"
-    )
 
     if how == "all":
-        return hit
-    firsts = (
-        hit.groupBy(point_id)
-        .agg(F.min(F.struct("poly_seq", "poly_id")).alias("_m"))
-        .select(point_id, F.col("_m.poly_id").alias("poly_id"), F.col("_m.poly_seq").alias("poly_seq"))
+        cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
+        # fully-interior cells skip the (non-codegen) ray-cast refinement
+        return cand.where(F.col("full") | _inside_expr(lon, lat)).drop(
+            "cell", "_cell", "edges", "full"
+        )
+
+    if how not in ("first_match", "left_first"):
+        raise ValueError(f"unknown how={how!r}")
+
+    # first-match WITHOUT any per-point aggregation: the SMALL cover is
+    # pre-grouped into one row per cell with a seq-sorted candidate
+    # array (driver-side shuffle of ~10^3 rows), broadcast, and each
+    # point selects its first containing candidate as ONE native
+    # expression — the 10^12-row side sees a broadcast join plus a
+    # projection, ZERO exchanges.  (Correct because a point belongs to
+    # exactly one cell, so all its candidates arrive in one array.)
+    cell_cands = cover.groupBy("cell").agg(
+        F.sort_array(
+            F.collect_list(F.struct("poly_seq", "poly_id", "full", "edges"))
+        ).alias("_cands")
     )
+    j = pts.join(
+        F.broadcast(cell_cands),
+        pts["_cell"] == cell_cands["cell"],
+        "left" if how == "left_first" else "inner",
+    )
+    first = F.get(
+        F.expr(
+            f"filter(_cands, c -> c.full OR ("
+            f"size(filter(c.edges, e -> "
+            f"((e.y1 > {lat}) != (e.y2 > {lat})) AND "
+            f"{lon} < (e.x2 - e.x1) * ({lat} - e.y1) / (e.y2 - e.y1) + e.x1"
+            f")) % 2 = 1))"
+        ),
+        F.lit(0),
+    )
+    out = j.withColumn("_m", first)
     if how == "first_match":
-        return firsts
-    if how == "left_first":
-        return points.join(firsts, on=point_id, how="left")
-    raise ValueError(f"unknown how={how!r}")
+        return out.where(F.col("_m").isNotNull()).select(
+            point_id,
+            F.col("_m.poly_id").alias("poly_id"),
+            F.col("_m.poly_seq").alias("poly_seq"),
+        )
+    return out.select(
+        *[points[c] for c in points.columns],
+        F.col("_m.poly_id").alias("poly_id"),
+        F.col("_m.poly_seq").alias("poly_seq"),
+    )

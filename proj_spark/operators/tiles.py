@@ -53,14 +53,48 @@ def tile_counts(
 ) -> DataFrame:
     """Rows per tile per zoom — the canonical raster rollup.
 
-    Single shuffle on tile_key; count is algebraic so map-side combine
-    neutralizes hot-tile skew.
+    Multi-zoom requests are computed HIERARCHICALLY: the big table is
+    aggregated once at the finest zoom only (one narrow pass, one
+    partial-agg shuffle whose volume is the distinct finest tiles),
+    and coarser zooms are exact quadtree rollups of that small
+    aggregate (tile_x_z = tile_x_fine >> dz, counts sum) — identical
+    output to per-zoom aggregation, ~|zooms|x less narrow work and
+    shuffle than the old explode form.  Count is algebraic so map-side
+    combine neutralizes hot-tile skew.
     """
-    return (
-        assign_tiles(df, zooms, lon, lat)
-        .groupBy("zoom", "tile_x", "tile_y")
+    zmax = max(zooms)
+    fine = (
+        df.select(
+            E.tile_x(lon, F.lit(zmax)).alias("tile_x"),
+            E.tile_y(lat, F.lit(zmax)).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if len(zooms) == 1 and zooms[0] == zmax:
+        return fine.select(
+            F.lit(zmax).cast("int").alias("zoom"), "tile_x", "tile_y", "n"
+        )
+    fine = fine.cache()
+    parts = []
+    for z in zooms:
+        dz = zmax - z
+        parts.append(
+            fine.groupBy(
+                F.shiftright(F.col("tile_x"), dz).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), dz).alias("tile_y"),
+            )
+            .agg(F.sum("n").alias("n"))
+            .select(F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y", "n")
+            if dz
+            else fine.select(
+                F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y", "n"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def tile_bounds(zoom_col: str = "zoom", tx: str = "tile_x", ty: str = "tile_y"):
