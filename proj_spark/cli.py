@@ -25,7 +25,7 @@ from .kernels.xmath import RAD_TO_DEG
 from .plans.pipeline import transform_arrays
 
 
-def _parse_lines(lines):
+def _parse_lines(lines, dms: bool = True):
     us, vs, zs, tails = [], [], [], []
     for line in lines:
         line = line.rstrip("\n")
@@ -44,10 +44,17 @@ def _parse_lines(lines):
             except ValueError:
                 tail = " ".join(toks[2:])
         # unparseable coordinate -> NaN lane -> '*' output line, like the
-        # reference's HUGE_VAL handling (cs2cs.c:99-100,123)
+        # reference's HUGE_VAL handling (cs2cs.c:99-100,123).  Projected
+        # inputs parse as plain floats (informat=strtod when the source
+        # is not latlong, cs2cs.c:405-408) — running them through dmstor
+        # would wobble the value by the vm[0]*RAD_TO_DEG ulp.
         try:
-            uu = dmstor(u) * RAD_TO_DEG
-            vv = dmstor(v) * RAD_TO_DEG
+            if dms:
+                uu = dmstor(u) * RAD_TO_DEG
+                vv = dmstor(v) * RAD_TO_DEG
+            else:
+                uu = float(u)
+                vv = float(v)
         except ValueError:
             uu = vv = float("nan")
         us.append(uu)
@@ -72,7 +79,7 @@ def cmd_cs2cs(args) -> int:
     src = CRS.from_proj4(args.src)
     dst = CRS.from_proj4(args.dst)
     lines = list(args.infile)
-    u, v, z, tails = _parse_lines(lines)
+    u, v, z, tails = _parse_lines(lines, dms=src.is_latlong)
     # cs2cs input order is lon lat for latlong CRS (matching our deg API)
     x, y, zo = transform_arrays(src, dst, u, v, z)
     echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None

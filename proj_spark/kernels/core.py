@@ -616,12 +616,12 @@ def setup_cea(crs) -> CompiledProj:
 
 def _authset(es: float):
     # src/pj_auth.c pj_authset
-    P00 = 0.33333333333333333333
-    P01 = 0.17222222222222222222
-    P02 = 0.10257936507936507936
-    P10 = 0.06388888888888888888
-    P11 = 0.06640211640211640211
-    P20 = 0.01641501294219154443
+    P00 = 0.33333333333333333333  # 1/3
+    P01 = 0.17222222222222222222  # 31/180
+    P02 = 0.10257936507936507937  # 517/5040
+    P10 = 0.06388888888888888888  # 23/360
+    P11 = 0.06640211640211640212  # 251/3780
+    P20 = 0.01677689594356261023  # 761/45360
     t = es * es
     apa0 = es * P00 + t * P01 + t * es * P02
     apa1 = t * P10 + t * es * P11
@@ -920,11 +920,14 @@ def healpix_sphere_fwd(lam, phi):
 
 
 def healpix_sphere_inv(x, y):
-    """Inverse of :func:`healpix_sphere_fwd` (ref PJ_healpix.c:238-270)."""
+    """Inverse of :func:`healpix_sphere_fwd` (ref PJ_healpix.c:239-263):
+    equatorial belt, polar facets, and the |y| >= pi/2 pole branch
+    (lam pinned to -pi exactly, like the reference)."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     # equatorial belt boundary in projected space: y = 3pi/8 * (2/3) = pi/4
     eq = np.abs(y) <= PI / 4.0
+    pole = np.abs(y) >= PI / 2.0
     lam_eq = x
     phi_eq = np.arcsin(np.clip(8.0 * y / (3.0 * PI), -1.0, 1.0))
     cn = np.floor(2.0 * x / PI + 2.0)
@@ -934,4 +937,58 @@ def healpix_sphere_inv(x, y):
     with np.errstate(divide="ignore", invalid="ignore"):
         lam_po = np.where(tau != 0.0, xc + (x - xc) / np.where(tau == 0.0, 1.0, tau), xc)
     phi_po = np.sign(y) * np.arcsin(np.clip(1.0 - tau * tau / 3.0, -1.0, 1.0))
-    return np.where(eq, lam_eq, lam_po), np.where(eq, phi_eq, phi_po)
+    lam = np.where(eq, lam_eq, np.where(pole, -PI, lam_po))
+    phi = np.where(eq, phi_eq, np.where(pole, np.sign(y) * PI / 2.0, phi_po))
+    return lam, phi
+
+
+_HEALPIX_EPS = 1e-15  # PJ_healpix.c:54
+
+
+def healpix_in_image(x, y):
+    """Vectorized pnpoly over the jittered HEALPix image polygon
+    (PJ_healpix.c:103-168): True where (x, y) is inside (or exactly on
+    a vertex).  Mirrors the reference's quirks exactly — the unclosed
+    vertex walk and the <=-style crossing test."""
+    E = _HEALPIX_EPS
+    verts = [
+        (-PI - E, PI / 4.0),
+        (-3.0 * PI / 4.0, PI / 2.0 + E),
+        (-PI / 2.0, PI / 4.0 + E),
+        (-PI / 4.0, PI / 2.0 + E),
+        (0.0, PI / 4.0 + E),
+        (PI / 4.0, PI / 2.0 + E),
+        (PI / 2.0, PI / 4.0 + E),
+        (3.0 * PI / 4.0, PI / 2.0 + E),
+        (PI + E, PI / 4.0),
+        (PI + E, -PI / 4.0),
+        (3.0 * PI / 4.0, -PI / 2.0 - E),
+        (PI / 2.0, -PI / 4.0 - E),
+        (PI / 4.0, -PI / 2.0 - E),
+        (0.0, -PI / 4.0 - E),
+        (-PI / 4.0, -PI / 2.0 - E),
+        (-PI / 2.0, -PI / 4.0 - E),
+        (-3.0 * PI / 4.0, -PI / 2.0 - E),
+        (-PI - E, -PI / 4.0),
+    ]
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    on_vertex = np.zeros(x.shape, dtype=bool)
+    for vx, vy in verts:
+        on_vertex |= (x == vx) & (y == vy)
+    counter = np.zeros(x.shape, dtype=np.int64)
+    p1x, p1y = verts[0]
+    for i in range(1, len(verts)):  # unclosed walk, like the reference
+        p2x, p2y = verts[i]
+        cond = (
+            (y > min(p1y, p2y))
+            & (y <= max(p1y, p2y))
+            & (x <= max(p1x, p2x))
+            & (p1y != p2y)
+        )
+        if p1y != p2y:
+            xinters = (y - p1y) * (p2x - p1x) / (p2y - p1y) + p1x
+            cross = cond & ((p1x == p2x) | (x <= xinters))
+            counter += cross.astype(np.int64)
+        p1x, p1y = p2x, p2y
+    return on_vertex | (counter % 2 == 1)

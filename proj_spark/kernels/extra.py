@@ -704,9 +704,10 @@ def setup_sts(crs) -> CompiledProj:
         p, q, tan_mode = 1.48875, 1.36509, False
     C_x = q / p
     C_y = p
+    C_p = 1.0 / q  # PJ_sts.c setup: theta = phi * C_p (per 1/q, NOT 1/p)
 
     def fwd(lam, phi):
-        ph = phi / p
+        ph = phi * C_p
         c = np.cos(ph)
         x = C_x * lam * np.cos(phi)
         if tan_mode:
@@ -722,7 +723,7 @@ def setup_sts(crs) -> CompiledProj:
             ph = np.arctan(y / C_y)
         else:
             ph = np.arcsin(np.clip(y / C_y, -1.0, 1.0))
-        phi = ph * p
+        phi = ph / C_p
         c = np.cos(ph)
         lam = x / (C_x * np.cos(phi))
         if tan_mode:

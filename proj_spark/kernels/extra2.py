@@ -379,6 +379,11 @@ def setup_robin(crs) -> CompiledProj:
         [0.9761, 0.00616527, -0.000256, -4.2106e-06],
         [1.0, 0.00328947, -0.000319159, -4.2106e-06],
     ])
+    # the reference stores the coefficients as C `float` (PJ_robin.c
+    # struct COEFS) — golden parity requires the same float32 rounding
+    # before the double-precision cubic evaluation
+    X = X.astype(np.float32).astype(np.float64)
+    Y = Y.astype(np.float32).astype(np.float64)
     FXC = 0.8487
     FYC = 1.3523
     C1 = 11.45915590261646417544  # rad -> 5-degree index
@@ -560,13 +565,26 @@ def setup_healpix(crs) -> CompiledProj:
             return x * ra, y * ra
 
         def inv(x, y):
-            lam, bphi = healpix_sphere_inv(
-                np.asarray(x, np.float64) / ra, np.asarray(y, np.float64) / ra
-            )
-            return lam, _authlat(bphi, apa)
+            from .core import healpix_in_image
+
+            xs = np.asarray(x, np.float64) / ra
+            ys = np.asarray(y, np.float64) / ra
+            ok = healpix_in_image(xs, ys)
+            lam, bphi = healpix_sphere_inv(xs, ys)
+            phi = _authlat(bphi, apa)
+            return np.where(ok, lam, np.nan), np.where(ok, phi, np.nan)
 
     else:
+
         fwd = healpix_sphere_fwd
-        inv = healpix_sphere_inv
+
+        def inv(x, y):
+            from .core import healpix_in_image
+
+            xs = np.asarray(x, np.float64)
+            ys = np.asarray(y, np.float64)
+            ok = healpix_in_image(xs, ys)
+            lam, phi = healpix_sphere_inv(xs, ys)
+            return np.where(ok, lam, np.nan), np.where(ok, phi, np.nan)
 
     return CompiledProj("healpix", fwd, inv, **fr)

@@ -171,7 +171,14 @@ def dms_param(v) -> float:
         return float(v) * DEG_TO_RAD
     from ..crs import dmstor  # local import to avoid cycle at module load
 
-    return dmstor(str(v))
+    try:
+        return dmstor(str(v))
+    except ValueError:
+        # the reference's dmstor consumes nothing and returns 0 for a
+        # non-numeric string (dmstor.c:41 loop never entered, no errno)
+        # — parameter parsing must share that tolerance (e.g. the
+        # unsubstituted LON_POLE/LAT_POLE in nad/testvarious:557)
+        return 0.0
 
 
 def aatan2(y, x):
