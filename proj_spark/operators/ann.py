@@ -19,6 +19,7 @@ Scale notes (10^12 rows x 64 dims):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,6 +122,118 @@ def lsh_topk(
     qp = q.withColumn("_probe", F.explode(F.array(*probes)))
 
     cand = c.join(F.broadcast(qp), c["_sig"] == qp["_probe"], "inner")
+    cos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    cand = cand.withColumn("cos", cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# ----------------------------------------------------------------- IVF
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Driver-side Lloyd k-means on a deterministic bounded sample
+    (TakeOrdered by id — one pass over the corpus, no full collect).
+    Returns float64 [n_centroids, dim].  At 10^12 rows the sample stays
+    the same size; training cost is independent of corpus scale."""
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _assign_udf(cents: np.ndarray, top: int = 1):
+    """pandas UDF: vector -> nearest-centroid id (top=1) or the id
+    array of the ``top`` nearest centroids (vectorized matmul)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = cents.astype(np.float64)
+
+    if top == 1:
+
+        @F.pandas_udf(IntegerType())
+        def one(s: pd.Series) -> pd.Series:
+            X = np.array(s.tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+        return one
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def many(s: pd.Series) -> pd.Series:
+        X = np.array(s.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        idx = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return many
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """IVF cosine top-k: corpus rows carry their nearest-centroid cell
+    (one narrow pandas pass — store it as a partition column at 10^12
+    rows so probes prune at scan time); queries probe their ``nprobe``
+    nearest cells via a broadcast join, then refine with the exact
+    ordered-fold cosine and a per-query top-k window.
+
+    ``nprobe = len(centroids)`` probes every cell and is EXACTLY
+    equivalent to brute force (each corpus row lives in exactly one
+    cell) — the oracle mode; small nprobe is the recall/cost dial.
+    """
+    assign1 = _assign_udf(centroids, top=1)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    ).withColumn("_cell", assign1(F.col("_cv")))
+
+    assign_n = _assign_udf(centroids, top=min(nprobe, len(centroids)))
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_probes", assign_n(F.col("_qv")))
+        .withColumn("_probe", F.explode("_probes"))
+        .drop("_probes")
+    )
+
+    cand = c.join(F.broadcast(q), c["_cell"] == q["_probe"], "inner")
     cos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     cand = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

@@ -442,3 +442,36 @@ def test_knn_ring_escalation_on_sparse_data(spark, caplog):
         }
     assert bf == pr
     assert any("escalating failing subset" in r.message for r in caplog.records)
+
+
+def test_ivf_topk_exact_at_full_probe_and_recall_at_low(spark):
+    """IVF ANN: nprobe=all == brute force exactly; small nprobe keeps
+    high top-k recall on clustered data."""
+    from proj_spark.operators.ann import cosine_topk, ivf_topk, train_centroids
+
+    rng = np.random.default_rng(21)
+    # clustered corpus: 8 gaussian blobs in 16-d
+    centers = rng.standard_normal((8, 16)) * 4.0
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((50, 16)) for i in range(8)]
+    )
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    )
+    q = df.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_centroids(df, n_centroids=8, sample_n=400)
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(df, q, k=5).collect()}
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, q, cents, k=5, nprobe=8).collect()
+    }
+    assert full == bf  # full probe == exact
+
+    low = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, q, cents, k=5, nprobe=2).collect()
+    }
+    hits = sum(1 for kk, v in bf.items() if low.get(kk) == v)
+    assert hits / len(bf) >= 0.9  # high recall at nprobe=2 on blobs
