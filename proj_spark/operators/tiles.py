@@ -75,26 +75,21 @@ def tile_counts(
         return fine.select(
             F.lit(zmax).cast("int").alias("zoom"), "tile_x", "tile_y", "n"
         )
-    fine = fine.cache()
-    parts = []
-    for z in zooms:
-        dz = zmax - z
-        parts.append(
-            fine.groupBy(
-                F.shiftright(F.col("tile_x"), dz).alias("tile_x"),
-                F.shiftright(F.col("tile_y"), dz).alias("tile_y"),
-            )
-            .agg(F.sum("n").alias("n"))
-            .select(F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y", "n")
-            if dz
-            else fine.select(
-                F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y", "n"
-            )
+    # roll the SMALL finest-zoom aggregate up to every requested zoom in
+    # the same plan: explode the zoom list over the aggregate (tiny —
+    # |distinct finest tiles| x |zooms| rows), shift the indices, and
+    # re-aggregate.  One extra (tiny) shuffle, single job, no cache.
+    zoom = F.explode(F.array(*[F.lit(int(z)) for z in zooms])).alias("zoom")
+    return (
+        fine.select("tile_x", "tile_y", "n", zoom)
+        .groupBy(
+            "zoom",
+            F.expr(f"shiftright(tile_x, {int(zmax)} - zoom)").alias("tile_x"),
+            F.expr(f"shiftright(tile_y, {int(zmax)} - zoom)").alias("tile_y"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .agg(F.sum("n").alias("n"))
+        .select(F.col("zoom").cast("int").alias("zoom"), "tile_x", "tile_y", "n")
+    )
 
 
 def tile_bounds(zoom_col: str = "zoom", tx: str = "tile_x", ty: str = "tile_y"):

@@ -95,13 +95,11 @@ def test_tile_rollup_single_big_shuffle(images):
 
     out = tile_counts(images.select("lon", "lat"), [4, 8, 12], "lon", "lat")
     plan = _plan(out)
-    # every zoom branch reads the cached finest-zoom aggregate — the
-    # big input is aggregated once, not once per zoom (the remaining
-    # exchanges operate on the tiny cached aggregate; the pre-cache
-    # child plan is redisplayed per branch, so exchange counts in the
-    # PRINTED plan overstate the executed ones)
-    assert plan.count("InMemoryTableScan") >= 3, plan
-    assert "explode" not in plan.lower(), plan  # no row multiplication
+    # hierarchical: ONE scan + ONE aggregation of the big input at the
+    # finest zoom, then a tiny explode+rollup of that aggregate —
+    # exactly two exchanges, one file scan, in a single job
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 def test_knn_candidate_join_is_broadcast(spark, images):
