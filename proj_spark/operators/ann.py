@@ -242,3 +242,64 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ------------------------------------------------- cosine near-dup pairs
+def cosine_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    pair_cap: int = 10000,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos >=
+    threshold) — the embedding leg of the dedup suite.
+
+    Scale shape mirrors minhash LSH: hyperplane signatures bucket the
+    corpus (narrow), candidates come from same-bucket self-joins plus
+    ``multiprobe_bits`` single-bit-flip buckets (high-cos pairs differ
+    in few sign bits), per-(probe, bucket) membership is capped at
+    ``pair_cap`` by id order, and survivors are verified with the
+    exact ordered-fold cosine.  bits=0 degrades to exact all-pairs
+    (the oracle mode).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).cast("array<double>").alias("_v"),
+    )
+    if bits <= 0:
+        a = c.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+        b = c.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a.join(b, a["id_a"] < b["id_b"])
+    else:
+        planes = hyperplanes(dim, bits, seed)
+        s = c.withColumn("_sig", signature_col(F.col("_v"), planes))
+        probes = [F.col("_sig")]
+        if multiprobe_bits >= 1:
+            for j in range(bits):
+                probes.append(F.col("_sig").bitwiseXOR(F.lit(1 << j)))
+        e = s.withColumn("_probe", F.explode(F.array(*probes)))
+        # cap every (probe-bucket) membership like minhash_lsh_pairs
+        w = Window.partitionBy("_probe").orderBy("id")
+        e = e.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= pair_cap)
+        a = e.select(F.col("_probe"), F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_sig").alias("_sa"))
+        b = e.select(F.col("_probe"), F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_sig").alias("_sb"))
+        # join where a's probe hits b's HOME bucket (so each candidate
+        # pair appears once per flip direction, deduped below)
+        pairs = (
+            a.join(b, (a["_probe"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
+            .select("id_a", "id_b", "_va", "_vb")
+            .distinct()
+        )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -475,3 +475,41 @@ def test_ivf_topk_exact_at_full_probe_and_recall_at_low(spark):
     }
     hits = sum(1 for kk, v in bf.items() if low.get(kk) == v)
     assert hits / len(bf) >= 0.9  # high recall at nprobe=2 on blobs
+
+
+def test_cosine_dedup_pairs_bucketed_recall_and_cap(spark):
+    """Embedding near-dup pairs: bucketed mode finds the planted
+    near-dups that exact mode finds (recall on high-cos pairs), and a
+    degenerate all-identical corpus is bounded by pair_cap."""
+    from proj_spark.operators.ann import cosine_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    vecs = list(base)
+    # plant 10 near-dups: tiny perturbations of the first 10 vectors
+    for i in range(10):
+        vecs.append(base[i] + 0.02 * rng.standard_normal(16))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_dedup_pairs(df, threshold=0.98, bits=0, dim=16).collect()
+    }
+    assert len(exact) >= 10
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in cosine_dedup_pairs(
+            df, threshold=0.98, bits=6, dim=16, multiprobe_bits=1
+        ).collect()
+    }
+    # guaranteed subset (verification is exact); high recall on planted dups
+    assert bucketed <= exact
+    assert len(bucketed & exact) / len(exact) >= 0.9
+
+    # cap: identical vectors everywhere
+    same = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0] * 16) for i in range(100)]
+    )
+    n = cosine_dedup_pairs(same, threshold=0.5, bits=6, dim=16, pair_cap=10).count()
+    assert n <= 10 * (10 - 1) // 2 * 7  # bounded by cap per probe bucket
