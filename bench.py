@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
+# flagship input layout: 'clustered' (default; the north_star's
+# centroid-keyed Iceberg sort order) or 'wide' (the unclustered wide
+# table with pruned scan — the compute-bound scaling regime recorded in
+# BENCH_SCALING.json)
+FLAGSHIP_TABLE = os.environ.get("SPARK_GRAFT_FLAGSHIP_TABLE", "clustered")
 
 
 _IMG_CACHE = os.environ.get(
@@ -105,7 +110,10 @@ def _flagship(spark, n_images: int):
     from proj_spark.operators.spatial_join import point_in_polygon_join
     from proj_spark.operators.tiles import tile_counts
 
-    imgs = _pts_table(spark, n_images)
+    if FLAGSHIP_TABLE == "wide":
+        imgs = _image_table(spark, n_images)
+    else:
+        imgs = _pts_table(spark, n_images)
     register_grid("conus_syn", make_synthetic_grid())
     shifted = transform(
         imgs.select("image_id", "phash", "lon", "lat"),
@@ -311,7 +319,10 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
 
     register_grid("conus_syn", make_synthetic_grid())
-    imgs = _pts_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+    if FLAGSHIP_TABLE == "wide":
+        imgs = _image_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+    else:
+        imgs = _pts_table(spark, N_IMAGES).select("image_id", "lon", "lat")
     shifted = _t(
         imgs,
         "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
