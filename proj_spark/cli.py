@@ -151,6 +151,33 @@ def cmd_geod(args) -> int:
     return 0
 
 
+def cmd_list(args) -> int:
+    """Catalog listings (proj -l / -le / -lu / -ld, ref src/proj.c:295-359)."""
+    from .kernels.core import REGISTRY
+    from .kernels.tables import DATUMS, ELLPS, UNITS
+
+    kind = args.kind
+    if kind in ("p", "projections"):
+        for pid in sorted(REGISTRY):
+            if pid in ("latlong", "longlat", "geocent"):
+                continue
+            sys.stdout.write(f"{pid}\n")
+    elif kind in ("e", "ellipsoids"):
+        for name, p in ELLPS.items():
+            parts = " ".join(f"{k}={v}" for k, v in p.items() if k != "comment")
+            sys.stdout.write(f"{name} {parts} # {p.get('comment', '')}\n")
+    elif kind in ("u", "units"):
+        for name, to_m in UNITS.items():
+            sys.stdout.write(f"{name} {to_m!r}\n")
+    elif kind in ("d", "datums"):
+        for name, p in DATUMS.items():
+            sys.stdout.write(f"{name} {p.get('ellps', '')} {p.get('defn', '')}\n")
+    else:
+        sys.stderr.write(f"unknown list kind {kind!r} (p/e/u/d)\n")
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="proj_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -177,6 +204,10 @@ def main(argv=None) -> int:
     g.add_argument("defn")
     g.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     g.set_defaults(fn=cmd_geod)
+
+    ls = sub.add_parser("list", help="catalog listings (proj -l/-le/-lu/-ld)")
+    ls.add_argument("kind", choices=["p", "projections", "e", "ellipsoids", "u", "units", "d", "datums"])
+    ls.set_defaults(fn=cmd_list)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -29,41 +29,49 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "n LONG, sum_lon DOUBLE, sum_lat DOUBLE, batches LONG"
 
 
-def _update_tile_state(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, sum_lon, sum_lat, batches = (
-        state.get if state.exists else (0, 0.0, 0.0, 0)
-    )
-    for pdf in pdfs:
-        n += len(pdf)
-        sum_lon += float(pdf["lon"].sum())
-        sum_lat += float(pdf["lat"].sum())
-    batches += 1
-    state.update((n, sum_lon, sum_lat, batches))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict tiles idle for 1h
-    yield pd.DataFrame(
-        {
-            "tile_x": [key[0]],
-            "tile_y": [key[1]],
-            "n_total": [n],
-            "centroid_lon": [sum_lon / n if n else 0.0],
-            "centroid_lat": [sum_lat / n if n else 0.0],
-            "batches": [batches],
-        }
-    )
-
-
 def stream_tile_accumulator(
     events: DataFrame,
     zoom: int,
     lon: str = "lon",
     lat: str = "lat",
+    ttl_ms: int = 0,
 ) -> DataFrame:
     """Streaming DataFrame -> per-tile running (count, centroid,
-    batch count), updated each micro-batch (update output mode)."""
+    batch count), updated each micro-batch (update output mode).
+
+    ``ttl_ms`` > 0 enables idle-tile eviction (ProcessingTimeTimeout)
+    for long-running queries; leave 0 under Trigger.AvailableNow —
+    with a processing-time timeout Spark schedules endless
+    timeout-check micro-batches and the drain never terminates."""
+    ttl = int(ttl_ms)
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, sum_lon, sum_lat, batches = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            sum_lon += float(pdf["lon"].sum())
+            sum_lat += float(pdf["lat"].sum())
+        batches += 1
+        state.update((n, sum_lon, sum_lat, batches))
+        if ttl:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            {
+                "tile_x": [key[0]],
+                "tile_y": [key[1]],
+                "n_total": [n],
+                "centroid_lon": [sum_lon / n if n else 0.0],
+                "centroid_lat": [sum_lat / n if n else 0.0],
+                "batches": [batches],
+            }
+        )
+
     tiled = events.select(
         E.tile_x(lon, zoom).alias("tile_x"),
         E.tile_y(lat, zoom).alias("tile_y"),
@@ -71,9 +79,85 @@ def stream_tile_accumulator(
         F.col(lat).alias("lat"),
     )
     return tiled.groupBy("tile_x", "tile_y").applyInPandasWithState(
-        _update_tile_state,
+        _update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# --------------------------------------------------------- streaming dedup
+_DEDUP_OUT_SCHEMA = "content_key LONG, doc_id STRING, n_dupes_seen LONG"
+_DEDUP_STATE_SCHEMA = "first_id STRING, n_seen LONG"
+
+
+def stream_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_mode: str = "update",
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """Streaming EXACT dedup: the canonical training-data ingest
+    filter.  Documents are keyed by xxhash64(content) (narrow, native);
+    per-key state remembers the first-seen id, and a key's row is
+    emitted ONLY on first sight — later micro-batches containing the
+    same content produce nothing.
+
+    Scale design (10^12 docs): state size is bounded by DISTINCT
+    content keys, not volume; ``ttl_ms`` idle eviction bounds cold keys
+    (exactness beyond the TTL horizon is then probabilistic, the
+    standard trade for unbounded streams — put a bloom-filter stage
+    upstream if re-ingest storms are expected).  The groupBy shuffles
+    only (key, id) pairs, never payloads.
+    """
+    keyed = docs.select(
+        F.xxhash64(F.col(text_col)).alias("content_key"),
+        F.col(id_col).cast("string").alias("doc_id"),
+    )
+    # emissions are one-shot per key (first sight only), so 'append'
+    # is equally valid and enables file sinks with checkpoint recovery
+    ttl = int(ttl_ms)
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        first_id, n_seen = state.get if state.exists else (None, 0)
+        new = first_id is None
+        for pdf in pdfs:
+            for did in pdf["doc_id"]:
+                n_seen += 1
+                if first_id is None:
+                    first_id = str(did)
+        state.update((first_id, n_seen))
+        if ttl:
+            state.setTimeoutDuration(ttl)
+        if new:
+            # emit ONLY on first sight: each content key surfaces once
+            yield pd.DataFrame(
+                {"content_key": [key[0]], "doc_id": [first_id], "n_dupes_seen": [n_seen]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"content_key": [], "doc_id": [], "n_dupes_seen": []}
+            ).astype({"content_key": "int64", "doc_id": "str", "n_dupes_seen": "int64"})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        _update,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=timeout,
     )

@@ -157,3 +157,42 @@ def test_stateful_tile_accumulator_across_batches(spark, tmp_path):
     assert rows[0].n_total == 8
     assert rows[0].batches == 2
     assert rows[-1].n_total in (3, 5)  # first micro-batch emission
+
+
+def test_stream_dedup_emits_first_sight_only(spark, tmp_path):
+    """Streaming exact dedup: a content key is emitted exactly once
+    (on first sight), across micro-batches."""
+    import os
+
+    from proj_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_dedup")
+    b1 = [Row(doc_id=f"d{i}", text=t) for i, t in enumerate(["alpha", "beta", "alpha"])]
+    b2 = [Row(doc_id=f"e{i}", text=t) for i, t in enumerate(["beta", "gamma", "alpha"])]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("SELECT content_key, doc_id FROM dedup_test").collect()
+    # three distinct contents -> exactly three emissions total
+    assert len(rows) == 3
+    assert len({r.content_key for r in rows}) == 3
+    # first-seen ids win: 'alpha'/'beta' came from batch 1
+    ids = {r.doc_id for r in rows}
+    assert ids & {"d0", "d1"}  # alpha->d0, beta->d1 (batch order permitting)
