@@ -277,7 +277,10 @@ def cosine_dedup_pairs(
         pairs = a.join(b, a["id_a"] < b["id_b"])
     else:
         planes = hyperplanes(dim, bits, seed)
-        s = c.withColumn("_sig", signature_col(F.col("_v"), planes))
+        # signatures only — the candidate join and its dedup shuffle
+        # carry (id, sig) ints, never the embedding vectors (SURVEY §7:
+        # join ids first, re-attach payload last)
+        s = c.select("id", signature_col(F.col("_v"), planes).alias("_sig"))
         probes = [F.col("_sig")]
         if multiprobe_bits >= 1:
             for j in range(bits):
@@ -286,14 +289,27 @@ def cosine_dedup_pairs(
         # cap every (probe-bucket) membership like minhash_lsh_pairs
         w = Window.partitionBy("_probe").orderBy("id")
         e = e.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= pair_cap)
-        a = e.select(F.col("_probe"), F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_sig").alias("_sa"))
-        b = e.select(F.col("_probe"), F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_sig").alias("_sb"))
-        # join where a's probe hits b's HOME bucket (so each candidate
-        # pair appears once per flip direction, deduped below)
-        pairs = (
+        a = e.select(F.col("_probe"), F.col("id").alias("id_a"))
+        # b side from the UN-exploded signatures: each home-bucket row
+        # appears once, so a probe hit produces each candidate pair at
+        # most once per flip direction (not once per b probe row);
+        # capped per home bucket so a degenerate bucket stays bounded
+        # by ~pair_cap^2/2 candidates, as before
+        wb = Window.partitionBy("_sig").orderBy("id")
+        b = (
+            s.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= pair_cap)
+            .select(F.col("_sig").alias("_sb"), F.col("id").alias("id_b"))
+        )
+        ids = (
             a.join(b, (a["_probe"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
-            .select("id_a", "id_b", "_va", "_vb")
+            .select("id_a", "id_b")
             .distinct()
+        )
+        pairs = ids.join(
+            c.select(F.col("id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        ).join(
+            c.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
         )
     cos = _dot(F.col("_va"), F.col("_vb")) / (
         _norm(F.col("_va")) * _norm(F.col("_vb"))

@@ -126,6 +126,13 @@ def knn_join(
     if not verify_cover:
         return ranked
 
+    # the verify path consumes ``ranked`` up to three times (coverage
+    # aggregate, anti-join, returned result) and runs driver actions —
+    # persist so the candidate join + window materialize exactly ONCE
+    # (round-2 review: without this, each action re-ran the most
+    # expensive stage from scan)
+    ranked = ranked.persist()
+
     # coverage radius: a ring of R cells guarantees correctness iff the
     # k-th neighbor is closer than R whole cells in the TIGHTEST metric
     # dimension.  Cell height is 180/2^res deg everywhere, but cell
@@ -150,18 +157,18 @@ def knn_join(
         F.abs(F.col("_qlat")) + F.lit(float(ring) * cell_h_deg), F.lit(89.999999)
     )
     safe_m = F.lit(float(ring) * cell_h_m) * F.cos(F.radians(phi_far))
-    bad_q = per_q.where(
-        F.col("_n").isNull() | (F.col("_n") < k) | (F.col("_maxd") >= safe_m)
-    ).select("query_id")
-    bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
-
-    good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
-    # queries are small by contract: counting them is cheap and lets the
-    # driver choose escalation vs brute force with eyes open
-    n_bad = bad_q.count()
+    is_bad = F.col("_n").isNull() | (F.col("_n") < k) | (F.col("_maxd") >= safe_m)
+    # ONE driver action for both totals (was two .count()s, each
+    # re-running the candidate join); ranked is cached above so the
+    # per_q lineage below this point is cheap
+    n_q, n_bad = per_q.agg(
+        F.count(F.lit(1)), F.count_if(is_bad)
+    ).first()
     if n_bad == 0:
         return ranked
-    n_q = q.count()
+    bad_q = per_q.where(is_bad).select("query_id")
+    bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
+    good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
     frac = n_bad / max(n_q, 1)
     if frac > fallback_frac and ring < max_ring:
         _LOG.warning(

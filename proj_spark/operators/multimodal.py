@@ -59,21 +59,31 @@ def extract_features(df: DataFrame, bits_hist: int = 16) -> DataFrame:
     energy score (the 'feature-extract' stage of a curation pipeline).
     """
 
+    luma_w = np.array([0.299, 0.587, 0.114])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for _, r in b.iterrows():
-                px = decode_image(r["bytes"], r["fmt"]).astype(np.float64)
-                luma = px @ np.array([0.299, 0.587, 0.114])
+            # per-image decode is inherently a Python loop (variable
+            # shapes), but iterate raw column arrays — iterrows builds
+            # a Series per row and was the measured drag (round-2
+            # review); the numpy math below is vectorized per image
+            for iid, raw, fmt in zip(
+                b["image_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = decode_image(raw, fmt).astype(np.float64)
+                luma = px @ luma_w
                 hist = np.histogram(luma, bins=bits_hist, range=(0, 256))[0]
                 gy, gx = np.gradient(luma)
                 out.append(
                     (
-                        r["image_id"],
+                        iid,
                         float(px[:, :, 0].mean()),
                         float(px[:, :, 1].mean()),
                         float(px[:, :, 2].mean()),
-                        [int(v) for v in hist],
+                        hist.tolist(),
                         average_phash(px.astype(np.uint8)),
                         float(np.sqrt(gx * gx + gy * gy).mean()),
                     )
@@ -107,14 +117,18 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for _, r in b.iterrows():
-                px = decode_image(r["bytes"], r["fmt"])
+            for iid, raw, fmt in zip(
+                b["image_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = decode_image(raw, fmt)
                 h, w, _ = px.shape
                 yi = np.clip((np.arange(out_h) * h) // out_h, 0, h - 1)
                 xi = np.clip((np.arange(out_w) * w) // out_w, 0, w - 1)
                 small = px[np.ix_(yi, xi)]
-                data = encode_png(small) if r["fmt"] == "png" else encode_ljpg(small)
-                out.append((r["image_id"], data, out_w, out_h, r["fmt"]))
+                data = encode_png(small) if fmt == "png" else encode_ljpg(small)
+                out.append((iid, data, out_w, out_h, fmt))
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, _RESIZE_SCHEMA)
@@ -145,20 +159,23 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for _, r in b.iterrows():
-                if r["fmt"] != "fakevid":
+            for mid, data, fmt in zip(
+                b["media_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                if fmt != "fakevid":
                     raise NotImplementedError(
-                        f"video codec {r['fmt']!r} requires libav/ffmpeg "
+                        f"video codec {fmt!r} requires libav/ffmpeg "
                         "(not available in this container)"
                     )
-                data = r["bytes"]
                 pos = 0
                 idx = 0
                 while pos < len(data):
                     (ln,) = struct.unpack_from(">I", data, pos)
                     frame = data[pos + 4 : pos + 4 + ln]
                     if idx % every_n == 0:
-                        out.append((r["media_id"], idx, bytes(frame), "png"))
+                        out.append((mid, idx, bytes(frame), "png"))
                     pos += 4 + ln
                     idx += 1
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "bytes", "fmt"])

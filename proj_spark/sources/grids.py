@@ -478,8 +478,14 @@ def open_grid(path: str):
 # --------------------------------------------------------------- vertical
 def _vgrid_sample(lam, phi, vgrid):
     """Bilinear geoid-undulation sample; returns (value, ok_mask).
-    nodata sentinel -88.8888 disqualifies the cell
-    (pj_apply_vgridshift.c:46-170)."""
+
+    Nodata matches the reference exactly: the INTERPOLATED value is
+    compared against the float32 -88.8888 sentinel
+    (pj_apply_vgridshift.c:147-157 ``value == -88.88880f`` with the
+    bilinear blend computed in double from float nodes) — a point in a
+    cell bordering nodata still gets a shift if the blend itself
+    doesn't land on the sentinel (round-2 ADVICE parity fix; the old
+    any-corner check diverged at grid nodata edges)."""
     ll_lat, ll_lon, dlat, dlon, h = vgrid
     lam_deg = np.degrees(np.asarray(lam, np.float64))
     phi_deg = np.degrees(np.asarray(phi, np.float64))
@@ -498,12 +504,7 @@ def _vgrid_sample(lam, phi, vgrid):
         + h64[iy + 1, ix] * (1 - fx) * fy
         + h64[iy + 1, ix + 1] * fx * fy
     )
-    nodata = (
-        (h64[iy, ix] == -88.8888)
-        | (h64[iy, ix + 1] == -88.8888)
-        | (h64[iy + 1, ix] == -88.8888)
-        | (h64[iy + 1, ix + 1] == -88.8888)
-    )
+    nodata = v == float(np.float32(-88.8888))
     return v, inside & ~nodata
 
 

@@ -29,27 +29,22 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "n LONG, sum_lon DOUBLE, sum_lat DOUBLE, batches LONG"
 
 
-def stream_tile_accumulator(
-    events: DataFrame,
-    zoom: int,
-    lon: str = "lon",
-    lat: str = "lat",
-    ttl_ms: int = 0,
-) -> DataFrame:
-    """Streaming DataFrame -> per-tile running (count, centroid,
-    batch count), updated each micro-batch (update output mode).
-
-    ``ttl_ms`` > 0 enables idle-tile eviction (ProcessingTimeTimeout)
-    for long-running queries; leave 0 under Trigger.AvailableNow —
-    with a processing-time timeout Spark schedules endless
-    timeout-check micro-batches and the drain never terminates."""
-    ttl = int(ttl_ms)
+def _make_accumulator_update(ttl: int):
+    """Module-level factory so the timeout-eviction path is unit
+    testable with a fake GroupState (a real ProcessingTimeTimeout
+    firing needs a long-lived wall-clock stream)."""
 
     def _update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-tile eviction: drop state, emit nothing, do NOT
+            # re-arm the timeout (re-arming would recur forever and
+            # the advertised TTL eviction would never happen)
+            state.remove()
+            return
         n, sum_lon, sum_lat, batches = (
             state.get if state.exists else (0, 0.0, 0.0, 0)
         )
@@ -72,6 +67,25 @@ def stream_tile_accumulator(
             }
         )
 
+    return _update
+
+
+def stream_tile_accumulator(
+    events: DataFrame,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """Streaming DataFrame -> per-tile running (count, centroid,
+    batch count), updated each micro-batch (update output mode).
+
+    ``ttl_ms`` > 0 enables idle-tile eviction (ProcessingTimeTimeout)
+    for long-running queries; leave 0 under Trigger.AvailableNow —
+    with a processing-time timeout Spark schedules endless
+    timeout-check micro-batches and the drain never terminates."""
+    ttl = int(ttl_ms)
+    _update = _make_accumulator_update(ttl)
     tiled = events.select(
         E.tile_x(lon, zoom).alias("tile_x"),
         E.tile_y(lat, zoom).alias("tile_y"),
@@ -94,6 +108,42 @@ def stream_tile_accumulator(
 # --------------------------------------------------------- streaming dedup
 _DEDUP_OUT_SCHEMA = "content_key LONG, doc_id STRING, n_dupes_seen LONG"
 _DEDUP_STATE_SCHEMA = "first_id STRING, n_seen LONG"
+
+
+def _make_dedup_update(ttl: int):
+    """Module-level factory (see _make_accumulator_update)."""
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: forget the key (exactness beyond the TTL
+            # horizon is probabilistic by design — docstring above)
+            state.remove()
+            return
+        first_id, n_seen = state.get if state.exists else (None, 0)
+        new = first_id is None
+        for pdf in pdfs:
+            for did in pdf["doc_id"]:
+                n_seen += 1
+                if first_id is None:
+                    first_id = str(did)
+        state.update((first_id, n_seen))
+        if ttl:
+            state.setTimeoutDuration(ttl)
+        if new:
+            # emit ONLY on first sight: each content key surfaces once
+            yield pd.DataFrame(
+                {"content_key": [key[0]], "doc_id": [first_id], "n_dupes_seen": [n_seen]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"content_key": [], "doc_id": [], "n_dupes_seen": []}
+            ).astype({"content_key": "int64", "doc_id": "str", "n_dupes_seen": "int64"})
+
+    return _update
 
 
 def stream_dedup(
@@ -123,41 +173,15 @@ def stream_dedup(
     # emissions are one-shot per key (first sight only), so 'append'
     # is equally valid and enables file sinks with checkpoint recovery
     ttl = int(ttl_ms)
-
-    def _update(
-        key: Tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        first_id, n_seen = state.get if state.exists else (None, 0)
-        new = first_id is None
-        for pdf in pdfs:
-            for did in pdf["doc_id"]:
-                n_seen += 1
-                if first_id is None:
-                    first_id = str(did)
-        state.update((first_id, n_seen))
-        if ttl:
-            state.setTimeoutDuration(ttl)
-        if new:
-            # emit ONLY on first sight: each content key surfaces once
-            yield pd.DataFrame(
-                {"content_key": [key[0]], "doc_id": [first_id], "n_dupes_seen": [n_seen]}
-            )
-        else:
-            yield pd.DataFrame(
-                {"content_key": [], "doc_id": [], "n_dupes_seen": []}
-            ).astype({"content_key": "int64", "doc_id": "str", "n_dupes_seen": "int64"})
-
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms
-        else GroupStateTimeout.NoTimeout
-    )
+    _update = _make_dedup_update(ttl)
     return keyed.groupBy("content_key").applyInPandasWithState(
         _update,
         outputStructType=_DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode=output_mode,
-        timeoutConf=timeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -309,3 +309,24 @@ def test_lla_parse_reference_null_and_compile(tmp_path):
         compile_lla(text, p, fmt=fmt)
         loaded = open_grid(p)
         assert loaded[0].lim_lam == 3
+
+
+def test_vgrid_nodata_matches_reference_interpolated_check():
+    """Reference parity (pj_apply_vgridshift.c:147-157): nodata is the
+    INTERPOLATED value == -88.8888f, not any-corner — a point in a cell
+    bordering a nodata node still gets a shift when the blend itself is
+    off-sentinel; a point sitting exactly ON the sentinel node does not."""
+    sent = np.float32(-88.8888)
+    h = np.full((3, 3), 10.0, np.float32)
+    h[0, 0] = sent  # nodata node at the grid's LL corner
+    vg = (0.0, 0.0, 1.0, 1.0, h)
+    lam = np.radians(np.array([0.5, 0.0, 1.5]))
+    phi = np.radians(np.array([0.5, 0.0, 1.5]))
+    z = np.zeros(3)
+    z2 = apply_vgridshift(lam, phi, z, vg)
+    # cell borders the sentinel but the blend != sentinel -> shifted
+    assert z2[0] != 0.0
+    # exactly on the sentinel node: blend == sentinel -> passthrough
+    assert z2[1] == 0.0
+    # interior cell far from nodata: plain value
+    assert z2[2] == pytest.approx(10.0)

@@ -118,3 +118,49 @@ def test_knn_candidate_join_is_broadcast(spark, images):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_verify_path_materializes_ranked_once(spark, images):
+    """verify_cover=True runs driver actions (coverage counts): the
+    ranked candidate join must be persisted so those actions + the
+    returned result materialize it ONCE (round-2 review: without the
+    persist each action re-ran the join+window from scan)."""
+    from proj_spark.operators.knn import knn_join
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    q = spark.createDataFrame([Row(qid=1, qlon=-100.0, qlat=40.0)])
+    out = knn_join(
+        q,
+        images.select(F.col("image_id").alias("cid"), "lon", "lat"),
+        k=3,
+        res=5,
+        ring=2,
+        q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat",
+        verify_cover=True,
+    )
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after > before, "ranked was not persisted across the verify actions"
+    assert out.count() > 0
+    # InMemoryTableScan in the returned plan == the result reads the cache
+    assert "InMemoryTableScan" in _plan(out)
+
+
+def test_cosine_dedup_distinct_exchanges_ids_only(spark):
+    """The candidate-pair dedup must shuffle (id_a, id_b) only — the
+    embedding vectors re-attach AFTER the distinct (round-2 review:
+    distinct over rows carrying both vectors shuffled 2x dim doubles
+    per candidate)."""
+    from proj_spark.operators.ann import cosine_dedup_pairs
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + j) for j in range(16)]) for i in range(30)]
+    )
+    out = cosine_dedup_pairs(df, threshold=0.5, bits=6, dim=16)
+    plan = _plan(out)
+    # every distinct-aggregate grouping must mention only id columns
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        assert "_v" not in keys and "embedding" not in keys, plan

@@ -196,3 +196,66 @@ def test_stream_dedup_emits_first_sight_only(spark, tmp_path):
     # first-seen ids win: 'alpha'/'beta' came from batch 1
     ids = {r.doc_id for r in rows}
     assert ids & {"d0", "d1"}  # alpha->d0, beta->d1 (batch order permitting)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for the timeout-eviction unit test."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_timeout_evicts_without_emitting():
+    """A timeout callback must evict state and yield NOTHING — the
+    round-2 ADVICE bug was re-running the normal path (state.update +
+    re-armed timeout => the TTL eviction never happened and
+    accumulator emitted a spurious row per firing)."""
+    from proj_spark.streaming.stateful import (
+        _make_accumulator_update,
+        _make_dedup_update,
+    )
+
+    acc = _make_accumulator_update(ttl=1000)
+    st = _FakeState(value=(5, 1.0, 2.0, 3), timed_out=True)
+    out = list(acc((7, 9), iter([]), st))
+    assert out == [] and st.removed and st.timeout_set is None
+
+    ded = _make_dedup_update(ttl=1000)
+    st2 = _FakeState(value=("doc-1", 4), timed_out=True)
+    out2 = list(ded((123,), iter([]), st2))
+    assert out2 == [] and st2.removed and st2.timeout_set is None
+
+
+def test_stateful_normal_path_still_accumulates():
+    import pandas as pd
+
+    from proj_spark.streaming.stateful import _make_accumulator_update
+
+    acc = _make_accumulator_update(ttl=500)
+    st = _FakeState(value=(2, 10.0, 20.0, 1), timed_out=False)
+    batch = pd.DataFrame({"lon": [1.0, 3.0], "lat": [2.0, 4.0]})
+    (row,) = list(acc((7, 9), iter([batch]), st))
+    assert int(row["n_total"].iloc[0]) == 4
+    assert st._value == (4, 14.0, 26.0, 2)
+    assert st.timeout_set == 500
