@@ -325,14 +325,34 @@ def _compile(defn: str) -> CRS:
 
     a_orig, es_orig = a, es
 
-    # WGS84 no-op detection (src/pj_init.c:479-487)
+    # Modified-stereographic fixed frames (PJ_mod_ster.c ENTRY blocks,
+    # lines 99-209): the ENTRY bodies force a/es AFTER pj_init records
+    # a_orig/es_orig, so datum transforms keep the user ellipsoid while
+    # the projection math uses the hard-wired one.  gs48's sphere and
+    # alsk/gs50's fixed Clarke-1866-like (a=6378206.4, es=.00676866) /
+    # sphere pair are part of the published coefficient fits.
+    if proj in ("mil_os", "lee_os"):
+        es = 0.0
+    elif proj == "gs48":
+        es = 0.0
+        a = 6370997.0
+    elif proj in ("alsk", "gs50"):
+        if es:
+            a = 6378206.4
+            es = 0.00676866
+        else:
+            a = 6370997.0
+    one_es = 1.0 - es
+
+    # WGS84 no-op detection (src/pj_init.c:479-487) — runs before the
+    # projection ENTRY in the reference, so it sees the USER ellipsoid
     if (
         datum_type == PJD_3PARAM
         and datum_params[0] == 0.0
         and datum_params[1] == 0.0
         and datum_params[2] == 0.0
-        and a == 6378137.0
-        and abs(es - 0.006694379990) < 5.0e-11
+        and a_orig == 6378137.0
+        and abs(es_orig - 0.006694379990) < 5.0e-11
     ):
         datum_type = PJD_WGS84
 
@@ -380,7 +400,9 @@ def _compile(defn: str) -> CRS:
 
     is_latlong = proj in ("latlong", "longlat", "latlon", "lonlat")
     is_geocent = proj == "geocent"
-    geoc = bool(es) and "geoc" in params
+    # geoc is decided before the projection ENTRY in the reference
+    # (pj_init.c), i.e. from the user ellipsoid, not ENTRY overrides
+    geoc = bool(es_orig) and "geoc" in params
     over = "over" in params
 
     axis = str(params.get("axis", "enu"))

@@ -445,10 +445,12 @@ def setup_oea(crs) -> CompiledProj:
     area (tested as the correctness anchor)."""
     fr = _frame(crs)
     p = crs.params
-    n_ = float(p.get("n", 2.0))
-    m_ = float(p.get("m", 2.0))
+    # missing n/m read as 0 in the reference and fail the <= 0 check
+    # (PJ_oea.c:41-43 E_ERROR(-39)) — no silent defaults
+    n_ = float(p.get("n", 0.0))
+    m_ = float(p.get("m", 0.0))
     if n_ <= 0.0 or m_ <= 0.0:
-        raise ValueError("oea: m, n must be positive")
+        raise ValueError("oea: m, n must be positive (reference error -39)")
     theta = m.dms_param(p.get("theta", "0"))
     sp0, cp0 = math.sin(fr["phi0"]), math.cos(fr["phi0"])
     rn, rm = 1.0 / n_, 1.0 / m_

@@ -228,15 +228,21 @@ def setup_ocea(crs) -> CompiledProj:
 
 # ---------------------------------------------------- modified stereographic
 _MOD_STER_TABLES = {
-    # proj id -> (use ellipsoid, lam0 deg, phi0 deg, complex coefficients)
+    # proj id -> (lam0 deg, phi0 deg, ellipsoid coeffs | None, sphere coeffs)
     # Coefficient tables transcribed from PJ_mod_ster.c ENTRY blocks
-    # (public constants); P(z) = sum AB[k] z^(k+1) via pj_zpoly1.
-    "mil_os": (False, 20.0, 18.0, [0.924500 + 0j, 0.0 + 0j, 0.019430 + 0j]),
-    "lee_os": (False, -165.0, -10.0, [0.721316 + 0j, 0.0 + 0j, -0.0088162 - 0.00617325j]),
-    "gs48": (False, -96.0, 39.0, [0.98879 + 0j, 0.0 + 0j, -0.050909 + 0j, 0.0 + 0j, 0.075528 + 0j]),
+    # (public constants, verified against the C source by
+    # tests/test_coefficient_transcription.py); P(z) = sum AB[k] z^(k+1)
+    # via pj_zpoly1.  alsk/gs50 carry BOTH the fixed-ellipsoid (ABe) and
+    # sphere (ABs) fits, selected on es exactly like the reference; the
+    # matching a/es overrides live in crs.py (ENTRY-order parity).
+    # NOTE: gs48 phi0 is -39 in the reference (PJ_mod_ster.c:138) — kept
+    # verbatim for parity even though +39 looks geographically natural.
+    "mil_os": (20.0, 18.0, None, [0.924500 + 0j, 0.0 + 0j, 0.019430 + 0j]),
+    "lee_os": (-165.0, -10.0, None, [0.721316 + 0j, 0.0 + 0j, -0.0088162 - 0.00617325j]),
+    "gs48": (-96.0, -39.0, None, [0.98879 + 0j, 0.0 + 0j, -0.050909 + 0j, 0.0 + 0j, 0.075528 + 0j]),
     "alsk": (
-        True, -152.0, 64.0,
-        [
+        -152.0, 64.0,
+        [  # ABe (fixed ellipsoid a=6378206.4 es=.00676866)
             0.9945303 + 0j,
             0.0052083 - 0.0027404j,
             0.0072721 + 0.0048181j,
@@ -244,10 +250,18 @@ _MOD_STER_TABLES = {
             0.0642675 - 0.1381226j,
             0.3582802 - 0.2884586j,
         ],
+        [  # ABs (sphere a=6370997)
+            0.9972523 + 0j,
+            0.0052513 - 0.0041175j,
+            0.0074606 + 0.0048125j,
+            -0.0153783 - 0.1968253j,
+            0.0636871 - 0.1408027j,
+            0.3660976 - 0.2937382j,
+        ],
     ),
     "gs50": (
-        True, -120.0, 45.0,
-        [
+        -120.0, 45.0,
+        [  # ABe
             0.9827497 + 0j,
             0.0210669 + 0.0053804j,
             -0.1031415 - 0.0571664j,
@@ -259,6 +273,18 @@ _MOD_STER_TABLES = {
             -0.0194029 + 0.0759677j,
             -0.0210072 + 0.0834037j,
         ],
+        [  # ABs
+            0.9842990 + 0j,
+            0.0211642 + 0.0037608j,
+            -0.1036018 - 0.0575102j,
+            -0.0329095 - 0.0320119j,
+            0.0499471 + 0.1223335j,
+            0.0260460 + 0.0899805j,
+            0.0007388 - 0.1435792j,
+            0.0075848 - 0.1334108j,
+            -0.0216473 + 0.0776645j,
+            -0.0225161 + 0.0853673j,
+        ],
     ),
 }
 
@@ -269,12 +295,15 @@ def setup_mod_ster(crs) -> CompiledProj:
     oblique stereographic base (conformal latitude on ellipsoids)
     warped by a complex polynomial; Newton inverse via zpolyd1."""
     name = crs.proj
-    use_ell, lam0_deg, phi0_deg, ab = _MOD_STER_TABLES[name]
+    lam0_deg, phi0_deg, ab_ell, ab_sph = _MOD_STER_TABLES[name]
     fr = _frame(crs)
     fr["lam0"] = lam0_deg * 0.0174532925199433
     phi0 = phi0_deg * 0.0174532925199433
     fr["phi0"] = phi0
-    es = crs.es if use_ell else 0.0
+    # crs.py already applied the ENTRY a/es overrides: es is 0 for the
+    # sphere family / sphere variant, .00676866 for alsk/gs50 ellipsoid
+    es = crs.es
+    ab = ab_ell if (es and ab_ell is not None) else ab_sph
     e = math.sqrt(es)
 
     def _conf_lat(phi):
