@@ -64,15 +64,27 @@ def _parse_lines(lines, dms: bool = True):
     return np.array(us), np.array(vs), np.array(zs), tails
 
 
-def _emit(xs, ys, zs, tails, fmt: str, echo_in=None, out=None):
+def _emit(xs, ys, zs, tails, fmt, echo_in=None, out=None, dms_out=False, wfract=3):
+    """Reference output contract (cs2cs.c:126-159): DMS via rtodms when
+    the dst is latlong and no -f was given; otherwise printf with oform
+    (default %.2f); z uses oform when given, else %.3f."""
+    from .functions.dms import rtodms_py
+
     out = out or sys.stdout  # resolve at call time (testable)
+    zfmt = fmt if fmt is not None else "%.3f"
+    cfmt = fmt if fmt is not None else "%.2f"
+    deg2rad = VM_DEG  # rtodms takes radians; xs/ys are degrees here
     for i in range(len(xs)):
         prefix = f"{echo_in[i]}\t" if echo_in is not None else ""
         tail = f" {tails[i]}" if tails[i] else ""
         if np.isnan(xs[i]) or np.isnan(ys[i]):
-            out.write(f"{prefix}*\t* {zs[i]:.3f}{tail}\n")
+            out.write(f"{prefix}*\t* {zfmt % zs[i]}{tail}\n")
+        elif dms_out and fmt is None:
+            u = rtodms_py(xs[i] * deg2rad, "E", "W", wfract)
+            v = rtodms_py(ys[i] * deg2rad, "N", "S", wfract)
+            out.write(f"{prefix}{u}\t{v} {zfmt % zs[i]}{tail}\n")
         else:
-            out.write(f"{prefix}{fmt % xs[i]}\t{fmt % ys[i]} {zs[i]:.3f}{tail}\n")
+            out.write(f"{prefix}{cfmt % xs[i]}\t{cfmt % ys[i]} {zfmt % zs[i]}{tail}\n")
 
 
 def cmd_cs2cs(args) -> int:
@@ -83,7 +95,10 @@ def cmd_cs2cs(args) -> int:
     # cs2cs input order is lon lat for latlong CRS (matching our deg API)
     x, y, zo = transform_arrays(src, dst, u, v, z)
     echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
-    _emit(x, y, zo, tails, args.fmt, echo)
+    _emit(
+        x, y, zo, tails, args.fmt, echo,
+        dms_out=dst.is_latlong, wfract=args.wfract,
+    )
     return 0
 
 
@@ -186,8 +201,12 @@ def main(argv=None) -> int:
     c.add_argument("src")
     c.add_argument("plus_to", metavar="+to", choices=["+to"])
     c.add_argument("dst")
-    c.add_argument("-f", dest="fmt", default="%.6f")
+    c.add_argument("-f", dest="fmt", default=None)
     c.add_argument("-E", dest="echo", action="store_true")
+    c.add_argument(
+        "-w", dest="wfract", type=int, default=3,
+        help="DMS output second decimals (set_rtodms fract, default 3)",
+    )
     c.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     c.set_defaults(fn=cmd_cs2cs)
 

@@ -73,3 +73,37 @@ def rad_to_dms(col: Column | str, ndec: int = 3, pos: str = "N", neg: str = "S")
         F.when(neg_mask, F.lit(neg)).otherwise(F.lit(pos)),
     )
     return body
+
+
+# ------------------------------------------------- scalar rtodms (CLI)
+def rtodms_py(r: float, pos: str, neg: str, fract: int = 3) -> str:
+    """Plain-Python rtodms (src/rtodms.c:38-72) for the CLI surface:
+    round radians at ``fract`` second decimals (RES carry), trim
+    trailing zeros in the seconds fraction, and drop zero
+    seconds/minutes entirely (``111d0'3.085"W``, ``42d0'0.18"N``,
+    ``5dW``).  ``set_rtodms(fract, 0)`` is the ``-w<n>`` flag."""
+    import math as _math
+
+    res = 10.0 ** fract
+    conv = 180.0 * 3600.0 * res / _math.pi
+    if r < 0:
+        r = -r
+        sign = neg if pos else "-"
+    else:
+        sign = pos if pos else ""
+    r = _math.floor(r * conv + 0.5)
+    sec = _math.fmod(r / res, 60.0)
+    r = _math.floor(r / (res * 60.0))
+    minute = int(_math.fmod(r, 60.0))
+    deg = int(_math.floor(r / 60.0))
+    if sec:
+        s = f"{deg}d{minute}'{sec:.{fract}f}\"{sign}"
+        # trim trailing zeros in the seconds fraction (rtodms.c:61-67)
+        head, tail = s.rsplit('"', 1)
+        head = head.rstrip("0")
+        if head.endswith("."):
+            head = head[:-1]
+        return head + '"' + tail
+    if minute:
+        return f"{deg}d{minute}'{sign}"
+    return f"{deg}d{sign}"
