@@ -35,6 +35,7 @@ _IMG_CACHE = os.environ.get(
     "SPARK_GRAFT_IMG_CACHE", f"/tmp/proj_spark_bench/images_{N_IMAGES}"
 )
 _PTS_CACHE = f"{_IMG_CACHE}_pts_c1"
+_PTS_UNCL_CACHE = f"{_IMG_CACHE}_pts_u"
 
 
 def _image_table(spark, n_images: int):
@@ -95,6 +96,35 @@ def _pts_table(spark, n_images: int):
     return spark.read.parquet(_PTS_CACHE)
 
 
+def _pts_uncl_table(spark, n_images: int):
+    """UNCLUSTERED point view: the same rows as _pts_table but in
+    random (round-robin) order — the 'wide-regime' scan shape for
+    large n where materializing the full payload table does not fit
+    disk (42 GB at 16M -> ~170 GB at 64M).  A pruned scan of an
+    unclustered wide table reads exactly these column chunks in
+    exactly this order, so the scan+aggregate behavior (no spatial
+    locality, partial aggs saturate at the distinct-tile cap per
+    task) is identical to the true wide layout.  Written as
+    4 x CPUS files so one map task covers ~n/(4 CPUS) rows."""
+    if not os.path.exists(os.path.join(_PTS_UNCL_CACHE, "_SUCCESS")):
+        if os.path.exists(os.path.join(_PTS_CACHE, "_SUCCESS")) or os.path.exists(
+            os.path.join(_IMG_CACHE, "_SUCCESS")
+        ):
+            src = _pts_table(spark, n_images)
+        else:
+            # very large n: payload-free generator (same centroid law,
+            # surrogate phash — sources/images.py generate_points)
+            from proj_spark.sources.images import generate_points
+
+            src = generate_points(spark, n_images, partitions=4 * CPUS)
+        (
+            src.repartition(4 * CPUS)  # round-robin: destroys spatial order
+            .write.mode("overwrite")
+            .parquet(_PTS_UNCL_CACHE)
+        )
+    return spark.read.parquet(_PTS_UNCL_CACHE)
+
+
 def _flagship(spark, n_images: int):
     """images -> datum reprojection (grid shift, NAD27-style ->
     WGS84) -> PIP join -> multi-zoom tiles -> rollup: the full
@@ -112,6 +142,8 @@ def _flagship(spark, n_images: int):
 
     if FLAGSHIP_TABLE == "wide":
         imgs = _image_table(spark, n_images)
+    elif FLAGSHIP_TABLE == "unclustered":
+        imgs = _pts_uncl_table(spark, n_images)
     else:
         imgs = _pts_table(spark, n_images)
     register_grid("conus_syn", make_synthetic_grid())
@@ -270,6 +302,16 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     if active is not None:
         active.stop()
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+    # Size input splits to the run: ~4 scan tasks per core, clamped to
+    # [32 MB, 1 GB].  The default 128 MB split on the 42 GB wide table
+    # produced 384 map tasks of ~42k rows each — per-task partial
+    # aggregates then carry nearly one row per input row (no map-side
+    # compression at all) and the tile rollup exchange degenerates to a
+    # full-data shuffle; measured at 4N this knob alone cut the z11
+    # aggregate from 6.1 s to 1.7 s.  At 10^12 rows the equivalent is
+    # sizing spark.sql.files.maxPartitionBytes so a map task covers
+    # enough rows to saturate the distinct-tile cap.
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
         .appName("proj-spark-scaling")
@@ -293,9 +335,41 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # fixture tables (untimed): ensure both layouts exist before timing
-    _image_table(spark, N_IMAGES)
-    _pts_table(spark, N_IMAGES)
+    # fixture tables (untimed): ensure the run's layout exists before
+    # timing (the 42 GB wide table is only materialized for the wide
+    # regime — at 64M+ rows it no longer fits disk and the unclustered
+    # point view is the wide-scan-equivalent fixture)
+    if FLAGSHIP_TABLE == "wide":
+        _image_table(spark, N_IMAGES)
+        _pts_table(spark, N_IMAGES)
+    elif FLAGSHIP_TABLE == "unclustered":
+        _pts_uncl_table(spark, N_IMAGES)
+    else:
+        _pts_table(spark, N_IMAGES)
+
+    # Size input splits to the run: ~4 scan tasks per core, clamped to
+    # [32 MB, 1 GB].  The default 128 MB split on the 42 GB wide table
+    # produced 384 map tasks of ~42k rows each — per-task partial
+    # aggregates then carry nearly one row per input row (no map-side
+    # compression) and the tile-rollup exchange degenerates to a
+    # full-data shuffle; measured at 4N this knob alone cut the z11
+    # aggregate from 6.1 s to 1.7 s.  At 10^12 rows the equivalent is
+    # sizing maxPartitionBytes so one map task covers enough rows to
+    # saturate the distinct-tile cap (map-side combine does the rest).
+    src_dir = {
+        "wide": _IMG_CACHE,
+        "unclustered": _PTS_UNCL_CACHE,
+    }.get(FLAGSHIP_TABLE, _PTS_CACHE)
+    try:
+        tot = sum(
+            os.path.getsize(os.path.join(src_dir, f))
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        tot = 0
+    split = min(max(tot // (4 * n_executors * cores) or (128 << 20), 32 << 20), 1 << 30)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
     # warm-up: python workers + codegen on every executor
     from pyspark.sql import functions as WF
 
@@ -354,6 +428,40 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
 
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    sweep = os.environ.get("SPARK_GRAFT_SCALE_SWEEP")
+    if scaling == "cluster" and sweep:
+        # N-sweep: run every executor count and report the full
+        # efficiency-vs-size curve (the evidence the single-pair ratio
+        # cannot give: where the one-box bandwidth ceiling bites)
+        ns = [int(x) for x in sweep.split(",")]
+        runs = [run_flagship_cluster(n) for n in ns]
+        base = runs[0]
+        curve = []
+        for r in runs:
+            ratio = r["total_cores"] / base["total_cores"]
+            curve.append(
+                {
+                    **r,
+                    "speedup_vs_n1": round(r["rows_per_sec"] / base["rows_per_sec"], 3),
+                    "efficiency_vs_n1": round(
+                        (r["rows_per_sec"] / base["rows_per_sec"]) / ratio, 3
+                    ),
+                    "narrow_efficiency_vs_n1": round(
+                        (r["narrow_rows_per_sec"] / base["narrow_rows_per_sec"]) / ratio, 3
+                    ),
+                }
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship rows/sec sweep over executor counts (local-cluster)",
+                    "table": FLAGSHIP_TABLE,
+                    "n_images": N_IMAGES,
+                    "sweep": curve,
+                }
+            )
+        )
+        return
     if scaling == "cluster":
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         lo = run_flagship_cluster(n_lo)

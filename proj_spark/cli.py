@@ -102,8 +102,81 @@ def cmd_cs2cs(args) -> int:
     return 0
 
 
+def _cmd_proj_cheby(args, crs) -> int:
+    """proj -T: generate Chebyshev (or ,P power) approximation
+    coefficients (ref src/gen_cheb.c:11-73 surface, src/mk_cheby.c
+    engine).  Spec: lam_min,lam_max,phi_min,phi_max[,res[,NU[,NV]]][,P]
+    — angles DMS/deg for forward, raw x,y for -I."""
+    from .kernels.xmath import DEG_TO_RAD
+    from .plans.cheby import mk_cheby, p_series_lines
+
+    s = args.cheby
+    pwr = s.endswith(",P")
+    if pwr:
+        s = s[:-2]
+    toks = s.split(",")
+    if len(toks) < 4:
+        sys.stderr.write("null or absent -T parameters\n")
+        return 16
+    conv = (lambda t: float(t)) if args.inverse else (lambda t: dmstor(t))
+    lo_u, up_u, lo_v, up_v = (conv(t) for t in toks[:4])
+    res = int(toks[4]) if len(toks) > 4 and toks[4] else -1
+    nu = int(toks[5]) if len(toks) > 5 and toks[5] else 15
+    nv = int(toks[6]) if len(toks) > 6 and toks[6] else 15
+    if lo_u == up_u or lo_v >= up_v:
+        sys.stderr.write("approx. argument range error\n")
+        return 16
+    if lo_u > up_u:
+        lo_u -= 2.0 * np.pi
+    if nu < 2 or nv < 2:
+        sys.stderr.write("approx. work dimensions too small\n")
+        return 16
+
+    ll = "+proj=latlong +a=%r +es=%r" % (crs.a_orig, crs.es_orig)
+    R = RAD_TO_DEG
+
+    def fwd_fn(lam, phi):
+        if args.inverse:
+            # projected (x, y) in -> geographic RADIANS out (pj_inv)
+            x, y, _ = transform_arrays(crs, ll, lam, phi, None)
+            return np.asarray(x) / R, np.asarray(y) / R
+        # geographic radians in -> projected meters out (pj_fwd)
+        x, y, _ = transform_arrays(ll, crs, np.asarray(lam) * R, np.asarray(phi) * R, None)
+        return x, y
+
+    cx, cy, resid, _cut = mk_cheby(
+        (lo_u, lo_v), (up_u, up_v), 10.0 ** res * 0.5, fwd_fn, nu, nv, power=pwr
+    )
+    w = sys.stdout.write
+    w(f"#proj_{'Power' if pwr else 'Chebyshev'}\n#    run-line:\n")
+    w("# projection parameters\n")
+    w(f"#  {crs.defn}\n")
+    scale = 1.0 if args.inverse else R
+    w(
+        "%c,%.12g,%.12g,%.12g,%.12g,%.12g\n"
+        % (
+            "I" if args.inverse else "F",
+            crs.lam0 * R,
+            lo_u * scale,
+            up_u * scale,
+            lo_v * scale,
+            up_v * scale,
+        )
+    )
+    fmt = "%.15g" if pwr else ("%%.%df" % (-res + 1) if res <= 0 else "%.0f")
+    for line in p_series_lines(cx, fmt):
+        w(line + "\n")
+    for line in p_series_lines(cy, fmt):
+        w(line.replace("u:", "v:", 1) + "\n")
+    w(f"# |u,v| sums {resid[0]:g} {resid[1]:g}\n")
+    w(f"#end_proj_{'Power' if pwr else 'Chebyshev'}\n")
+    return 0
+
+
 def cmd_proj(args) -> int:
     crs = CRS.from_proj4(args.defn)
+    if getattr(args, "cheby", None):
+        return _cmd_proj_cheby(args, crs)
     ll = "+proj=latlong +a=%r +es=%r" % (crs.a_orig, crs.es_orig)
     lines = list(args.infile)
     u, v, z, tails = _parse_lines(lines)
@@ -215,6 +288,11 @@ def main(argv=None) -> int:
     p.add_argument("defn")
     p.add_argument("-f", dest="fmt", default="%.2f")
     p.add_argument("-E", dest="echo", action="store_true")
+    p.add_argument(
+        "-T", dest="cheby", default=None,
+        help="generate Chebyshev/power approximation coefficients "
+        "(gen_cheb.c): lam_min,lam_max,phi_min,phi_max[,res[,NU[,NV]]][,P]",
+    )
     p.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     p.set_defaults(fn=cmd_proj)
 

@@ -327,3 +327,64 @@ def verify_payloads(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
             )
 
     return df.mapInPandas(check, _VERIFY_SCHEMA)
+
+
+def generate_points(spark: SparkSession, n: int, partitions: int | None = None,
+                    hot_fraction: float = 0.2,
+                    hot_cell: tuple[float, float] = (-118.25, 34.05)) -> DataFrame:
+    """Payload-free point view of the image table at scale — the
+    SCALING-benchmark fixture.
+
+    Produces exactly the (image_id, phash, lon, lat) columns a pruned
+    scan of the wide table yields, with the same centroid law
+    (splitmix64(idx) XOR phash -> golden-ratio fractions -> CONUS
+    window + hot cell), but with a deterministic 64-bit surrogate in
+    place of the pixel phash: XORing one uniform 64-bit stream with
+    another leaves the distribution unchanged, so tile occupancy,
+    skew, and aggregate cardinalities match the pixel-derived table —
+    only the payload (never read by the flagship's pruned scan) is
+    absent.  Pixel-encoding 256M+ rows is a fixture cost the scaling
+    measurement does not need to pay.
+    """
+    hot_mod = int(round(1.0 / hot_fraction)) if hot_fraction > 0 else 0
+    hot_lon, hot_lat = hot_cell
+    parts = partitions or max(8, n // 2_000_000)
+    base = spark.range(0, n, 1, parts)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("image_id", StringType()),
+                StructField("phash", LongType()),
+                StructField("lon", DoubleType()),
+                StructField("lat", DoubleType()),
+            ]
+        )
+    )
+    def _gen(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for id_s in it:
+            ids = id_s.to_numpy(np.int64).astype(np.uint64)
+            # phash surrogate: an independent deterministic 64-bit
+            # stream (offset domain so it never equals _seed_of(idx))
+            ph = _splitmix64_vec(ids ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+            key = _splitmix64_vec(ids) ^ ph
+            lo = (key & np.uint64(0xFFFFFFFF)).astype(np.float64)
+            hi = ((key >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
+            u = (lo * _PHI_INV) % 1.0
+            v = (hi * _SQRT3_FRAC) % 1.0
+            lon = -125.0 + 58.0 * u
+            lat = 25.0 + 24.0 * v
+            if hot_mod:
+                hot = ids % np.uint64(hot_mod) == 0
+                lon = np.where(hot, hot_lon + (u - 0.5) * 0.01, lon)
+                lat = np.where(hot, hot_lat + (v - 0.5) * 0.01, lat)
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids).map("img{:012d}".format),
+                    "phash": ph.astype(np.int64),
+                    "lon": lon,
+                    "lat": lat,
+                }
+            )
+
+    return base.select(_gen("id").alias("_r")).select("_r.*")

@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import io
+import math
 import sys
 
 import numpy as np
@@ -71,3 +72,56 @@ def test_geod_inverse_symmetric():
     rc2, out2 = run_cli(["geod", "-I", "+ellps=WGS84"], "41 -74 40 -75\n")
     s21 = float(out2.split()[2])
     assert s12 == pytest.approx(s21, abs=1e-3)
+
+
+def test_proj_T_chebyshev_block():
+    """proj -T (gen_cheb.c surface): emits the #proj_Chebyshev block
+    with the F-line domain echo and coefficient rows; merc x = a*lam
+    shows exactly one u coefficient (degree 1)."""
+    rc, out = run_cli(
+        ["proj", "+proj=merc +ellps=WGS84", "-T-10,10,-20,20,-3,8,8"], ""
+    )
+    lines = out.splitlines()
+    assert lines[0] == "#proj_Chebyshev"
+    assert "F,0,-10,10,-20,20" in lines
+    assert lines[-1] == "#end_proj_Chebyshev"
+    iu = lines.index("u: 2")
+    # merc x is linear in lam and phi-free: a single degree-1 row
+    deg, m, coef = lines[iu + 1].split()[:3]
+    assert (deg, m) == ("1", "1")
+    assert abs(float(coef) - 2 * 6378137.0 * math.radians(10.0)) < 1.0
+
+
+def test_proj_T_power_evaluates_like_projection():
+    """-T ...,P emits a POWER series (bch2bps.c) that reproduces the
+    projection inside the domain."""
+    import numpy as np
+    from numpy.polynomial import polynomial as P
+
+    rc, out = run_cli(
+        ["proj", "+proj=lcc +lat_1=33 +lat_2=45 +lon_0=0 +ellps=WGS84",
+         "-T-10,10,30,50,-3,12,12,P"], ""
+    )
+    lines = out.splitlines()
+    assert lines[0] == "#proj_Power"
+    # parse the u: block back into a coefficient matrix
+    iu = next(i for i, l in enumerate(lines) if l.startswith("u: "))
+    iv = next(i for i, l in enumerate(lines) if l.startswith("v: "))
+    nru = int(lines[iu].split()[1])
+    cu = np.zeros((12, 12))
+    for l in lines[iu + 1: iv]:
+        t = l.split()
+        i, m = int(t[0]), int(t[1])
+        cu[i, :m] = [float(x) for x in t[2: 2 + m]]
+    # compare against the real kernel at interior points
+    from proj_spark.plans.pipeline import transform_arrays
+
+    lam = np.radians(np.array([-5.0, 3.0, 8.0]))
+    phi = np.radians(np.array([35.0, 40.0, 48.0]))
+    x, y, _ = transform_arrays(
+        "+proj=latlong +ellps=WGS84",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lon_0=0 +ellps=WGS84",
+        np.degrees(lam), np.degrees(phi), None,
+    )
+    xa = P.polyval2d(lam, phi, cu)
+    assert np.max(np.abs(xa - x)) < 0.5  # res=-3: ~1e-3 nominal, mm-level

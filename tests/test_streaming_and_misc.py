@@ -259,3 +259,41 @@ def test_stateful_normal_path_still_accumulates():
     assert int(row["n_total"].iloc[0]) == 4
     assert st._value == (4, 14.0, 26.0, 2)
     assert st.timeout_set == 500
+
+
+def test_bch2bps_power_series_matches_chebyshev():
+    """bch2bps port (src/bch2bps.c): converting the bchgen Chebyshev
+    matrix to a power series preserves the evaluation to fp noise."""
+    import numpy as np
+    from numpy.polynomial import polynomial as P
+
+    from proj_spark.plans.cheby import bch2bps, bchgen, biv_cheb_eval
+
+    def f(u, v):
+        return np.sin(u) * np.cosh(0.3 * v) + u * v, np.cos(u) + v ** 3
+
+    a, b = (0.1, -0.4), (1.2, 0.9)
+    cx, cy = bchgen(a, b, 12, 12, f)
+    rng = np.random.default_rng(7)
+    us = rng.uniform(a[0], b[0], 64)
+    vs = rng.uniform(a[1], b[1], 64)
+    fx, fy = f(us, vs)
+    assert np.max(np.abs(biv_cheb_eval(cx, a, b, us, vs) - fx)) < 1e-12
+    px, py = bch2bps(a, b, cx), bch2bps(a, b, cy)
+    assert np.max(np.abs(P.polyval2d(us, vs, px) - fx)) < 1e-10
+    assert np.max(np.abs(P.polyval2d(us, vs, py) - fy)) < 1e-10
+
+
+def test_mk_cheby_cut_residual_semantics():
+    """mk_cheby (src/mk_cheby.c): sub-threshold coefficients zero out
+    and the summed residual honors the requested resolution."""
+    import numpy as np
+
+    from proj_spark.plans.cheby import mk_cheby
+
+    def f(u, v):
+        return np.exp(0.3 * u) * np.cos(v), np.sin(u + v)
+
+    cx, cy, resid, cut = mk_cheby((-1.0, -1.0), (1.0, 1.0), 1e-4, f, 15, 15)
+    assert resid[0] >= 0 and resid[0] < 1e-4 and resid[1] < 1e-4
+    assert np.all((cx == 0.0) | (np.abs(cx) >= cut))
