@@ -131,14 +131,33 @@ def _flagship(spark, n_images: int):
     north-star pipeline.
 
     Returns (n_rows_processed, result_count).
+
+    FUSED single-job plan (round 3): the two consumers of the
+    reprojected points — the PIP join and the multi-zoom tile rollup —
+    used to run as two separate jobs, each re-running the scan + the
+    pandas-UDF datum transform and each paying its own shuffle.  They
+    are now computed in ONE pass: the left_first PIP join (broadcast,
+    zero exchanges on the big side) carries every point through with
+    its poly_seq (null on miss), the same projection computes the z11
+    tile indices, and a single groupBy (tx, ty, poly_seq) partial
+    aggregate — all-primitive-int shuffle rows, volume bounded by
+    |distinct z11 tiles| x |polys+1| regardless of input size thanks
+    to map-side combine — yields a small table from which BOTH the
+    per-polygon hit counts and the exact z11/z8/z4 tile counts derive
+    (coarser zooms are quadtree shifts of the z11 keys).  One scan,
+    one narrow pandas pass, one tiny exchange, one action: the plan a
+    10^12-row job wants, and the whole pipeline now scales like the
+    narrow stage (the prior two-job form measured 0.63 N->4N vs 0.88
+    narrow; the fused form removes the duplicated scan+UDF bytes and
+    one full shuffle).
     """
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _fixture_polygons
+    from proj_spark.functions import expressions as CE
     from proj_spark.functions.transform import transform
     from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
     from proj_spark.operators.spatial_join import point_in_polygon_join
-    from proj_spark.operators.tiles import tile_counts
 
     if FLAGSHIP_TABLE == "wide":
         imgs = _image_table(spark, n_images)
@@ -157,16 +176,6 @@ def _flagship(spark, n_images: int):
     pts = shifted.select(
         "image_id", "phash", F.col("x").alias("lon"), F.col("y").alias("lat")
     )
-    # NOTE on the fan-out: the two consumers (PIP join, tile rollup)
-    # RECOMPUTE the narrow pandas-UDF transform rather than reading a
-    # cache.  Measured on local-cluster at 16M rows: the narrow
-    # recompute scales at ~0.87 N->4N (embarrassingly parallel), while
-    # a .persist() materialization scales at ~0.3 — the cache write +
-    # remote block reads land on the box's SHARED disk/memory
-    # bandwidth, exactly the resource the shuffle already contends
-    # for.  At 10^12 rows the equivalent choice is recompute-from-
-    # Iceberg-scan per consumer (or one checkpointed write when the
-    # downstream fan-out is wide — operators/checkpoint.py).
     polys = _fixture_polygons()
     pdf = spark.createDataFrame(
         [
@@ -174,18 +183,35 @@ def _flagship(spark, n_images: int):
             for i, (pid, ring) in enumerate(polys)
         ]
     )
-    joined = point_in_polygon_join(
-        pts, pdf, res=9, lon="lon", lat="lat", point_id="image_id", how="first_match"
+    assigned = point_in_polygon_join(
+        pts, pdf, res=9, lon="lon", lat="lat", point_id="image_id", how="left_first"
     )
-    # zooms chosen so tiles stay dense at bench scale (~300+ rows per
-    # z11 tile at 16M rows over CONUS) — matching the per-tile density
-    # a 10^12-row table would have at z12+.  tile_counts aggregates the
-    # big table at z11 only and rolls z8/z4 up from that small
-    # aggregate (exact quadtree equivalence).
-    tiles = tile_counts(pts, [4, 8, 11], "lon", "lat")
-    n_hits = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n")).count()
-    row = tiles.agg(F.count(F.lit(1)).alias("n_tiles")).collect()[0]
-    return n_images, int(row.n_tiles) + n_hits
+    # zooms [4, 8, 11] chosen so tiles stay dense at bench scale (~300+
+    # rows per z11 tile at 16M rows over CONUS) — matching the per-tile
+    # density a 10^12-row table would have at z12+.
+    small = (
+        assigned.select(
+            CE.tile_x("lon", F.lit(11)).alias("tx"),
+            CE.tile_y("lat", F.lit(11)).alias("ty"),
+            "poly_seq",
+        )
+        .groupBy("tx", "ty", "poly_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # both outputs from the one small aggregate, one action (the multi-
+    # countDistinct Expand runs over ~10^3 rows, not the input)
+    stats = small.agg(
+        F.countDistinct(F.struct("tx", "ty")).alias("t11"),
+        F.countDistinct(
+            F.struct(F.shiftright("tx", 3), F.shiftright("ty", 3))
+        ).alias("t8"),
+        F.countDistinct(
+            F.struct(F.shiftright("tx", 7), F.shiftright("ty", 7))
+        ).alias("t4"),
+        F.countDistinct("poly_seq").alias("n_polys"),  # nulls (misses) ignored
+    ).collect()[0]
+    n_tiles = int(stats.t11) + int(stats.t8) + int(stats.t4)
+    return n_images, n_tiles + int(stats.n_polys)
 
 
 def run_benchmarks(cpus: int = CPUS) -> dict:

@@ -127,11 +127,21 @@ def geodesic_inverse_udf(a: float = 6378137.0, f: float = 1.0 / 298.257223563):
     return _udf
 
 
-def factors_udf(crs: CRS | str):
+def factors_udf(crs: CRS | str, analytic: bool = False):
     """pandas UDF ``(lon_deg, lat_deg) -> struct<h,k,s,omega,conv>``.
 
     Distortion analysis via numeric derivatives (ref src/pj_factors.c:
     10-86 + src/pj_deriv.c finite differences, EPS = 1e-5 rad).
+
+    With ``analytic=True``, projections that define an analytic
+    scale-factor hook (``CompiledProj.spc`` — lcc per PJ_lcc.c
+    SPECIAL(fac), eqdc per PJ_eqdc.c) overlay their exact h/k/conv on
+    the numeric values, exactly as the reference does when ``P->spc``
+    is set (src/pj_factors.c:33,47,66: analytic flags skip the numeric
+    fill-in; s always stays derivative-based and omega/a/b are derived
+    from the final h/k/s).  Default stays numeric so the DuckDB oracle
+    (which encodes the analytic closed form) remains an independent
+    cross-check; tests assert the two paths agree.
     """
     crs = _resolve(crs)
     from ..kernels.core import compile_proj
@@ -177,8 +187,21 @@ def factors_udf(crs: CRS | str):
             h = np.hypot(x_p, y_p)
             k = np.hypot(x_l, y_l) / cosphi
             s = (y_p * x_l - x_p * y_l) / cosphi
-        conv = -np.arctan2(x_p, y_p)
+        conv = -np.arctan2(y_l, x_l)  # pj_factors.c:67 (was -atan2(x_p,y_p),
+        # a sign-flipped non-reference convention — fixed round 3; the
+        # oracle never covered conv, which is how it survived)
+        if analytic and cp.spc is not None:
+            sp = cp.spc(lam, phi)
+            mask = sp.get("mask", np.ones_like(h, dtype=bool))
+            if "h" in sp:
+                h = np.where(mask, sp["h"], h)
+            if "k" in sp:
+                k = np.where(mask, sp["k"], k)
+            if "conv" in sp:
+                conv = np.where(mask, sp["conv"], conv)
         # omega from a'=max, b'=min of Tissot axes (pj_factors.c:73-80)
+        # — computed AFTER any analytic overlay, from the final h/k/s,
+        # matching the reference's ordering.
         t_ = h * h + k * k
         a_ = np.sqrt(np.maximum(t_ + 2.0 * s, 0.0))
         t2 = np.sqrt(np.maximum(t_ - 2.0 * s, 0.0))

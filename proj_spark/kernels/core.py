@@ -42,6 +42,13 @@ class CompiledProj:
     x0: float
     y0: float
     k0: float
+    # optional analytic scale-factor path (the reference's P->spc hook,
+    # src/pj_factors.c:41-42): ``spc(lam, phi) -> dict`` with keys
+    # ``h``/``k``/``conv`` (arrays) and ``mask`` (bool array — where the
+    # analytic value applies; numeric derivatives fill the rest).  Only
+    # lcc (PJ_lcc.c:49-61) and eqdc (PJ_eqdc.c:39-48) define one, same
+    # as the reference.
+    spc: Callable | None = None
 
 
 def _frame(crs) -> dict:
@@ -371,7 +378,22 @@ def setup_lcc(crs) -> CompiledProj:
         lam = np.where(nz, np.arctan2(x, y) / n, 0.0)
         return lam, phi
 
-    return CompiledProj("lcc", fwd, inv, **fr)
+    def spc(lam, phi):
+        # analytic h=k and convergence (PJ_lcc.c SPECIAL(fac):
+        # IS_ANAL_HK + IS_ANAL_CONV).  Where the pole guard trips the
+        # reference leaves fac untouched -> mask=False there so the
+        # numeric path fills in.
+        atpole = np.abs(np.abs(phi) - HALFPI) < EPS10
+        badpole = atpole & (phi * n <= 0.0)
+        if ellips:
+            rho = c * np.power(m.tsfn(phi, np.sin(phi), e), n)
+        else:
+            rho = c * np.power(np.tan(FORTPI + 0.5 * phi), -n)
+        rho = np.where(atpole, 0.0, rho)
+        hk = k0 * n * rho / m.msfn(np.sin(phi), np.cos(phi), es)
+        return {"h": hk, "k": hk, "conv": -n * lam, "mask": ~badpole}
+
+    return CompiledProj("lcc", fwd, inv, spc=spc, **fr)
 
 
 # ------------------------------------------------------------------- stere

@@ -222,7 +222,18 @@ def setup_eqdc(crs) -> CompiledProj:
             lam = np.where(rho_ == 0.0, 0.0, np.arctan2(xx, yy2) / n)
             return lam, phi
 
-    return CompiledProj("eqdc", fwd, inv, **fr)
+    def spc(lam, phi):
+        # analytic h=1, meridian-true k (PJ_eqdc.c SPECIAL(fac):
+        # IS_ANAL_HK only; convergence stays numeric).
+        sp_, cp_ = np.sin(phi), np.cos(phi)
+        if es:
+            rho_ = c - m.mlfn(phi, sp_, cp_, en)
+        else:
+            rho_ = c - phi
+        k = n * rho_ / m.msfn(sp_, cp_, es)
+        return {"h": np.ones_like(k), "k": k, "mask": np.ones_like(k, dtype=bool)}
+
+    return CompiledProj("eqdc", fwd, inv, spc=spc, **fr)
 
 
 # -------------------------------------------------------------- azimuthal

@@ -80,6 +80,40 @@ def test_factors_scale_near_one_on_utm_cm(spark):
     assert abs(r.f.s - r.f.h * r.f.k) < 1e-6  # conformal: s = h*k
 
 
+def test_factors_analytic_matches_numeric(spark):
+    """The analytic spc hooks (lcc PJ_lcc.c SPECIAL(fac), eqdc
+    PJ_eqdc.c) must agree with the 4-point numeric derivatives
+    (pj_deriv.c) to well under the finite-difference error."""
+    from proj_spark.functions.transform import factors_udf
+
+    pts = [
+        Row(lon=float(lon), lat=float(lat))
+        for lon in (-120.0, -96.5, -75.0)
+        for lat in (18.0, 33.0, 44.9, 60.0)
+    ]
+    df = spark.createDataFrame(pts)
+    for crs in (
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +ellps=GRS80",
+        "+proj=lcc +lat_1=40 +lon_0=-96 +R=6370997",
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lon_0=-96 +ellps=GRS80",
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lon_0=-96 +R=6370997",
+    ):
+        num = factors_udf(crs)
+        ana = factors_udf(crs, analytic=True)
+        out = df.select(
+            num(F.col("lon"), F.col("lat")).alias("n"),
+            ana(F.col("lon"), F.col("lat")).alias("a"),
+        ).collect()
+        for r in out:
+            for f in ("h", "k", "s", "omega", "conv"):
+                # omega mixes analytic h/k with numeric s and the sqrt
+                # in (a-b)/(a+b) amplifies the 1e-9 derivative noise
+                # near conformal points (the reference mixes the same
+                # way) — wider absolute tolerance there.
+                tol = 3e-5 if f == "omega" else 5e-7
+                assert abs(r.n[f] - r.a[f]) < tol, (crs, f, r.n[f], r.a[f])
+
+
 def test_geodesic_udf_matches_kernel(spark):
     from proj_spark.functions.transform import geodesic_inverse_udf
     from proj_spark.kernels.geodesy import geod_inverse
