@@ -64,10 +64,13 @@ def _parse_lines(lines, dms: bool = True):
     return np.array(us), np.array(vs), np.array(zs), tails
 
 
-def _emit(xs, ys, zs, tails, fmt, echo_in=None, out=None, dms_out=False, wfract=3):
+def _emit(xs, ys, zs, tails, fmt, echo_in=None, out=None, dms_out=False, wfract=3,
+          suffixes=None):
     """Reference output contract (cs2cs.c:126-159): DMS via rtodms when
     the dst is latlong and no -f was given; otherwise printf with oform
-    (default %.2f); z uses oform when given, else %.3f."""
+    (default %.2f); z uses oform when given, else %.3f.  ``suffixes``
+    (proj -S, src/proj.c:139-146) are appended tab-separated before the
+    tail."""
     from .functions.dms import rtodms_py
 
     out = out or sys.stdout  # resolve at call time (testable)
@@ -76,15 +79,16 @@ def _emit(xs, ys, zs, tails, fmt, echo_in=None, out=None, dms_out=False, wfract=
     deg2rad = VM_DEG  # rtodms takes radians; xs/ys are degrees here
     for i in range(len(xs)):
         prefix = f"{echo_in[i]}\t" if echo_in is not None else ""
+        sfx = f"\t{suffixes[i]}" if suffixes is not None else ""
         tail = f" {tails[i]}" if tails[i] else ""
         if np.isnan(xs[i]) or np.isnan(ys[i]):
-            out.write(f"{prefix}*\t* {zfmt % zs[i]}{tail}\n")
+            out.write(f"{prefix}*\t* {zfmt % zs[i]}{sfx}{tail}\n")
         elif dms_out and fmt is None:
             u = rtodms_py(xs[i] * deg2rad, "E", "W", wfract)
             v = rtodms_py(ys[i] * deg2rad, "N", "S", wfract)
-            out.write(f"{prefix}{u}\t{v} {zfmt % zs[i]}{tail}\n")
+            out.write(f"{prefix}{u}\t{v} {zfmt % zs[i]}{sfx}{tail}\n")
         else:
-            out.write(f"{prefix}{cfmt % xs[i]}\t{cfmt % ys[i]} {zfmt % zs[i]}{tail}\n")
+            out.write(f"{prefix}{cfmt % xs[i]}\t{cfmt % ys[i]} {zfmt % zs[i]}{sfx}{tail}\n")
 
 
 def cmd_cs2cs(args) -> int:
@@ -173,23 +177,135 @@ def _cmd_proj_cheby(args, crs) -> int:
     return 0
 
 
+def _factor_suffixes(crs, lon_deg, lat_deg, fail=None):
+    """proj -S per-line factor annotations (src/proj.c:139-146):
+    ``<h k s omega_deg a b>`` via %g, ``<* * * * * *>`` on failure."""
+    from .functions.transform import factors_arrays
+    from .kernels.xmath import DEG_TO_RAD
+
+    fc = factors_arrays(crs, lon_deg * DEG_TO_RAD, lat_deg * DEG_TO_RAD,
+                        analytic=True)
+    out = []
+    for i in range(len(lon_deg)):
+        bad = not fc["valid"][i] or np.isnan(fc["h"][i])
+        if fail is not None and fail[i]:
+            bad = True
+        if bad:
+            out.append("<* * * * * *>")
+        else:
+            out.append(
+                "<%g %g %g %g %g %g>"
+                % (fc["h"][i], fc["k"][i], fc["s"][i],
+                   fc["omega"][i] * RAD_TO_DEG, fc["a"][i], fc["b"][i])
+            )
+    return out
+
+
+def _vprocess(crs, lon_deg, lat_deg, xs, ys, fmt, out=None) -> None:
+    """proj -V verbose block per point (src/proj.c vprocess:153-240):
+    geographic position, projected position, and the full factor set
+    with '*' marking analytic (P->spc) values."""
+    from .functions.dms import rtodms_py
+    from .functions.transform import factors_arrays
+    from .kernels.xmath import DEG_TO_RAD
+
+    out = out or sys.stdout
+    oform = fmt if fmt is not None else "%.3f"  # vprocess default (proj.c:159)
+    fc = factors_arrays(crs, lon_deg * DEG_TO_RAD, lat_deg * DEG_TO_RAD,
+                        analytic=True)
+    hk_c = "*" if fc["code"] & 0o4 else " "
+    cv_c = "*" if fc["code"] & 0o10 else " "
+    for i in range(len(lon_deg)):
+        if np.isnan(xs[i]) or np.isnan(ys[i]) or not fc["valid"][i]:
+            out.write("*\t*\n")
+            continue
+        lon_r = lon_deg[i] * VM_DEG
+        lat_r = lat_deg[i] * VM_DEG
+        w = out.write
+        w("Longitude: %s [ %.11g ]\n" % (rtodms_py(lon_r, "E", "W"), lon_deg[i]))
+        w("Latitude:  %s [ %.11g ]\n" % (rtodms_py(lat_r, "N", "S"), lat_deg[i]))
+        w("Easting (x):   " + (oform % xs[i]) + "\n")
+        w("Northing (y):  " + (oform % ys[i]) + "\n")
+        w("Meridian scale (h)%c: %.8f  ( %.4g %% error )\n"
+          % (hk_c, fc["h"][i], (fc["h"][i] - 1.0) * 100.0))
+        w("Parallel scale (k)%c: %.8f  ( %.4g %% error )\n"
+          % (hk_c, fc["k"][i], (fc["k"][i] - 1.0) * 100.0))
+        w("Areal scale (s):     %.8f  ( %.4g %% error )\n"
+          % (fc["s"][i], (fc["s"][i] - 1.0) * 100.0))
+        w("Angular distortion (w): %.3f\n" % (fc["omega"][i] * RAD_TO_DEG))
+        w("Meridian/Parallel angle: %.5f\n" % (fc["thetap"][i] * RAD_TO_DEG))
+        w("Convergence%c: %s [ %.8f ]\n"
+          % (cv_c, rtodms_py(fc["conv"][i], "", ""), fc["conv"][i] * RAD_TO_DEG))
+        w("Max-min (Tissot axis a-b) scale error: %.5f %.5f\n\n"
+          % (fc["a"][i], fc["b"][i]))
+
+
 def cmd_proj(args) -> int:
     crs = CRS.from_proj4(args.defn)
     if getattr(args, "cheby", None):
         return _cmd_proj_cheby(args, crs)
     ll = "+proj=latlong +a=%r +es=%r" % (crs.a_orig, crs.es_orig)
-    lines = list(args.infile)
-    u, v, z, tails = _parse_lines(lines)
+    bin_in = args.bin or args.bin_in
+    bin_out = args.bin or args.bin_out
+    if args.vverbose and (bin_in or bin_out):
+        sys.stderr.write("binary I/O not available in -V option\n")
+        return 1
+    if bin_in:
+        # raw little-endian float64 pairs, radians fwd / meters inverse
+        # (src/proj.c:66-67 fread of projUV)
+        raw = np.frombuffer(sys.stdin.buffer.read(), dtype=np.float64)
+        raw = raw[: (len(raw) // 2) * 2].reshape(-1, 2)
+        u, v = raw[:, 0].copy(), raw[:, 1].copy()
+        if not args.inverse:
+            u *= RAD_TO_DEG
+            v *= RAD_TO_DEG
+        z = np.zeros_like(u)
+        tails = [""] * len(u)
+        lines = []
+    else:
+        lines = list(args.infile)
+        u, v, z, tails = _parse_lines(lines)
+        if args.inverse:
+            # projected in (plain floats, not DMS): re-parse as raw floats
+            toks = [ln.split() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")]
+            u = np.array([float(t[0]) for t in toks])
+            v = np.array([float(t[1]) for t in toks])
     if args.inverse:
-        # projected in (plain floats, not DMS): re-parse as raw floats
-        toks = [ln.split() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")]
-        u = np.array([float(t[0]) for t in toks])
-        v = np.array([float(t[1]) for t in toks])
         x, y, zo = transform_arrays(crs, ll, u, v, z)
+        lon_deg, lat_deg = x, y  # factors at the inverse result (proj.c:104)
     else:
         x, y, zo = transform_arrays(ll, crs, u, v, z)
+        lon_deg, lat_deg = u, v  # factors at the input (proj.c:101)
+    if args.vverbose:
+        # Easting/Northing are the PROJECTED coords: the input pair in
+        # inverse mode, the output pair forward (vprocess:90-101)
+        ex, ny = (u, v) if args.inverse else (x, y)
+        _vprocess(crs, lon_deg, lat_deg, ex, ny, args.fmt)
+        return 0
+    if bin_out:
+        # raw float64 pairs: meters fwd / RADIANS inverse, errors as
+        # HUGE_VAL lanes (src/proj.c:112-114)
+        ox, oy = (x.copy(), y.copy())
+        if args.inverse:
+            ox = ox / RAD_TO_DEG
+            oy = oy / RAD_TO_DEG
+        bad = np.isnan(ox) | np.isnan(oy)
+        ox = np.where(bad, np.inf, ox)
+        oy = np.where(bad, np.inf, oy)
+        sys.stdout.buffer.write(
+            np.ascontiguousarray(np.stack([ox, oy], axis=1)).tobytes()
+        )
+        return 0
+    sfx = (
+        _factor_suffixes(crs, lon_deg, lat_deg, fail=np.isnan(x) | np.isnan(y))
+        if args.factors
+        else None
+    )
     echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
-    _emit(x, y, zo, tails, args.fmt, echo)
+    # historical proj default oform is %.2f for BOTH coords and z
+    # (golden replays encode it); only -V uses the %.3f vprocess default
+    _emit(x, y, zo, tails, args.fmt if args.fmt is not None else "%.2f",
+          echo, suffixes=sfx)
     return 0
 
 
@@ -286,8 +402,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("proj", help="single-CRS fwd/inv filter (ref src/proj.c)")
     p.add_argument("-I", dest="inverse", action="store_true")
     p.add_argument("defn")
-    p.add_argument("-f", dest="fmt", default="%.2f")
+    p.add_argument("-f", dest="fmt", default=None)
     p.add_argument("-E", dest="echo", action="store_true")
+    p.add_argument("-S", dest="factors", action="store_true",
+                   help="append <h k s omega a b> scale factors (proj.c -S)")
+    p.add_argument("-V", dest="vverbose", action="store_true",
+                   help="verbose per-point factor report (proj.c vprocess)")
+    p.add_argument("-b", dest="bin", action="store_true",
+                   help="binary (raw float64 pair) input AND output")
+    p.add_argument("-i", dest="bin_in", action="store_true",
+                   help="binary input only")
+    p.add_argument("-o", dest="bin_out", action="store_true",
+                   help="binary output only")
     p.add_argument(
         "-T", dest="cheby", default=None,
         help="generate Chebyshev/power approximation coefficients "

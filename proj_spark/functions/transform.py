@@ -127,28 +127,121 @@ def geodesic_inverse_udf(a: float = 6378137.0, f: float = 1.0 / 298.257223563):
     return _udf
 
 
-def factors_udf(crs: CRS | str, analytic: bool = False):
-    """pandas UDF ``(lon_deg, lat_deg) -> struct<h,k,s,omega,conv>``.
+def factors_arrays(crs: CRS | str, lam: "np.ndarray", phi: "np.ndarray",
+                   analytic: bool = False) -> dict:
+    """Full pj_factors over numpy arrays of geographic RADIANS
+    (ref src/pj_factors.c:10-86 + src/pj_deriv.c 4-point finite
+    differences, DEFAULT_H = 1e-5 rad).
 
-    Distortion analysis via numeric derivatives (ref src/pj_factors.c:
-    10-86 + src/pj_deriv.c finite differences, EPS = 1e-5 rad).
+    Returns a dict of arrays ``h k s omega conv thetap a b`` plus
+    ``valid`` (False where the reference errors: |phi|-HALFPI > 1e-12
+    or |lam| > 10, pj_factors.c:15) and scalar ``code`` (IS_ANAL_*
+    bits, nonzero only when ``analytic`` and the projection defines a
+    ``spc`` hook).  Edge semantics match the reference: phi is clamped
+    to ±(HALFPI - h) near the poles so the derivative still exists
+    (pj_factors.c:24-26), geocentric latitude is converted when
+    ``+geoc`` (line 27), and del-lam is wrapped unless ``+over``
+    (lines 29-31).
 
     With ``analytic=True``, projections that define an analytic
     scale-factor hook (``CompiledProj.spc`` — lcc per PJ_lcc.c
     SPECIAL(fac), eqdc per PJ_eqdc.c) overlay their exact h/k/conv on
     the numeric values, exactly as the reference does when ``P->spc``
-    is set (src/pj_factors.c:33,47,66: analytic flags skip the numeric
-    fill-in; s always stays derivative-based and omega/a/b are derived
-    from the final h/k/s).  Default stays numeric so the DuckDB oracle
-    (which encodes the analytic closed form) remains an independent
-    cross-check; tests assert the two paths agree.
+    is set; s always stays derivative-based and omega/thetap/a/b are
+    derived from the final h/k/s.
     """
     crs = _resolve(crs)
     from ..kernels.core import compile_proj
 
     cp = compile_proj(crs)
     es, one_es = crs.es, crs.one_es
-    lam0 = cp.lam0
+
+    DERIV_EPS = 1e-5  # DEFAULT_H (pj_factors.c:6)
+    HALFPI = np.pi / 2.0
+
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    valid = (np.abs(phi) - HALFPI <= 1e-12) & (np.abs(lam) <= 10.0)
+    # pole clamp (pj_factors.c:24-26)
+    phi = np.where(
+        np.abs(phi) > HALFPI - DERIV_EPS,
+        np.where(phi < 0.0, -HALFPI + DERIV_EPS, HALFPI - DERIV_EPS),
+        np.arctan(crs.rone_es * np.tan(phi)) if crs.geoc else phi,
+    )
+    lam = lam - cp.lam0
+    if not crs.over:
+        lam = m.adjlon(lam)
+
+    # 4-point numeric partials (src/pj_deriv.c:5-33); invalid lanes
+    # (overrange inputs, masked by `valid`) may raise numpy warnings
+    # inside kernels — silence them, the lanes come out NaN
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        xp1, yp1 = cp.fwd(lam + DERIV_EPS, phi + DERIV_EPS)
+        xp2, yp2 = cp.fwd(lam + DERIV_EPS, phi - DERIV_EPS)
+        xm1, ym1 = cp.fwd(lam - DERIV_EPS, phi + DERIV_EPS)
+        xm2, ym2 = cp.fwd(lam - DERIV_EPS, phi - DERIV_EPS)
+    h2 = DERIV_EPS * 2.0
+    x_l = (xp1 + xp2 - xm1 - xm2) / (2 * h2)
+    x_p = (xp1 - xp2 + xm1 - xm2) / (2 * h2)
+    y_l = (yp1 + yp2 - ym1 - ym2) / (2 * h2)
+    y_p = (yp1 - yp2 + ym1 - ym2) / (2 * h2)
+    # pj_factors.c:44-80
+    cosphi = np.cos(phi)
+    sinphi = np.sin(phi)
+    if es:
+        t = 1.0 - es * sinphi * sinphi
+        n = np.sqrt(t)
+        h = np.hypot(x_p, y_p) * t * np.sqrt(t) / one_es
+        k = np.hypot(x_l, y_l) / cosphi * n
+        s = (y_p * x_l - x_p * y_l) * (t * t / one_es) / cosphi
+    else:
+        h = np.hypot(x_p, y_p)
+        k = np.hypot(x_l, y_l) / cosphi
+        s = (y_p * x_l - x_p * y_l) / cosphi
+    conv = -np.arctan2(y_l, x_l)  # pj_factors.c:67 (was -atan2(x_p,y_p),
+    # a sign-flipped non-reference convention — fixed round 3; the
+    # oracle never covered conv, which is how it survived)
+    code = 0
+    if analytic and cp.spc is not None:
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            sp = cp.spc(lam, phi)
+        mask = sp.get("mask", np.ones_like(h, dtype=bool))
+        if "h" in sp:
+            h = np.where(mask, sp["h"], h)
+            k = np.where(mask, sp["k"], k)
+            code |= 0o4  # IS_ANAL_HK
+        if "conv" in sp:
+            conv = np.where(mask, sp["conv"], conv)
+            code |= 0o10  # IS_ANAL_CONV
+    # omega/thetap/a/b from the final h/k/s (pj_factors.c:73-85) —
+    # computed AFTER any analytic overlay, matching the reference's
+    # ordering.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        thetap = m.aasin(s / (h * k))
+    t_ = h * h + k * k
+    a_ = np.sqrt(np.maximum(t_ + 2.0 * s, 0.0))
+    t2 = np.sqrt(np.maximum(t_ - 2.0 * s, 0.0))
+    amax = 0.5 * (a_ + t2)
+    bmin = 0.5 * (a_ - t2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        omega = 2.0 * np.arcsin(np.clip(t2 / a_, -1.0, 1.0))
+    return {
+        "h": h, "k": k, "s": s, "omega": omega, "conv": conv,
+        "thetap": thetap, "a": amax, "b": bmin, "valid": valid,
+        "code": code,
+    }
+
+
+def factors_udf(crs: CRS | str, analytic: bool = False):
+    """pandas UDF ``(lon_deg, lat_deg) -> struct<h,k,s,omega,conv>``.
+
+    Distortion analysis via numeric derivatives (ref src/pj_factors.c:
+    10-86); see :func:`factors_arrays` for the array engine and the
+    ``analytic`` (P->spc overlay) semantics.  Default stays numeric so
+    the DuckDB oracle (which encodes the analytic closed form) remains
+    an independent cross-check; tests assert the two paths agree.
+    """
+    crs = _resolve(crs)
 
     schema = StructType(
         [
@@ -160,64 +253,15 @@ def factors_udf(crs: CRS | str, analytic: bool = False):
         ]
     )
 
-    DERIV_EPS = 1e-5  # src/proj.c DEFAULT_H-ish finite-difference step
-
-    def _factors(lam, phi):
-        # 4-point numeric partials (src/pj_deriv.c:5-33)
-        lam = lam - lam0
-        xp1, yp1 = cp.fwd(lam + DERIV_EPS, phi + DERIV_EPS)
-        xp2, yp2 = cp.fwd(lam + DERIV_EPS, phi - DERIV_EPS)
-        xm1, ym1 = cp.fwd(lam - DERIV_EPS, phi + DERIV_EPS)
-        xm2, ym2 = cp.fwd(lam - DERIV_EPS, phi - DERIV_EPS)
-        h2 = DERIV_EPS * 2.0
-        x_l = (xp1 + xp2 - xm1 - xm2) / (2 * h2)
-        x_p = (xp1 - xp2 + xm1 - xm2) / (2 * h2)
-        y_l = (yp1 + yp2 - ym1 - ym2) / (2 * h2)
-        y_p = (yp1 - yp2 + ym1 - ym2) / (2 * h2)
-        # pj_factors.c:44-80
-        cosphi = np.cos(phi)
-        sinphi = np.sin(phi)
-        if es:
-            t = 1.0 - es * sinphi * sinphi
-            n = np.sqrt(t)
-            h = np.hypot(x_p, y_p) * t * np.sqrt(t) / one_es
-            k = np.hypot(x_l, y_l) / cosphi * n
-            s = (y_p * x_l - x_p * y_l) * (t * t / one_es) / cosphi
-        else:
-            h = np.hypot(x_p, y_p)
-            k = np.hypot(x_l, y_l) / cosphi
-            s = (y_p * x_l - x_p * y_l) / cosphi
-        conv = -np.arctan2(y_l, x_l)  # pj_factors.c:67 (was -atan2(x_p,y_p),
-        # a sign-flipped non-reference convention — fixed round 3; the
-        # oracle never covered conv, which is how it survived)
-        if analytic and cp.spc is not None:
-            sp = cp.spc(lam, phi)
-            mask = sp.get("mask", np.ones_like(h, dtype=bool))
-            if "h" in sp:
-                h = np.where(mask, sp["h"], h)
-            if "k" in sp:
-                k = np.where(mask, sp["k"], k)
-            if "conv" in sp:
-                conv = np.where(mask, sp["conv"], conv)
-        # omega from a'=max, b'=min of Tissot axes (pj_factors.c:73-80)
-        # — computed AFTER any analytic overlay, from the final h/k/s,
-        # matching the reference's ordering.
-        t_ = h * h + k * k
-        a_ = np.sqrt(np.maximum(t_ + 2.0 * s, 0.0))
-        t2 = np.sqrt(np.maximum(t_ - 2.0 * s, 0.0))
-        amax = 0.5 * (a_ + t2)
-        bmin = 0.5 * (a_ - t2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            omega = 2.0 * np.arcsin(np.clip(t2 / a_, -1.0, 1.0))
-        return h, k, s, omega, conv, amax, bmin
-
     @F.pandas_udf(schema)
     def _udf(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
         for b in it:
             lam = b[0].to_numpy(np.float64) * m.DEG_TO_RAD
             phi = b[1].to_numpy(np.float64) * m.DEG_TO_RAD
-            h, k, s, omega, conv, _, _ = _factors(lam, phi)
-            yield pd.DataFrame({"h": h, "k": k, "s": s, "omega": omega, "conv": conv})
+            fc = factors_arrays(crs, lam, phi, analytic=analytic)
+            yield pd.DataFrame(
+                {n: fc[n] for n in ("h", "k", "s", "omega", "conv")}
+            )
 
     return _udf
 

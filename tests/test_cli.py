@@ -125,3 +125,74 @@ def test_proj_T_power_evaluates_like_projection():
     )
     xa = P.polyval2d(lam, phi, cu)
     assert np.max(np.abs(xa - x)) < 0.5  # res=-3: ~1e-3 nominal, mm-level
+
+
+def test_proj_S_factors_suffix():
+    """proj -S appends <h k s omega a b> (src/proj.c:139-146); on a
+    UTM central-meridian point h=k=k0=0.9996 and omega~0."""
+    rc, out = run_cli(
+        ["proj", "-S", "+proj=utm +zone=15 +ellps=GRS80"], "-93 40\nbogus line\n"
+    )
+    assert rc == 0
+    lines = out.splitlines()
+    sfx = lines[0].split("<")[1].rstrip(">")
+    h, k, s, omega, a, b = (float(t) for t in sfx.split())
+    assert abs(h - 0.9996) < 1e-6 and abs(k - 0.9996) < 1e-6
+    assert abs(s - 0.9996**2) < 1e-6 and omega < 1e-2
+    assert "<* * * * * *>" in lines[1]
+
+
+def test_proj_V_verbose_block():
+    """proj -V prints the vprocess report (src/proj.c:153-240) with '*'
+    marking analytic (P->spc) factors on lcc."""
+    rc, out = run_cli(
+        ["proj", "-V", "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +ellps=GRS80"],
+        "-96d30 44\n",
+    )
+    assert rc == 0
+    assert "Longitude: 96d30'W [ -96.5 ]" in out
+    assert "Latitude:  44dN [ 44 ]" in out
+    assert "Meridian scale (h)*: 0.99828407" in out  # analytic -> '*'
+    assert "Parallel scale (k)*: 0.99828407" in out
+    assert "Areal scale (s):     0.99657107" in out
+    assert "Meridian/Parallel angle: 89.999" in out
+    assert "Convergence*: " in out
+    # vprocess default oform is %.3f (proj.c:159)
+    assert "Easting (x):   -40034.080" in out
+
+
+def test_proj_V_numeric_projection_no_stars():
+    rc, out = run_cli(["proj", "-V", "+proj=merc +ellps=WGS84"], "10 45\n")
+    assert rc == 0
+    assert "Meridian scale (h) : " in out  # numeric -> space, no '*'
+    assert "Convergence : " in out
+
+
+def test_proj_binary_io_roundtrip():
+    """proj -b: raw float64 radian pairs in, meter pairs out
+    (src/proj.c:66,112 projUV fread/fwrite)."""
+    import subprocess
+
+    data = np.array([[0.5, 0.7], [99.0, 99.0]], dtype=np.float64).tobytes()
+    p = subprocess.run(
+        [sys.executable, "-m", "proj_spark.cli", "proj", "-b", "+proj=merc +ellps=WGS84"],
+        input=data, capture_output=True,
+    )
+    out = np.frombuffer(p.stdout, dtype=np.float64).reshape(-1, 2)
+    from proj_spark.plans.pipeline import transform_arrays
+
+    x, y, _ = transform_arrays(
+        "+proj=latlong +ellps=WGS84", "+proj=merc +ellps=WGS84",
+        np.array([0.5 * 180 / math.pi]), np.array([0.7 * 180 / math.pi]), None,
+    )
+    assert abs(out[0, 0] - x[0]) < 1e-6 and abs(out[0, 1] - y[0]) < 1e-6
+    assert np.isinf(out[1]).all()  # overrange lane -> HUGE_VAL pair
+
+    # -I -o: text meters in, binary radian pairs out
+    p2 = subprocess.run(
+        [sys.executable, "-m", "proj_spark.cli", "proj", "-I", "-o",
+         "+proj=merc +ellps=WGS84"],
+        input=f"{x[0]:.6f} {y[0]:.6f}\n".encode(), capture_output=True,
+    )
+    inv = np.frombuffer(p2.stdout, dtype=np.float64)
+    assert abs(inv[0] - 0.5) < 1e-9 and abs(inv[1] - 0.7) < 1e-9
