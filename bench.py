@@ -197,6 +197,13 @@ def _flagship(spark, n_images: int):
         )
         .groupBy("tx", "ty", "poly_seq")
         .agg(F.count(F.lit(1)).alias("n"))
+        # persist the TINY aggregate (|z11 tiles| x |polys+1| rows) as a
+        # barrier: without it Catalyst merges the countDistinct below
+        # into this aggregate and plans the x4 Expand over the FULL
+        # input — 4 struct-keyed hash-agg probes per input row instead
+        # of one (verified via explain("formatted")).  Caching ~10^4
+        # rows costs nothing at any scale.
+        .persist()
     )
     # both outputs from the one small aggregate, one action (the multi-
     # countDistinct Expand runs over ~10^3 rows, not the input)
@@ -210,6 +217,7 @@ def _flagship(spark, n_images: int):
         ).alias("t4"),
         F.countDistinct("poly_seq").alias("n_polys"),  # nulls (misses) ignored
     ).collect()[0]
+    small.unpersist()
     n_tiles = int(stats.t11) + int(stats.t8) + int(stats.t4)
     return n_images, n_tiles + int(stats.n_polys)
 
