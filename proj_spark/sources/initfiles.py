@@ -39,6 +39,16 @@ def _resolve_file(name: str) -> str:
         cand = os.path.join(d, name)
         if os.path.exists(cand):
             return cand
+    # zip deployment (spark-submit --py-files proj_spark.zip): the
+    # bundled catalogs live inside the archive, not on the filesystem —
+    # resolve through the package reader instead of os.path
+    try:
+        from importlib.resources import files
+
+        if files("proj_spark").joinpath("data", "init", name).is_file():
+            return f"res://{name}"
+    except (ImportError, OSError, ValueError):
+        pass
     raise FileNotFoundError(f"init catalog {name!r} not found (search path + bundled)")
 
 
@@ -48,7 +58,17 @@ def _read_init_file(path: str) -> dict[str, str]:
     entries: dict[str, str] = {}
     key = None
     buf: list[str] = []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
+    if path.startswith("res://"):
+        from importlib.resources import files
+
+        opener = (
+            files("proj_spark")
+            .joinpath("data", "init", path[len("res://") :])
+            .open("r", encoding="utf-8", errors="replace")
+        )
+    else:
+        opener = open(path, "r", encoding="utf-8", errors="replace")
+    with opener as f:
         for raw in f:
             line = raw.split("#", 1)[0].strip()
             if not line:
