@@ -73,15 +73,14 @@ def _pts_table(spark, n_images: int):
                 "image_id", "phash", "lon", "lat"
             )
         else:
-            # large scale factors: derive the point view straight from
-            # the deterministic generator without materializing the
-            # wide payload table (42 GB at 16M rows; the flagship
-            # never reads the payload columns anyway)
-            from proj_spark.sources.images import generate_images, with_centroids
+            # large scale factors: payload-free point generator (same
+            # centroid law, surrogate phash — sources/images.py
+            # generate_points).  generate_images would pixel-encode
+            # every row in Python (~3k rows/s/core: 128M rows = hours)
+            # to produce payload bytes this pruned view never reads.
+            from proj_spark.sources.images import generate_points
 
-            imgs = with_centroids(
-                generate_images(spark, n_images, partitions=4 * CPUS)
-            ).select("image_id", "phash", "lon", "lat")
+            imgs = generate_points(spark, n_images, partitions=4 * CPUS)
         key = CE.tile_key(
             CE.tile_x("lon", CF.lit(11)), CE.tile_y("lat", CF.lit(11)), CF.lit(11)
         )
@@ -429,6 +428,8 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     register_grid("conus_syn", make_synthetic_grid())
     if FLAGSHIP_TABLE == "wide":
         imgs = _image_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+    elif FLAGSHIP_TABLE == "unclustered":
+        imgs = _pts_uncl_table(spark, N_IMAGES).select("image_id", "lon", "lat")
     else:
         imgs = _pts_table(spark, N_IMAGES).select("image_id", "lon", "lat")
     shifted = _t(
