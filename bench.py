@@ -31,11 +31,24 @@ N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
 FLAGSHIP_TABLE = os.environ.get("SPARK_GRAFT_FLAGSHIP_TABLE", "clustered")
 
 
-_IMG_CACHE = os.environ.get(
-    "SPARK_GRAFT_IMG_CACHE", f"/tmp/proj_spark_bench/images_{N_IMAGES}"
-)
-_PTS_CACHE = f"{_IMG_CACHE}_pts_c1"
-_PTS_UNCL_CACHE = f"{_IMG_CACHE}_pts_u"
+def _img_cache(n: int) -> str:
+    if n == N_IMAGES and "SPARK_GRAFT_IMG_CACHE" in os.environ:
+        return os.environ["SPARK_GRAFT_IMG_CACHE"]
+    return f"/tmp/proj_spark_bench/images_{n}"
+
+
+def _pts_cache(n: int) -> str:
+    return f"{_img_cache(n)}_pts_c1"
+
+
+def _pts_uncl_cache(n: int) -> str:
+    return f"{_img_cache(n)}_pts_u"
+
+
+# module-level aliases for the default size (back-compat)
+_IMG_CACHE = _img_cache(N_IMAGES)
+_PTS_CACHE = _pts_cache(N_IMAGES)
+_PTS_UNCL_CACHE = _pts_uncl_cache(N_IMAGES)
 
 
 def _image_table(spark, n_images: int):
@@ -46,10 +59,11 @@ def _image_table(spark, n_images: int):
     time, so it is cached across bench runs."""
     from proj_spark.sources.images import generate_images, with_centroids
 
-    if not os.path.exists(os.path.join(_IMG_CACHE, "_SUCCESS")):
+    cache = _img_cache(n_images)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         imgs = with_centroids(generate_images(spark, n_images, partitions=4 * CPUS))
-        imgs.write.mode("overwrite").parquet(_IMG_CACHE)
-    return spark.read.parquet(_IMG_CACHE)
+        imgs.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
 
 
 def _pts_table(spark, n_images: int):
@@ -67,8 +81,9 @@ def _pts_table(spark, n_images: int):
 
     from proj_spark.functions import expressions as CE
 
-    if not os.path.exists(os.path.join(_PTS_CACHE, "_SUCCESS")):
-        if os.path.exists(os.path.join(_IMG_CACHE, "_SUCCESS")):
+    cache = _pts_cache(n_images)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        if os.path.exists(os.path.join(_img_cache(n_images), "_SUCCESS")):
             imgs = _image_table(spark, n_images).select(
                 "image_id", "phash", "lon", "lat"
             )
@@ -90,9 +105,9 @@ def _pts_table(spark, n_images: int):
             .sortWithinPartitions("_ck")
             .drop("_ck")
             .write.mode("overwrite")
-            .parquet(_PTS_CACHE)
+            .parquet(cache)
         )
-    return spark.read.parquet(_PTS_CACHE)
+    return spark.read.parquet(cache)
 
 
 def _pts_uncl_table(spark, n_images: int):
@@ -105,9 +120,10 @@ def _pts_uncl_table(spark, n_images: int):
     locality, partial aggs saturate at the distinct-tile cap per
     task) is identical to the true wide layout.  Written as
     4 x CPUS files so one map task covers ~n/(4 CPUS) rows."""
-    if not os.path.exists(os.path.join(_PTS_UNCL_CACHE, "_SUCCESS")):
-        if os.path.exists(os.path.join(_PTS_CACHE, "_SUCCESS")) or os.path.exists(
-            os.path.join(_IMG_CACHE, "_SUCCESS")
+    cache = _pts_uncl_cache(n_images)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        if os.path.exists(os.path.join(_pts_cache(n_images), "_SUCCESS")) or os.path.exists(
+            os.path.join(_img_cache(n_images), "_SUCCESS")
         ):
             src = _pts_table(spark, n_images)
         else:
@@ -119,9 +135,9 @@ def _pts_uncl_table(spark, n_images: int):
         (
             src.repartition(4 * CPUS)  # round-robin: destroys spatial order
             .write.mode("overwrite")
-            .parquet(_PTS_UNCL_CACHE)
+            .parquet(cache)
         )
-    return spark.read.parquet(_PTS_UNCL_CACHE)
+    return spark.read.parquet(cache)
 
 
 def _flagship(spark, n_images: int):
@@ -316,7 +332,9 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     return result
 
 
-def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -> dict:
+def run_flagship_cluster(
+    n_executors: int, cores: int = 4, mem_mb: int = 6144, n_images: int | None = None
+) -> dict:
     """Flagship throughput on a real multi-executor local cluster
     (separate executor JVMs + netty shuffle — the faithful sandbox
     stand-in for the north rule's N vs 4N executor criterion; plain
@@ -331,6 +349,8 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
 
     from pyspark.sql import SparkSession
 
+    if n_images is None:
+        n_images = N_IMAGES
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
@@ -373,12 +393,12 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     # regime — at 64M+ rows it no longer fits disk and the unclustered
     # point view is the wide-scan-equivalent fixture)
     if FLAGSHIP_TABLE == "wide":
-        _image_table(spark, N_IMAGES)
-        _pts_table(spark, N_IMAGES)
+        _image_table(spark, n_images)
+        _pts_table(spark, n_images)
     elif FLAGSHIP_TABLE == "unclustered":
-        _pts_uncl_table(spark, N_IMAGES)
+        _pts_uncl_table(spark, n_images)
     else:
-        _pts_table(spark, N_IMAGES)
+        _pts_table(spark, n_images)
 
     # Size input splits to the run: ~4 scan tasks per core, clamped to
     # [32 MB, 1 GB].  The default 128 MB split on the 42 GB wide table
@@ -390,9 +410,9 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     # sizing maxPartitionBytes so one map task covers enough rows to
     # saturate the distinct-tile cap (map-side combine does the rest).
     src_dir = {
-        "wide": _IMG_CACHE,
-        "unclustered": _PTS_UNCL_CACHE,
-    }.get(FLAGSHIP_TABLE, _PTS_CACHE)
+        "wide": _img_cache(n_images),
+        "unclustered": _pts_uncl_cache(n_images),
+    }.get(FLAGSHIP_TABLE, _pts_cache(n_images))
     try:
         tot = sum(
             os.path.getsize(os.path.join(src_dir, f))
@@ -427,11 +447,11 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
 
     register_grid("conus_syn", make_synthetic_grid())
     if FLAGSHIP_TABLE == "wide":
-        imgs = _image_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+        imgs = _image_table(spark, n_images).select("image_id", "lon", "lat")
     elif FLAGSHIP_TABLE == "unclustered":
-        imgs = _pts_uncl_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+        imgs = _pts_uncl_table(spark, n_images).select("image_id", "lon", "lat")
     else:
-        imgs = _pts_table(spark, N_IMAGES).select("image_id", "lon", "lat")
+        imgs = _pts_table(spark, n_images).select("image_id", "lon", "lat")
     shifted = _t(
         imgs,
         "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
@@ -447,13 +467,14 @@ def run_flagship_cluster(n_executors: int, cores: int = 4, mem_mb: int = 6144) -
     dt_narrow = time.time() - t0
 
     t0 = time.time()
-    n_rows, _ = _flagship(spark, N_IMAGES)
+    n_rows, _ = _flagship(spark, n_images)
     dt = time.time() - t0
     spark.stop()
     return {
         "executors": n_executors,
         "cores_each": cores,
         "total_cores": n_executors * cores,
+        "n_images": n_images,
         "wall_sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1),
         "narrow_wall_sec": round(dt_narrow, 3),
@@ -499,15 +520,27 @@ def main():
         return
     if scaling == "cluster":
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-        lo = run_flagship_cluster(n_lo)
-        hi = run_flagship_cluster(4 * n_lo)
+        # SPARK_GRAFT_SCALE_MODE=weak: constant per-executor load — N
+        # executors on n/4 rows vs 4N executors on n rows.  This is the
+        # faithful sandbox model of the 100 TB question ("same job, 4x
+        # the data, 4x the executors"): a 10^12-row job never strong-
+        # scales a fixed toy input until fixed costs dominate; each
+        # executor keeps the same slice.  Efficiency formula is shared
+        # with the strong pair because rows_per_sec normalizes n.
+        mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "strong")
+        lo_images = N_IMAGES // 4 if mode == "weak" else N_IMAGES
+        lo = run_flagship_cluster(n_lo, n_images=lo_images)
+        hi = run_flagship_cluster(4 * n_lo, n_images=N_IMAGES)
         ratio = hi["total_cores"] / lo["total_cores"]
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
         eff_narrow = (hi["narrow_rows_per_sec"] / lo["narrow_rows_per_sec"]) / ratio
         print(
             json.dumps(
                 {
-                    "metric": "flagship rows/sec at N vs 4N executors (local-cluster)",
+                    "metric": (
+                        "flagship rows/sec at N vs 4N executors (local-cluster, "
+                        + ("weak scaling: rows grow with executors)" if mode == "weak" else "strong scaling: fixed input)")
+                    ),
                     "value": hi["wall_sec"],
                     "unit": "sec",
                     "sf": SF_DIR.rstrip("/").split("sf")[-1],
