@@ -903,6 +903,100 @@ def _simhash_oracle() -> str:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup PAIRS (hamming <= 2 over 16-bit
+    deterministic signatures).  The Spark side is the scale operator —
+    pigeonhole buckets over max_hamming+1 disjoint bit bands, which
+    guarantees recall — so at oracle scale its output is EXACTLY the
+    all-pairs bit_count filter the DuckDB oracle runs."""
+    from proj_spark.operators.dedup import simhash, simhash_near_pairs, tokenize
+
+    docs = tokenize(_load(spark, sf_dir, "documents"))
+    sigs = simhash(docs, id_col="doc_id", bits=16, deterministic=True)
+    pairs = simhash_near_pairs(sigs, id_col="doc_id", max_hamming=2, bits=16)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    from proj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    votes = ",\n       ".join(
+        f"sum((((tid * {MINHASH_A[j % 8]} + {MINHASH_B[j % 8]} + {j}) % {MINHASH_P}) % 2) * 2 - 1) AS s{j}"
+        for j in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return (
+        f"WITH {_MINHASH_DICT_SQL},\n"
+        f"v AS (SELECT doc_id, {votes} FROM dt GROUP BY doc_id),\n"
+        f"s AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM v)\n"
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming\n"
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 2"
+    )
+
+
+# surrogate-phash construction shared by q_phash_pairs and its oracle:
+# customers group by 8 (one 'source image' per group); quarters of the
+# 64-bit hash derive from the group id, and members flip at most ONE
+# low bit — so intra-group pairs sit at hamming <= 2 and the query's
+# max_hamming=3 keeps the 4x16-bit pigeonhole recall guarantee exact.
+_PHQ = [(1103, 12289), (2069, 3301), (4919, 773), (7907, 51)]  # (A_i, B_i)
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup PAIRS via the banded 4x16-bit-quarter
+    operator (operators/multimodal.py phash_dedup_pairs), driven by a
+    SQL-reproducible surrogate phash so the DuckDB oracle can replay
+    the exact all-pairs filter.  Quarter-exact bucketing guarantees
+    recall for hamming <= 3 (pigeonhole over 4 disjoint quarters)."""
+    from proj_spark.operators.multimodal import phash_dedup_pairs
+
+    c = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("image_id")
+    )
+    grp = F.floor(F.col("image_id") / F.lit(8)).cast("long")
+    quarters = [((grp * F.lit(a) + F.lit(b)) % F.lit(65521)) for a, b in _PHQ]
+    base = (
+        quarters[0]
+        + quarters[1] * F.lit(1 << 16)
+        + quarters[2] * F.lit(1 << 32)
+        + (quarters[3] % F.lit(32768)) * F.lit(1 << 48)
+    )
+    k = F.col("image_id") % F.lit(8)
+    mask = F.when(k == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(1L, cast(image_id % 8 - 1 as int))")
+    )
+    imgs = c.select("image_id", base.bitwiseXOR(mask).cast("long").alias("phash"))
+    pairs = phash_dedup_pairs(imgs, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    qs = [
+        f"(((c_custkey // 8) * {a} + {b}) % 65521)" for a, b in _PHQ
+    ]
+    base = (
+        f"({qs[0]} + {qs[1]} * {1 << 16} + {qs[2]} * {1 << 32}"
+        f" + ({qs[3]} % 32768) * {1 << 48})"
+    )
+    mask = "(CASE WHEN c_custkey % 8 = 0 THEN 0 ELSE 1 << CAST(c_custkey % 8 - 1 AS INTEGER) END)"
+    return (
+        "WITH s AS (\n"
+        f"  SELECT CAST(c_custkey AS BIGINT) AS id, xor(CAST({base} AS BIGINT), CAST({mask} AS BIGINT)) AS sig\n"
+        "  FROM customer\n"
+        ")\n"
+        "SELECT a.id AS id_a, b.id AS id_b,\n"
+        "       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming\n"
+        "FROM s a JOIN s b ON a.id < b.id\n"
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+    )
+
+
 def q_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for the deterministic pair family
     (doc_id, doc_id+1) — the refine stage of the near-dup pipeline."""
@@ -1438,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1863,6 +1959,8 @@ FROM documents
         "minhash_sigs": _minhash_oracle(),
         "lsh_pairs": _lsh_pairs_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "phash_pairs": _phash_pairs_oracle(),
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),
         "ann_ivf": _ann_oracle(),  # nprobe=all IVF == brute force, same mirror
