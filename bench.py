@@ -482,8 +482,94 @@ def run_flagship_cluster(
     }
 
 
+def run_compute_probe(n_executors: int, n_rows: int, cores: int = 4, mem_mb: int = 6144) -> dict:
+    """Pure-compute scaling probe: the SAME datum-transform pandas UDF
+    as the flagship's narrow stage, but over spark.range — no parquet
+    scan, no shuffle, no disk.  Rows are synthesized in-executor, so
+    the only shared resource is CPU + memory bandwidth of the UDF
+    itself.  If this scales ~1.0 while the scan-fed narrow stage does
+    not, the gap IS the single box's IO/memory-bandwidth ceiling (a
+    per-node resource a real N->4N cluster multiplies), not the plan."""
+    import time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
+        .appName("proj-spark-compute-probe")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores} -XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={cores}",
+        )
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from proj_spark.functions.transform import transform as _t
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+
+    register_grid("conus_syn", make_synthetic_grid())
+
+    def pipeline(n):
+        base = spark.range(n, numPartitions=4 * n_executors * cores).select(
+            (F.col("id") % 56 - 124.0 + (F.col("id") % 977) / 1000.0).alias("lon"),
+            (F.col("id") % 26 + 25.0 + (F.col("id") % 991) / 1000.0).alias("lat"),
+        )
+        out = _t(
+            base,
+            "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
+            "+proj=latlong +datum=WGS84",
+            "lon",
+            "lat",
+        )
+        return out.agg(F.sum("x"), F.sum("y"))
+
+    pipeline(50000).collect()  # warm python workers + codegen everywhere
+    t0 = time.time()
+    pipeline(n_rows).collect()
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "executors": n_executors,
+        "total_cores": n_executors * cores,
+        "n_rows": n_rows,
+        "wall_sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt, 1),
+    }
+
+
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    if scaling == "compute":
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        n_rows = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS", str(N_IMAGES)))
+        lo = run_compute_probe(n_lo, n_rows)
+        hi = run_compute_probe(4 * n_lo, n_rows)
+        ratio = hi["total_cores"] / lo["total_cores"]
+        print(
+            json.dumps(
+                {
+                    "metric": "pure-compute probe rows/sec at N vs 4N executors (no scan, no shuffle)",
+                    "n_executors": lo,
+                    "4n_executors": hi,
+                    "scaling_efficiency": round(
+                        (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio, 3
+                    ),
+                }
+            )
+        )
+        return
     sweep = os.environ.get("SPARK_GRAFT_SCALE_SWEEP")
     if scaling == "cluster" and sweep:
         # N-sweep: run every executor count and report the full

@@ -311,17 +311,26 @@ def verify_payloads(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for _, r in b.iterrows():
-                idx = int(r["image_id"][3:])
-                src = synth_pixels(idx, int(r["w"]), int(r["h"]))
-                dec = decode_image(r["bytes"], r["fmt"])
+            # per-image decode is inherently a Python loop, but iterate
+            # raw column arrays (iterrows builds a Series per row)
+            for iid, w, h, data, fmt, caption in zip(
+                b["image_id"].to_numpy(),
+                b["w"].to_numpy(),
+                b["h"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+                b["caption"].to_numpy(),
+            ):
+                idx = int(iid[3:])
+                src = synth_pixels(idx, int(w), int(h))
+                dec = decode_image(data, fmt)
                 p = psnr_db(src, dec)
-                if r["fmt"] == "png":
+                if fmt == "png":
                     pix_ok = bool(np.array_equal(src, dec))
                 else:
                     pix_ok = bool(p >= min_psnr)
-                cap_ok = bool(r["caption"].startswith(f"caption for {r['image_id']} at "))
-                out.append((r["image_id"], float(min(p, 1e9)), cap_ok, pix_ok))
+                cap_ok = bool(caption.startswith(f"caption for {iid} at "))
+                out.append((iid, float(min(p, 1e9)), cap_ok, pix_ok))
             yield pd.DataFrame(
                 out, columns=["image_id", "psnr_db", "caption_ok", "pixels_ok"]
             )
