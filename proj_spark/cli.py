@@ -25,13 +25,23 @@ from .kernels.xmath import RAD_TO_DEG
 from .plans.pipeline import transform_arrays
 
 
-def _parse_lines(lines, dms: bool = True):
-    us, vs, zs, tails = [], [], [], []
+def _parse_lines(lines, dms: bool = True, reversein: bool = False, tag: str = "#"):
+    """Returns (u, v, z, tails, passes) where ``passes`` is a list of
+    (data_row_position, raw_line) for tag-marked lines, which the
+    reference copies straight to the output in place (proj.c:172-174,
+    cs2cs.c:78-80 ``if (*s == tag) fputs(s, stdout)``); ``-r``
+    (reversein) swaps the first two fields before parsing."""
+    us, vs, zs, tails, passes = [], [], [], [], []
     for line in lines:
         line = line.rstrip("\n")
-        if not line.strip() or line.lstrip().startswith("#"):
+        if line.startswith(tag):
+            passes.append((len(us), line))
+            continue
+        if not line.strip():
             continue
         toks = line.split()
+        if reversein and len(toks) >= 2:
+            toks[0], toks[1] = toks[1], toks[0]
         if len(toks) < 2:
             toks = [toks[0] if toks else "", ""]
         u, v = toks[0], toks[1]
@@ -61,47 +71,66 @@ def _parse_lines(lines, dms: bool = True):
         vs.append(vv)
         zs.append(z)
         tails.append(tail)
-    return np.array(us), np.array(vs), np.array(zs), tails
+    return np.array(us), np.array(vs), np.array(zs), tails, passes
 
 
 def _emit(xs, ys, zs, tails, fmt, echo_in=None, out=None, dms_out=False, wfract=3,
-          suffixes=None):
+          suffixes=None, reverseout=False, err_line="*\t*", wide=False,
+          passes=None):
     """Reference output contract (cs2cs.c:126-159): DMS via rtodms when
     the dst is latlong and no -f was given; otherwise printf with oform
     (default %.2f); z uses oform when given, else %.3f.  ``suffixes``
     (proj -S, src/proj.c:139-146) are appended tab-separated before the
-    tail."""
+    tail.  ``reverseout`` is -s (second coordinate first,
+    proj.c:118-129); ``err_line`` is -e (oterr, proj.c:354-359);
+    ``wide`` is -W's constant-width DMS; ``passes`` are tag-marked
+    input lines copied through in position (proj.c:172-174)."""
     from .functions.dms import rtodms_py
 
     out = out or sys.stdout  # resolve at call time (testable)
     zfmt = fmt if fmt is not None else "%.3f"
     cfmt = fmt if fmt is not None else "%.2f"
     deg2rad = VM_DEG  # rtodms takes radians; xs/ys are degrees here
+    pq = list(passes or [])
     for i in range(len(xs)):
+        while pq and pq[0][0] <= i:
+            out.write(pq.pop(0)[1] + "\n")
         prefix = f"{echo_in[i]}\t" if echo_in is not None else ""
         sfx = f"\t{suffixes[i]}" if suffixes is not None else ""
         tail = f" {tails[i]}" if tails[i] else ""
         if np.isnan(xs[i]) or np.isnan(ys[i]):
-            out.write(f"{prefix}*\t* {zfmt % zs[i]}{sfx}{tail}\n")
+            out.write(f"{prefix}{err_line} {zfmt % zs[i]}{sfx}{tail}\n")
         elif dms_out and fmt is None:
-            u = rtodms_py(xs[i] * deg2rad, "E", "W", wfract)
-            v = rtodms_py(ys[i] * deg2rad, "N", "S", wfract)
-            out.write(f"{prefix}{u}\t{v} {zfmt % zs[i]}{sfx}{tail}\n")
+            u = rtodms_py(xs[i] * deg2rad, "E", "W", wfract, wide)
+            v = rtodms_py(ys[i] * deg2rad, "N", "S", wfract, wide)
+            a, b = (v, u) if reverseout else (u, v)
+            out.write(f"{prefix}{a}\t{b} {zfmt % zs[i]}{sfx}{tail}\n")
         else:
-            out.write(f"{prefix}{cfmt % xs[i]}\t{cfmt % ys[i]} {zfmt % zs[i]}{sfx}{tail}\n")
+            a, b = (ys[i], xs[i]) if reverseout else (xs[i], ys[i])
+            out.write(f"{prefix}{cfmt % a}\t{cfmt % b} {zfmt % zs[i]}{sfx}{tail}\n")
+    while pq:
+        out.write(pq.pop(0)[1] + "\n")
 
 
 def cmd_cs2cs(args) -> int:
     src = CRS.from_proj4(args.src)
     dst = CRS.from_proj4(args.dst)
     lines = list(args.infile)
-    u, v, z, tails = _parse_lines(lines, dms=src.is_latlong)
+    u, v, z, tails, passes = _parse_lines(
+        lines, dms=src.is_latlong, reversein=args.reversein, tag=args.tag
+    )
     # cs2cs input order is lon lat for latlong CRS (matching our deg API)
     x, y, zo = transform_arrays(src, dst, u, v, z)
-    echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
+    echo = (
+        [ln.strip() for ln in lines if ln.strip() and not ln.startswith(args.tag)]
+        if args.echo
+        else None
+    )
     _emit(
         x, y, zo, tails, args.fmt, echo,
         dms_out=dst.is_latlong, wfract=args.wfract,
+        reverseout=args.reverseout, err_line=args.err_line,
+        wide=args.wide, passes=passes,
     )
     return 0
 
@@ -250,6 +279,22 @@ def cmd_proj(args) -> int:
     if args.vverbose and (bin_in or bin_out):
         sys.stderr.write("binary I/O not available in -V option\n")
         return 1
+    # -m cartesian multiplier (proj.c:364-377,414-418): forward scales
+    # the projected OUTPUT by fscale; inverse scales the projected
+    # INPUT by 1/fscale ("1/x" and "1:x" spellings mean 1/x)
+    fscale = None
+    if args.mult:
+        ms = args.mult
+        if ms.startswith(("1/", "1:")):
+            fscale = 1.0 / float(ms[2:])
+        else:
+            fscale = float(ms)
+        if fscale == 0.0:
+            sys.stderr.write("invalid scale argument\n")
+            return 1
+        if args.inverse:
+            fscale = 1.0 / fscale
+    passes = None
     if bin_in:
         # raw little-endian float64 pairs, radians fwd / meters inverse
         # (src/proj.c:66-67 fread of projUV)
@@ -264,18 +309,34 @@ def cmd_proj(args) -> int:
         lines = []
     else:
         lines = list(args.infile)
-        u, v, z, tails = _parse_lines(lines)
+        u, v, z, tails, passes = _parse_lines(
+            lines, reversein=args.reversein, tag=args.tag
+        )
         if args.inverse:
             # projected in (plain floats, not DMS): re-parse as raw floats
-            toks = [ln.split() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")]
-            u = np.array([float(t[0]) for t in toks])
-            v = np.array([float(t[1]) for t in toks])
+            toks = [
+                ln.split()
+                for ln in lines
+                if ln.strip() and not ln.startswith(args.tag)
+            ]
+            if args.reversein:
+                u = np.array([float(t[1]) for t in toks])
+                v = np.array([float(t[0]) for t in toks])
+            else:
+                u = np.array([float(t[0]) for t in toks])
+                v = np.array([float(t[1]) for t in toks])
     if args.inverse:
+        if fscale is not None:  # prescale projected input (proj.c:103)
+            u = u * fscale
+            v = v * fscale
         x, y, zo = transform_arrays(crs, ll, u, v, z)
         lon_deg, lat_deg = x, y  # factors at the inverse result (proj.c:104)
     else:
         x, y, zo = transform_arrays(ll, crs, u, v, z)
         lon_deg, lat_deg = u, v  # factors at the input (proj.c:101)
+        if fscale is not None:  # postscale projected output (proj.c:109)
+            x = x * fscale
+            y = y * fscale
     if args.vverbose:
         # Easting/Northing are the PROJECTED coords: the input pair in
         # inverse mode, the output pair forward (vprocess:90-101)
@@ -301,11 +362,22 @@ def cmd_proj(args) -> int:
         if args.factors
         else None
     )
-    echo = [ln.strip() for ln in lines if ln.strip() and not ln.lstrip().startswith("#")] if args.echo else None
+    echo = (
+        [ln.strip() for ln in lines if ln.strip() and not ln.startswith(args.tag)]
+        if args.echo
+        else None
+    )
+    if args.inverse and args.fmt is None:
+        # inverse without -f prints DMS (proj.c:117 "ascii DMS output")
+        _emit(x, y, zo, tails, None, echo, dms_out=True, wfract=args.wfract,
+              suffixes=sfx, reverseout=args.reverseout,
+              err_line=args.err_line, wide=args.wide, passes=passes)
+        return 0
     # historical proj default oform is %.2f for BOTH coords and z
     # (golden replays encode it); only -V uses the %.3f vprocess default
     _emit(x, y, zo, tails, args.fmt if args.fmt is not None else "%.2f",
-          echo, suffixes=sfx)
+          echo, suffixes=sfx, reverseout=args.reverseout,
+          err_line=args.err_line, wide=args.wide, passes=passes)
     return 0
 
 
@@ -396,6 +468,18 @@ def main(argv=None) -> int:
         "-w", dest="wfract", type=int, default=3,
         help="DMS output second decimals (set_rtodms fract, default 3)",
     )
+    c.add_argument(
+        "-W", dest="wfract_wide", type=int, default=None,
+        help="like -w but constant field width (set_rtodms con_w)",
+    )
+    c.add_argument("-r", dest="reversein", action="store_true",
+                   help="reverse order of the first two input fields")
+    c.add_argument("-s", dest="reverseout", action="store_true",
+                   help="reverse order of the two output coordinates")
+    c.add_argument("-e", dest="err_line", default="*\t*",
+                   help="alternative text for unprojectable lines (oterr)")
+    c.add_argument("-t", dest="tag", default="#", metavar="CHAR",
+                   help="col-1 tag marking lines to copy through unchanged")
     c.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     c.set_defaults(fn=cmd_cs2cs)
 
@@ -419,6 +503,25 @@ def main(argv=None) -> int:
         help="generate Chebyshev/power approximation coefficients "
         "(gen_cheb.c): lam_min,lam_max,phi_min,phi_max[,res[,NU[,NV]]][,P]",
     )
+    p.add_argument(
+        "-w", dest="wfract", type=int, default=3,
+        help="DMS output second decimals (set_rtodms fract, default 3)",
+    )
+    p.add_argument(
+        "-W", dest="wfract_wide", type=int, default=None,
+        help="like -w but constant field width (set_rtodms con_w)",
+    )
+    p.add_argument("-r", dest="reversein", action="store_true",
+                   help="reverse order of the first two input fields")
+    p.add_argument("-s", dest="reverseout", action="store_true",
+                   help="reverse order of the two output coordinates")
+    p.add_argument("-e", dest="err_line", default="*\t*",
+                   help="alternative text for unprojectable lines (oterr)")
+    p.add_argument("-t", dest="tag", default="#", metavar="CHAR",
+                   help="col-1 tag marking lines to copy through unchanged")
+    p.add_argument("-m", dest="mult", default=None, metavar="SCALE",
+                   help="cartesian multiplier: scale projected output "
+                   "(input when -I); '1/x' and '1:x' mean 1/x")
     p.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     p.set_defaults(fn=cmd_proj)
 
@@ -433,6 +536,12 @@ def main(argv=None) -> int:
     ls.set_defaults(fn=cmd_list)
 
     args = ap.parse_args(argv)
+    # -W<d> implies wide constant-width DMS at d second decimals
+    if getattr(args, "wfract_wide", None) is not None:
+        args.wfract = args.wfract_wide
+        args.wide = True
+    else:
+        args.wide = False
     return args.fn(args)
 
 

@@ -76,12 +76,15 @@ def rad_to_dms(col: Column | str, ndec: int = 3, pos: str = "N", neg: str = "S")
 
 
 # ------------------------------------------------- scalar rtodms (CLI)
-def rtodms_py(r: float, pos: str, neg: str, fract: int = 3) -> str:
+def rtodms_py(r: float, pos: str, neg: str, fract: int = 3, wide: bool = False) -> str:
     """Plain-Python rtodms (src/rtodms.c:38-72) for the CLI surface:
     round radians at ``fract`` second decimals (RES carry), trim
     trailing zeros in the seconds fraction, and drop zero
     seconds/minutes entirely (``111d0'3.085"W``, ``42d0'0.18"N``,
-    ``5dW``).  ``set_rtodms(fract, 0)`` is the ``-w<n>`` flag."""
+    ``5dW``).  ``set_rtodms(fract, 0)`` is the ``-w<n>`` flag;
+    ``wide`` is ``-W<n>`` (set_rtodms con_w: constant field width —
+    zero-padded minutes/seconds, zero fields kept, no fraction trim,
+    rtodms.c:30-32,55-56)."""
     import math as _math
 
     res = 10.0 ** fract
@@ -96,6 +99,9 @@ def rtodms_py(r: float, pos: str, neg: str, fract: int = 3) -> str:
     r = _math.floor(r / (res * 60.0))
     minute = int(_math.fmod(r, 60.0))
     deg = int(_math.floor(r / 60.0))
+    if wide:
+        width = fract + 2 + (1 if fract else 0)
+        return f"{deg}d{minute:02d}'{sec:0{width}.{fract}f}\"{sign}"
     if sec:
         s = f"{deg}d{minute}'{sec:.{fract}f}\"{sign}"
         # trim trailing zeros in the seconds fraction (rtodms.c:61-67)

@@ -53,7 +53,10 @@ def test_cs2cs_dms_and_comments():
         "# comment line\n79d00'W 43d30'N\n",
     )
     assert rc == 0
-    x = float(out.split()[0])
+    lines = out.splitlines()
+    # tag-marked lines are copied through in place (cs2cs.c:78-80)
+    assert lines[0] == "# comment line"
+    x = float(lines[1].split()[0])
     assert x == pytest.approx(-79.0 * 111319.49079327358, rel=1e-9)
 
 
@@ -196,3 +199,85 @@ def test_proj_binary_io_roundtrip():
     )
     inv = np.frombuffer(p2.stdout, dtype=np.float64)
     assert abs(inv[0] - 0.5) < 1e-9 and abs(inv[1] - 0.7) < 1e-9
+
+
+# ---------------------------------------------- r/s/e/m/t/W flag parity
+def test_proj_reverse_in_out():
+    """-r parses 'lat lon'; -s emits 'y x' (proj.c:83-89,118-129)."""
+    base_rc, base = run_cli(["proj", "+proj=utm +zone=11 +datum=WGS84"], "-117.5 33.0\n")
+    r_rc, r_out = run_cli(["proj", "-r", "+proj=utm +zone=11 +datum=WGS84"], "33.0 -117.5\n")
+    assert (base_rc, r_out) == (0, base)
+    s_rc, s_out = run_cli(["proj", "-s", "+proj=utm +zone=11 +datum=WGS84"], "-117.5 33.0\n")
+    bx, by = base.split()[:2]
+    assert s_out.split()[:2] == [by, bx]
+
+
+def test_proj_error_line_and_tag():
+    """-e substitutes oterr; -t retags the pass-through marker."""
+    rc, out = run_cli(
+        ["proj", "-e", "<fail>", "+proj=utm +zone=11 +datum=WGS84"], "xx yy\n"
+    )
+    assert out.startswith("<fail>")
+    rc, out = run_cli(
+        ["proj", "-t", "%", "+proj=utm +zone=11 +datum=WGS84"],
+        "% keep me\n-117.5 33.0\n",
+    )
+    lines = out.splitlines()
+    assert lines[0] == "% keep me" and len(lines) == 2
+
+
+def test_proj_cartesian_multiplier_roundtrip():
+    """-m scales forward output; -m with -I divides projected input
+    (proj.c:414-418 inverse fscale = 1/fscale)."""
+    rc, base = run_cli(["proj", "-f", "%.6f", "+proj=merc +ellps=WGS84"], "10 20\n")
+    rc, doubled = run_cli(["proj", "-m", "2", "-f", "%.6f", "+proj=merc +ellps=WGS84"], "10 20\n")
+    bx, by = (float(t) for t in base.split()[:2])
+    dx, dy = (float(t) for t in doubled.split()[:2])
+    assert dx == pytest.approx(2 * bx, rel=1e-12) and dy == pytest.approx(2 * by, rel=1e-12)
+    # 1:2 spelling means 1/2
+    rc, halved = run_cli(["proj", "-m", "1:2", "-f", "%.6f", "+proj=merc +ellps=WGS84"], "10 20\n")
+    hx = float(halved.split()[0])
+    assert hx == pytest.approx(0.5 * bx, rel=1e-12)
+    # inverse: feed the doubled coords back with -m 2 -> original lon/lat
+    rc, inv = run_cli(
+        ["proj", "-I", "-m", "2", "-f", "%.9f", "+proj=merc +ellps=WGS84"],
+        f"{dx:.6f} {dy:.6f}\n",
+    )
+    lon, lat = (float(t) for t in inv.split()[:2])
+    assert lon == pytest.approx(10.0, abs=1e-7) and lat == pytest.approx(20.0, abs=1e-7)
+
+
+def test_proj_inverse_default_dms_and_wide():
+    """-I without -f prints DMS (proj.c:117); -W3 pads to constant
+    width (rtodms.c:30-32 con_w format)."""
+    rc, fwd = run_cli(["proj", "+proj=utm +zone=11 +datum=WGS84"], "-117.5 33.0\n")
+    pt = " ".join(fwd.split()[:2]) + "\n"
+    rc, dms = run_cli(["proj", "-I", "+proj=utm +zone=11 +datum=WGS84"], pt)
+    assert "d" in dms and dms.split()[0].endswith("W")
+    rc, wide = run_cli(["proj", "-I", "-W3", "+proj=utm +zone=11 +datum=WGS84"], pt)
+    tok = wide.split()[0]
+    # constant width: zero-padded minutes and seconds always present
+    assert "'" in tok and '"' in tok
+    mins = tok.split("d")[1].split("'")[0]
+    assert len(mins) == 2
+
+
+def test_cs2cs_reverse_flags():
+    rc, base = run_cli(
+        ["cs2cs", "-f", "%.4f", "+proj=latlong +datum=WGS84", "+to",
+         "+proj=merc +datum=WGS84"],
+        "-79.5 43.25\n",
+    )
+    rc, r_out = run_cli(
+        ["cs2cs", "-r", "-f", "%.4f", "+proj=latlong +datum=WGS84", "+to",
+         "+proj=merc +datum=WGS84"],
+        "43.25 -79.5\n",
+    )
+    assert r_out == base
+    rc, s_out = run_cli(
+        ["cs2cs", "-s", "-f", "%.4f", "+proj=latlong +datum=WGS84", "+to",
+         "+proj=merc +datum=WGS84"],
+        "-79.5 43.25\n",
+    )
+    bx, by = base.split()[:2]
+    assert s_out.split()[:2] == [by, bx]
