@@ -382,6 +382,12 @@ def cmd_proj(args) -> int:
 
 
 def cmd_geod(args) -> int:
+    """Reference output contract (src/geod.c:59-123): angles print as
+    DMS (rtodms with no hemisphere chars for azimuths) unless -f gives
+    a printf format; distance prints with -F (default %.3f); -a emits
+    the full value set ``lat1 lon1  lat2 lon2  az12 az21 S``; -p folds
+    azimuths positive; tag lines copy through."""
+    from .functions.dms import rtodms_py
     from .kernels.geodesy import geod_direct, geod_inverse
 
     defn = args.defn if args.defn.startswith("+") else f"+ellps={args.defn}"
@@ -390,8 +396,23 @@ def cmd_geod(args) -> int:
     crs = CRS.from_proj4(defn)
     a = crs.a
     f = 1.0 - (1.0 - crs.es) ** 0.5
+    oform = args.fmt
+    osform = args.sform if args.sform else "%.3f"
+
+    def ang(deg: float, pos: str, neg: str) -> str:
+        if oform:
+            return oform % deg
+        return rtodms_py(deg * VM_DEG, pos, neg, args.wfract, args.wide)
+
+    def azi_fold(az: float) -> float:
+        return az + 360.0 if (args.pos_azi and az < 0.0) else az
+
+    w = sys.stdout.write
     for line in args.infile:
-        if not line.strip() or line.lstrip().startswith("#"):
+        if line.startswith(args.tag):
+            w(line if line.endswith("\n") else line + "\n")
+            continue
+        if not line.strip():
             continue
         toks = line.split()
         try:
@@ -405,7 +426,7 @@ def cmd_geod(args) -> int:
                     raise ValueError("need 4 fields")
                 float(toks[3])
         except ValueError:
-            sys.stdout.write("*\t*\t*\n")
+            w("*\t*\t*\n")
             continue
         if args.inverse:
             lat1, lon1, lat2, lon2 = _vals
@@ -414,7 +435,14 @@ def cmd_geod(args) -> int:
             )
             # geod prints the BACK azimuth at point 2 (geod_interface.c:32)
             azi2 = azi2 + np.where(azi2 >= 0, -180.0, 180.0)
-            sys.stdout.write(f"{azi1[0]:.5f}\t{azi2[0]:.5f}\t{s12[0]:.3f}\n")
+            a12, a21 = azi_fold(azi1[0]), azi_fold(azi2[0])
+            dist = osform % s12[0]
+            if args.fullout:  # -a (geod.c:93-104)
+                w(f"{ang(lat1, 'N', 'S')}\t{ang(lon1, 'E', 'W')}\t"
+                  f"{ang(lat2, 'N', 'S')}\t{ang(lon2, 'E', 'W')}\t"
+                  f"{ang(a12, '', '')}\t{ang(a21, '', '')}\t{dist}\n")
+            else:
+                w(f"{ang(a12, '', '')}\t{ang(a21, '', '')}\t{dist}\n")
         else:
             lat1, lon1, azi = _vals
             s = float(toks[3])
@@ -423,7 +451,13 @@ def cmd_geod(args) -> int:
             )
             # geod prints the BACK azimuth at point 2 (geod_interface.c:19)
             azi2 = azi2 + np.where(azi2 >= 0, -180.0, 180.0)
-            sys.stdout.write(f"{lat2[0]:.9f}\t{lon2[0]:.9f}\t{azi2[0]:.5f}\n")
+            a12, a21 = azi_fold(azi), azi_fold(azi2[0])
+            if args.fullout:
+                w(f"{ang(lat1, 'N', 'S')}\t{ang(lon1, 'E', 'W')}\t"
+                  f"{ang(lat2[0], 'N', 'S')}\t{ang(lon2[0], 'E', 'W')}\t"
+                  f"{ang(a12, '', '')}\t{ang(a21, '', '')}\t{osform % s}\n")
+            else:
+                w(f"{ang(lat2[0], 'N', 'S')}\t{ang(lon2[0], 'E', 'W')}\t{ang(a21, '', '')}\n")
     return 0
 
 
@@ -528,6 +562,24 @@ def main(argv=None) -> int:
     g = sub.add_parser("geod", help="geodesic problems (ref src/geod.c)")
     g.add_argument("-I", dest="inverse", action="store_true")
     g.add_argument("defn")
+    g.add_argument("-f", dest="fmt", default=None,
+                   help="printf format for angles (default: DMS)")
+    g.add_argument("-F", dest="sform", default=None,
+                   help="printf format for distance (default %%.3f)")
+    g.add_argument("-a", dest="fullout", action="store_true",
+                   help="output the full set of geodesic values")
+    g.add_argument("-p", dest="pos_azi", action="store_true",
+                   help="fold azimuths positive (0..360)")
+    g.add_argument("-t", dest="tag", default="#", metavar="CHAR",
+                   help="col-1 tag marking lines to copy through unchanged")
+    g.add_argument(
+        "-w", dest="wfract", type=int, default=3,
+        help="DMS output second decimals (set_rtodms fract, default 3)",
+    )
+    g.add_argument(
+        "-W", dest="wfract_wide", type=int, default=None,
+        help="like -w but constant field width (set_rtodms con_w)",
+    )
     g.add_argument("infile", nargs="?", type=argparse.FileType("r"), default=sys.stdin)
     g.set_defaults(fn=cmd_geod)
 

@@ -69,12 +69,38 @@ def test_cs2cs_unprojectable_emits_star():
 
 
 def test_geod_inverse_symmetric():
-    rc, out = run_cli(["geod", "-I", "+ellps=WGS84"], "40 -75 41 -74\n")
+    rc, out = run_cli(["geod", "-I", "-f", "%.5f", "+ellps=WGS84"], "40 -75 41 -74\n")
     azi1, azi2, s12 = (float(t) for t in out.split())
     assert 135_000 < s12 < 145_000
-    rc2, out2 = run_cli(["geod", "-I", "+ellps=WGS84"], "41 -74 40 -75\n")
+    rc2, out2 = run_cli(["geod", "-I", "-f", "%.5f", "+ellps=WGS84"], "41 -74 40 -75\n")
     s21 = float(out2.split()[2])
     assert s12 == pytest.approx(s21, abs=1e-3)
+
+
+def test_geod_default_dms_fullout_and_positive_azimuths():
+    """geod defaults to DMS azimuths (geod.c:100-104 rtodms with no
+    hemisphere chars); -a prints the full value set; -p folds
+    azimuths positive; -F reformats the distance."""
+    rc, out = run_cli(["geod", "-I", "+ellps=WGS84"], "40 -75 41 -74\n")
+    toks = out.split("\t")
+    assert len(toks) == 3 and "d" in toks[0]  # DMS azimuths
+    rc, full = run_cli(
+        ["geod", "-I", "-a", "-f", "%.5f", "-F", "%.1f", "+ellps=WGS84"],
+        "40 -75 41 -74\n",
+    )
+    vals = [float(t) for t in full.split()]
+    assert len(vals) == 7
+    assert vals[:4] == [40.0, -75.0, 41.0, -74.0]
+    assert 135_000 < vals[6] < 145_000
+    # -p: the back azimuth (negative here) folds into 0..360
+    rc, pos = run_cli(
+        ["geod", "-I", "-p", "-f", "%.5f", "+ellps=WGS84"], "40 -75 41 -74\n"
+    )
+    a12, a21 = (float(t) for t in pos.split()[:2])
+    assert 0.0 <= a12 <= 360.0 and 0.0 <= a21 <= 360.0
+    # tag pass-through
+    rc, tagged = run_cli(["geod", "-I", "+ellps=WGS84"], "# note\n40 -75 41 -74\n")
+    assert tagged.splitlines()[0] == "# note"
 
 
 def test_proj_T_chebyshev_block():
