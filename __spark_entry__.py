@@ -673,6 +673,65 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("pk").alias("point_id"), "poly_id")
 
 
+def q_fused_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused reproject+PIP+tile rollup kernel (operators/fused.py):
+    one mapInPandas pass computes the transform, the first-match
+    ray-cast polygon assignment (ref grid-list semantics
+    src/pj_apply_gridshift.c:143) and the z9 tile indices, and
+    partial-aggregates to packed (tile, poly) keys in-worker; the
+    only exchange carries |distinct keys| longs.  Identity CRS here
+    so the DuckDB oracle can replicate the math in ANSI SQL; the
+    datum-shift lane of the same kernel is covered bit-exactly by
+    tests/test_fused.py against the composed operators."""
+    from proj_spark.operators.fused import reproject_pip_tile_rollup
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    out = reproject_pip_tile_rollup(
+        pts,
+        "+proj=latlong +datum=WGS84",
+        "+proj=latlong +datum=WGS84",
+        _fixture_polygons(),
+        zoom=9,
+    )
+    return out.select("tile_x", "tile_y", "poly_seq", "n")
+
+
+def _fused_pip_tiles_oracle(z: int = 9) -> str:
+    polys = _fixture_polygons()
+    edge_rows = []
+    for seq, (_pid, ring) in enumerate(polys):
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            edge_rows.append(f"({seq}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    edges = ",\n    ".join(edge_rows)
+    n = 1 << z
+    return f"""
+WITH edges(poly_seq, x1, y1, x2, y2) AS (
+  VALUES {edges}
+),
+pts AS ({_ORDERS_PTS_SQL}),
+crossings AS (
+  SELECT p.pk, e.poly_seq, count(*) AS nc
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY 1, 2
+),
+firsts AS (
+  SELECT pk, CAST(min(poly_seq) AS BIGINT) AS poly_seq
+  FROM crossings WHERE nc % 2 = 1 GROUP BY pk
+),
+assigned AS (
+  SELECT p.lon, p.lat, f.poly_seq FROM pts p LEFT JOIN firsts f USING (pk)
+)
+SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n} - 1) AS BIGINT) AS tile_x,
+       CAST(least(greatest(floor((1.0 - ln(tan(lat * {D}) + sqrt(tan(lat * {D}) * tan(lat * {D}) + 1.0)) / {PI_L}) / 2.0 * {n}.0), 0), {n} - 1) AS BIGINT) AS tile_y,
+       poly_seq,
+       count(*) AS n
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
 def _pip_oracle() -> str:
     polys = _fixture_polygons()
     edge_rows = []
@@ -1525,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cubeface_rollup": q_cubeface_rollup,
         "knn": q_knn,
         "pip": q_pip,
+        "fused_pip_tiles": q_fused_pip_tiles,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "langid": q_langid,
@@ -1941,6 +2001,7 @@ FROM pts
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),
         "pip": _pip_oracle(),
+        "fused_pip_tiles": _fused_pip_tiles_oracle(9),
         "exact_dedup": (
             "SELECT text, min(doc_id) AS canonical_id, count(*) AS n_dupes "
             "FROM documents GROUP BY text"

@@ -147,32 +147,29 @@ def _flagship(spark, n_images: int):
 
     Returns (n_rows_processed, result_count).
 
-    FUSED single-job plan (round 3): the two consumers of the
-    reprojected points — the PIP join and the multi-zoom tile rollup —
-    used to run as two separate jobs, each re-running the scan + the
-    pandas-UDF datum transform and each paying its own shuffle.  They
-    are now computed in ONE pass: the left_first PIP join (broadcast,
-    zero exchanges on the big side) carries every point through with
-    its poly_seq (null on miss), the same projection computes the z11
-    tile indices, and a single groupBy (tx, ty, poly_seq) partial
-    aggregate — all-primitive-int shuffle rows, volume bounded by
-    |distinct z11 tiles| x |polys+1| regardless of input size thanks
-    to map-side combine — yields a small table from which BOTH the
-    per-polygon hit counts and the exact z11/z8/z4 tile counts derive
-    (coarser zooms are quadtree shifts of the z11 keys).  One scan,
-    one narrow pandas pass, one tiny exchange, one action: the plan a
-    10^12-row job wants, and the whole pipeline now scales like the
-    narrow stage (the prior two-job form measured 0.63 N->4N vs 0.88
-    narrow; the fused form removes the duplicated scan+UDF bytes and
-    one full shuffle).
+    FUSED-KERNEL plan (round 3, operators/fused.py): round 2's fusion
+    collapsed the pipeline to one job (scan -> pandas transform ->
+    broadcast PIP -> tile exprs -> one tiny exchange), which tripled
+    absolute throughput — and thereby exposed the next ceiling: every
+    row still crossed the JVM<->Python Arrow boundary and flowed
+    through the interpreted first-match filter + JVM hash aggregate,
+    several hundred bytes of DRAM traffic per 40-byte row.  Measured
+    on the bench box the numpy math scales nearly perfectly across
+    cores while that JVM row machinery saturates shared memory
+    bandwidth at ~16M rows/s total.  reproject_pip_tile_rollup fuses
+    transform + PIP + tile + PARTIAL AGGREGATE into one mapInPandas
+    kernel: the scan reads two float64 columns, each task returns
+    |distinct (z11 tile, poly)| packed-long rows (bounded by the tile
+    universe, not the input), and the only exchange carries a few
+    thousand longs.  Identical output to the composed operators
+    (tests/test_fused.py asserts bit-exact parity); coarser zooms are
+    quadtree shifts of the z11 aggregate as before.
     """
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _fixture_polygons
-    from proj_spark.functions import expressions as CE
-    from proj_spark.functions.transform import transform
+    from proj_spark.operators.fused import reproject_pip_tile_rollup
     from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
-    from proj_spark.operators.spatial_join import point_in_polygon_join
 
     if FLAGSHIP_TABLE == "wide":
         imgs = _image_table(spark, n_images)
@@ -181,54 +178,26 @@ def _flagship(spark, n_images: int):
     else:
         imgs = _pts_table(spark, n_images)
     register_grid("conus_syn", make_synthetic_grid())
-    shifted = transform(
-        imgs.select("image_id", "phash", "lon", "lat"),
-        "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
-        "+proj=latlong +datum=WGS84",
-        "lon",
-        "lat",
-    )
-    pts = shifted.select(
-        "image_id", "phash", F.col("x").alias("lon"), F.col("y").alias("lat")
-    )
-    polys = _fixture_polygons()
-    pdf = spark.createDataFrame(
-        [
-            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
-            for i, (pid, ring) in enumerate(polys)
-        ]
-    )
-    assigned = point_in_polygon_join(
-        pts, pdf, res=9, lon="lon", lat="lat", point_id="image_id", how="left_first"
-    )
     # zooms [4, 8, 11] chosen so tiles stay dense at bench scale (~300+
     # rows per z11 tile at 16M rows over CONUS) — matching the per-tile
     # density a 10^12-row table would have at z12+.
-    small = (
-        assigned.select(
-            CE.tile_x("lon", F.lit(11)).alias("tx"),
-            CE.tile_y("lat", F.lit(11)).alias("ty"),
-            "poly_seq",
-        )
-        .groupBy("tx", "ty", "poly_seq")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # persist the TINY aggregate (|z11 tiles| x |polys+1| rows) as a
-        # barrier: without it Catalyst merges the countDistinct below
-        # into this aggregate and plans the x4 Expand over the FULL
-        # input — 4 struct-keyed hash-agg probes per input row instead
-        # of one (verified via explain("formatted")).  Caching ~10^4
-        # rows costs nothing at any scale.
-        .persist()
-    )
-    # both outputs from the one small aggregate, one action (the multi-
-    # countDistinct Expand runs over ~10^3 rows, not the input)
+    small = reproject_pip_tile_rollup(
+        imgs,
+        "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
+        "+proj=latlong +datum=WGS84",
+        _fixture_polygons(),
+        zoom=11,
+    ).persist()
+    # persist the TINY aggregate (|z11 tiles| x |polys+1| rows) as a
+    # barrier so the multi-countDistinct Expand below runs over ~10^4
+    # rows, never the full input.
     stats = small.agg(
-        F.countDistinct(F.struct("tx", "ty")).alias("t11"),
+        F.countDistinct(F.struct("tile_x", "tile_y")).alias("t11"),
         F.countDistinct(
-            F.struct(F.shiftright("tx", 3), F.shiftright("ty", 3))
+            F.struct(F.shiftright("tile_x", 3), F.shiftright("tile_y", 3))
         ).alias("t8"),
         F.countDistinct(
-            F.struct(F.shiftright("tx", 7), F.shiftright("ty", 7))
+            F.struct(F.shiftright("tile_x", 7), F.shiftright("tile_y", 7))
         ).alias("t4"),
         F.countDistinct("poly_seq").alias("n_polys"),  # nulls (misses) ignored
     ).collect()[0]
@@ -372,7 +341,7 @@ def run_flagship_cluster(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", f"{mem_mb}m")
@@ -502,7 +471,7 @@ def run_compute_probe(n_executors: int, n_rows: int, cores: int = 4, mem_mb: int
         SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
         .appName("proj-spark-compute-probe")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", f"{mem_mb}m")
         .config(

@@ -1,0 +1,123 @@
+"""Fused reproject+PIP+tile kernel == the composed operators.
+
+The fused kernel (operators/fused.py) must reproduce, bit-exactly,
+what the composed plan (functions.transform -> operators.spatial_join
+point_in_polygon_join -> tile exprs -> groupBy) produces — same
+transform closure, same ray-cast arithmetic, same tile floor/clamp.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.functions import expressions as E
+from proj_spark.functions.transform import transform
+from proj_spark.operators.fused import (
+    reproject_pip_tile_rollup,
+    reproject_pip_tile_rows,
+)
+from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+from proj_spark.operators.spatial_join import point_in_polygon_join
+
+SRC = "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn"
+DST = "+proj=latlong +datum=WGS84"
+ZOOM = 11
+
+
+@pytest.fixture(scope="module")
+def polys():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _fixture_polygons
+
+    return _fixture_polygons()
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    register_grid("conus_syn", make_synthetic_grid())
+    # deterministic CONUS-ish cloud, including points outside every
+    # polygon and outside the grid (pass-through lane)
+    return (
+        spark.range(120_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 6200 / 100.0 - 125.0).alias("lon"),
+            ((F.col("id") * 2246822519) % 2700 / 100.0 + 24.0).alias("lat"),
+        )
+        .cache()
+    )
+
+
+def _composed_rollup(points, polys):
+    shifted = transform(points, SRC, DST, "lon", "lat")
+    pts = shifted.select("id", F.col("x").alias("lon"), F.col("y").alias("lat"))
+    pdf = points.sparkSession.createDataFrame(
+        [
+            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
+            for i, (pid, ring) in enumerate(polys)
+        ]
+    )
+    assigned = point_in_polygon_join(
+        pts, pdf, res=9, lon="lon", lat="lat", point_id="id", how="left_first"
+    )
+    return (
+        assigned.select(
+            E.tile_x("lon", F.lit(ZOOM)).alias("tile_x"),
+            E.tile_y("lat", F.lit(ZOOM)).alias("tile_y"),
+            "poly_seq",
+        )
+        .groupBy("tile_x", "tile_y", "poly_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_rollup_matches_composed(points, polys):
+    fused = reproject_pip_tile_rollup(points, SRC, DST, polys, ZOOM)
+    composed = _composed_rollup(points, polys)
+    key = ["tile_x", "tile_y", "poly_seq", "n"]
+    f = {tuple(r) for r in fused.select(key).collect()}
+    c = {tuple(r) for r in composed.select(key).collect()}
+    assert len(f - c) == 0 and len(c - f) == 0, (
+        f"fused-only={list(f - c)[:5]} composed-only={list(c - f)[:5]}"
+    )
+    assert sum(r[3] for r in f) == points.count()
+
+
+def test_rows_matches_composed_assignment(points, polys):
+    fused = reproject_pip_tile_rows(points, SRC, DST, polys, ZOOM, id_col="id")
+    shifted = transform(points, SRC, DST, "lon", "lat")
+    pts = shifted.select("id", F.col("x").alias("lon"), F.col("y").alias("lat"))
+    pdf = points.sparkSession.createDataFrame(
+        [
+            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
+            for i, (pid, ring) in enumerate(polys)
+        ]
+    )
+    composed = point_in_polygon_join(
+        pts, pdf, res=9, lon="lon", lat="lat", point_id="id", how="left_first"
+    ).select(
+        "id",
+        E.tile_x("lon", F.lit(ZOOM)).alias("tile_x"),
+        E.tile_y("lat", F.lit(ZOOM)).alias("tile_y"),
+        "poly_seq",
+    )
+    f = {tuple(r) for r in fused.collect()}
+    c = {tuple(r) for r in composed.collect()}
+    assert f == c
+
+
+def test_rollup_plan_shape(points, polys):
+    """The 100TB plan: pruned 2-column input, one MapInPandas, ONE
+    exchange (the tiny packed-key aggregate), no join, no window."""
+    fused = reproject_pip_tile_rollup(points, SRC, DST, polys, ZOOM)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_invalid_zoom_rejected(points, polys):
+    with pytest.raises(ValueError):
+        reproject_pip_tile_rollup(points, SRC, DST, polys, 25)
