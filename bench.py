@@ -545,7 +545,8 @@ def main():
         # efficiency-vs-size curve (the evidence the single-pair ratio
         # cannot give: where the one-box bandwidth ceiling bites)
         ns = [int(x) for x in sweep.split(",")]
-        runs = [run_flagship_cluster(n) for n in ns]
+        cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
+        runs = [run_flagship_cluster(n, cores=cores) for n in ns]
         base = runs[0]
         curve = []
         for r in runs:
@@ -584,8 +585,9 @@ def main():
         # with the strong pair because rows_per_sec normalizes n.
         mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "strong")
         lo_images = N_IMAGES // 4 if mode == "weak" else N_IMAGES
-        lo = run_flagship_cluster(n_lo, n_images=lo_images)
-        hi = run_flagship_cluster(4 * n_lo, n_images=N_IMAGES)
+        cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
+        lo = run_flagship_cluster(n_lo, cores=cores, n_images=lo_images)
+        hi = run_flagship_cluster(4 * n_lo, cores=cores, n_images=N_IMAGES)
         ratio = hi["total_cores"] / lo["total_cores"]
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
         eff_narrow = (hi["narrow_rows_per_sec"] / lo["narrow_rows_per_sec"]) / ratio
