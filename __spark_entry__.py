@@ -732,6 +732,59 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_fused_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row fused assignment (operators/fused.py rows mode): one
+    mapInPandas pass yields (point, z9 tile, first-match polygon) for
+    every input row — the user-facing spatial-join + tile-assignment
+    output shape of the north rule."""
+    from proj_spark.operators.fused import reproject_pip_tile_rows
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    out = reproject_pip_tile_rows(
+        pts,
+        "+proj=latlong +datum=WGS84",
+        "+proj=latlong +datum=WGS84",
+        _fixture_polygons(),
+        zoom=9,
+        id_col="pk",
+    )
+    return out.select(
+        F.col("pk").alias("point_id"), "tile_x", "tile_y", "poly_seq"
+    )
+
+
+def _fused_assign_oracle(z: int = 9) -> str:
+    polys = _fixture_polygons()
+    edge_rows = []
+    for seq, (_pid, ring) in enumerate(polys):
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            edge_rows.append(f"({seq}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    edges = ",\n    ".join(edge_rows)
+    n = 1 << z
+    return f"""
+WITH edges(poly_seq, x1, y1, x2, y2) AS (
+  VALUES {edges}
+),
+pts AS ({_CUSTOMER_PTS_SQL}),
+crossings AS (
+  SELECT p.pk, e.poly_seq, count(*) AS nc
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY 1, 2
+),
+firsts AS (
+  SELECT pk, CAST(min(poly_seq) AS BIGINT) AS poly_seq
+  FROM crossings WHERE nc % 2 = 1 GROUP BY pk
+)
+SELECT p.pk AS point_id,
+       CAST(least(greatest(floor((p.lon + 180.0) / 360.0 * {n}.0), 0), {n} - 1) AS BIGINT) AS tile_x,
+       CAST(least(greatest(floor((1.0 - ln(tan(p.lat * {D}) + sqrt(tan(p.lat * {D}) * tan(p.lat * {D}) + 1.0)) / {PI_L}) / 2.0 * {n}.0), 0), {n} - 1) AS BIGINT) AS tile_y,
+       f.poly_seq
+FROM pts p LEFT JOIN firsts f USING (pk)
+"""
+
+
 def _pip_oracle() -> str:
     polys = _fixture_polygons()
     edge_rows = []
@@ -1585,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "pip": q_pip,
         "fused_pip_tiles": q_fused_pip_tiles,
+        "fused_assign": q_fused_assign,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "langid": q_langid,
@@ -2002,6 +2056,7 @@ FROM pts
         "knn": _knn_oracle(),
         "pip": _pip_oracle(),
         "fused_pip_tiles": _fused_pip_tiles_oracle(9),
+        "fused_assign": _fused_assign_oracle(9),
         "exact_dedup": (
             "SELECT text, min(doc_id) AS canonical_id, count(*) AS n_dupes "
             "FROM documents GROUP BY text"
