@@ -211,10 +211,13 @@ def _flagship(spark, n_images: int):
         "+proj=latlong +datum=WGS84",
         _fixture_polygons(),
         zoom=11,
-    ).persist()
-    # persist the TINY aggregate (|z11 tiles| x |polys+1| rows) as a
-    # barrier so the multi-countDistinct Expand below runs over ~10^4
-    # rows, never the full input.
+    )
+    # ONE action, no persist barrier: the round-2 barrier guarded
+    # against Catalyst planning the countDistinct Expand over the full
+    # input, but the fused kernel pre-aggregates in-worker, so the
+    # worst Expand can land on is the |distinct keys|-sized partial
+    # output.  sum(n) == n_images forces the rollup counts to be
+    # computed (not pruned) and doubles as a row-conservation check.
     stats = small.agg(
         F.countDistinct(F.struct("tile_x", "tile_y")).alias("t11"),
         F.countDistinct(
@@ -224,8 +227,9 @@ def _flagship(spark, n_images: int):
             F.struct(F.shiftright("tile_x", 7), F.shiftright("tile_y", 7))
         ).alias("t4"),
         F.countDistinct("poly_seq").alias("n_polys"),  # nulls (misses) ignored
+        F.sum("n").alias("total"),
     ).collect()[0]
-    small.unpersist()
+    assert int(stats.total) == n_images, (stats.total, n_images)
     n_tiles = int(stats.t11) + int(stats.t8) + int(stats.t4)
     return n_images, n_tiles + int(stats.n_polys)
 
