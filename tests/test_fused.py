@@ -121,3 +121,17 @@ def test_rollup_plan_shape(points, polys):
 def test_invalid_zoom_rejected(points, polys):
     with pytest.raises(ValueError):
         reproject_pip_tile_rollup(points, SRC, DST, polys, 25)
+
+
+def test_nonfinite_coordinates_grouped_under_null_tiles(spark, polys):
+    """NaN input coords (the transform's per-point failure sentinel)
+    must land in the (null, null, null) rollup group, matching the
+    composed plan's null tile keys, and must not crash the kernel."""
+    df = spark.createDataFrame(
+        [(float("nan"), 40.0), (-100.0, 40.0), (-100.0, float("nan"))],
+        "lon double, lat double",
+    )
+    out = reproject_pip_tile_rollup(df, DST, DST, polys, ZOOM)
+    rows = {(r.tile_x, r.tile_y, r.poly_seq): r.n for r in out.collect()}
+    assert rows[(None, None, None)] == 2
+    assert sum(rows.values()) == 3
