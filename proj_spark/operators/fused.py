@@ -44,11 +44,13 @@ tests/test_fused.py and the ``fused_pip_tiles`` oracle query):
   (including ``lat / 180 * pi`` matching java.lang.Math.toRadians).
 
 Scale notes: the polygon set ships inside the closure (same size
-class as the broadcast cover table); the per-poly vectorized loop is
-O(|polys in bbox range|) per batch, the right physical plan for the
-flagship regime (<= ~10^3 polygons).  For very large polygon sets use
-the cell-bucketed ``point_in_polygon_join``, which bounds per-point
-candidates by cover-cell occupancy instead.
+class as the broadcast cover table).  Small sets (<= 32 polys) use a
+per-poly vectorized scan; larger sets switch to a cell-bucketed
+candidate lookup (driver-built CSR cover at a bbox-sized resolution,
+same cell addressing as ``functions.expressions.cell_id``), bounding
+per-point work by cover-cell occupancy — the in-kernel analog of
+``point_in_polygon_join``'s broadcast cover join, with identical
+first-match results (asserted path-vs-path in tests/test_fused.py).
 """
 from __future__ import annotations
 
@@ -97,6 +99,134 @@ def _poly_arrays(polys) -> list[tuple]:
     return out
 
 
+# per-poly linear scan vs cell-bucketed candidate lookup crossover:
+# below this many polys the linear scan always wins (cache-hot masks)
+_BUCKETED_THRESHOLD = 32
+# bucketed per-candidate constants (slice gather, small-array ops) vs
+# the linear scan's full-batch mask — measured crossover factor
+_BUCKET_OVERHEAD = 4.0
+# cap on CSR candidate entries (cover cells x polys); res shrinks to fit
+_COVER_ENTRY_CAP = 2_000_000
+
+
+def _pick_cover_res(parrays) -> int:
+    """Resolution whose cell size tracks the median polygon bbox
+    (cells are 360/2^(res+1) x 180/2^res deg — the same addressing as
+    ``functions.expressions.cell_id`` and ``spatial_join.polygon_cover``).
+    A cell comparable to a bbox keeps per-poly cover ~O(1) cells and
+    per-cell candidate lists ~O(local overlap)."""
+    spans = [max(t[7] - t[6], (t[9] - t[8]) * 2.0, 1e-12) for t in parrays]
+    med = float(np.median(spans))
+    # cell x-width at res is 360/2^(res+1); want it ~= med
+    res = int(round(math.log2(360.0 / med) - 1.0))
+    return min(max(res, 2), 12)
+
+
+def _build_cover_csr(parrays, res: int):
+    """Driver-side equirectangular cell cover (same addressing as
+    functions.expressions.cell_id: cells are (360/2^res) x (180/2^res)
+    deg, id = iy * 2^(res+1) + ix), one candidate list per cover cell
+    sorted by poly_seq.  Returned as CSR arrays for the kernel's
+    searchsorted lookup: (sorted cell ids, offsets, candidate seqs)."""
+    n = 1 << res
+    two_n = 2 * n
+    per_cell: dict[int, list[int]] = {}
+    for seq, _pid, _x1, _y1, _x2, _y2, bw, be, bs, bn in parrays:
+        ix0 = int(min(max(math.floor((bw + 180.0) / 360.0 * two_n), 0), two_n - 1))
+        ix1 = int(min(max(math.floor((be + 180.0) / 360.0 * two_n), 0), two_n - 1))
+        iy0 = int(min(max(math.floor((bs + 90.0) / 180.0 * n), 0), n - 1))
+        iy1 = int(min(max(math.floor((bn + 90.0) / 180.0 * n), 0), n - 1))
+        for iy in range(iy0, iy1 + 1):
+            base = iy * two_n
+            for ix in range(ix0, ix1 + 1):
+                per_cell.setdefault(base + ix, []).append(seq)
+    cells = np.fromiter(sorted(per_cell), dtype=np.int64, count=len(per_cell))
+    offs = np.zeros(len(cells) + 1, dtype=np.int64)
+    cand_parts = []
+    for i, c in enumerate(cells):
+        seqs = per_cell[int(c)]  # appended in seq order already
+        offs[i + 1] = offs[i] + len(seqs)
+        cand_parts.append(np.asarray(seqs, dtype=np.int64))
+    cand = (
+        np.concatenate(cand_parts) if cand_parts else np.empty(0, dtype=np.int64)
+    )
+    return cells, offs, cand, res
+
+
+def _cover_for(parrays):
+    """Bbox-sized cover, coarsened until the CSR fits the entry cap
+    (the closure ships to every task; keep it broadcast-small)."""
+    res = _pick_cover_res(parrays)
+    cover = _build_cover_csr(parrays, res)
+    while cover[2].size > _COVER_ENTRY_CAP and res > 2:
+        res -= 1
+        cover = _build_cover_csr(parrays, res)
+    return cover
+
+
+def _assign_bucketed(parrays, cover, lon, lat) -> np.ndarray:
+    """First-match poly_seq per point via the cell-bucketed candidate
+    lists — identical semantics to the linear scan (exact-bbox check +
+    even-odd ray cast, ascending seq, first hit wins), but per-point
+    work is bounded by cover-cell occupancy instead of |polys|.
+
+    Structure: sort points by cell id once per batch, then walk each
+    occupied cell's contiguous point slice through its seq-sorted
+    candidate list with an all-assigned early exit — no per-(point,
+    candidate) pair materialization, so the constants stay close to
+    the linear scan's while the asymptotics follow cell occupancy."""
+    cells, offs, cand, res = cover
+    n = 1 << res
+    two_n = 2 * n
+    out = np.full(lon.shape[0], -1, dtype=np.int64)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * two_n), 0, two_n - 1)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1)
+    cid = iy.astype(np.int64) * two_n + ix.astype(np.int64)
+    order = np.argsort(cid, kind="stable")
+    cid_s = cid[order]
+    starts = np.flatnonzero(np.diff(cid_s, prepend=cid_s[0] - 1))
+    bounds = np.append(starts, cid_s.shape[0])
+    ucells = cid_s[starts]
+    pos = np.searchsorted(cells, ucells)
+    in_cover = pos < cells.shape[0]
+    np.logical_and(
+        in_cover, cells[np.minimum(pos, cells.shape[0] - 1)] == ucells, out=in_cover
+    )
+    for ci in np.flatnonzero(in_cover):
+        lo, hi = offs[pos[ci]], offs[pos[ci] + 1]
+        if hi == lo:
+            continue
+        pts = order[bounds[ci] : bounds[ci + 1]]
+        px = lon[pts]
+        py = lat[pts]
+        res_c = np.full(pts.shape[0], -1, dtype=np.int64)
+        for k in range(lo, hi):
+            seq = int(cand[k])
+            _s, _pid, x1, y1, x2, y2, bw, be, bs, bn = parrays[seq]
+            live = (res_c < 0) & (px >= bw) & (px <= be) & (py >= bs) & (py <= bn)
+            if not live.any():
+                continue
+            lx = np.flatnonzero(live)
+            inside = _raycast_inside(px[lx], py[lx], x1, y1, x2, y2)
+            res_c[lx[inside]] = seq
+        out[pts] = res_c
+    return out
+
+
+def _assign_linear(parrays, lon, lat) -> np.ndarray:
+    """First-match poly_seq per point by per-poly vectorized scan;
+    -1 = miss.  O(|polys|) per batch — right for small polygon sets."""
+    res = np.full(lon.shape[0], -1, dtype=np.int64)
+    for seq, _pid, x1, y1, x2, y2, bw, be, bs, bn in parrays:
+        cand = (res < 0) & (lon >= bw) & (lon <= be) & (lat >= bs) & (lat <= bn)
+        if not cand.any():
+            continue
+        ix = np.flatnonzero(cand)
+        inside = _raycast_inside(lon[ix], lat[ix], x1, y1, x2, y2)
+        res[ix[inside]] = seq
+    return res
+
+
 def _raycast_inside(lon, lat, x1, y1, x2, y2) -> np.ndarray:
     """Even-odd eastward ray cast, same arithmetic as the native
     expression in spatial_join._inside_expr (float64 both ways)."""
@@ -128,6 +258,14 @@ def _make_kernel(src, dst, polys, zoom: int, id_mode: bool):
     plan = build_plan(src, dst)
     src_ll, dst_ll = src.is_latlong, dst.is_latlong
     parrays = _poly_arrays(polys)
+    cover = None
+    if len(parrays) > _BUCKETED_THRESHOLD:
+        c = _cover_for(parrays)
+        # mean candidate-list length over occupied cells estimates the
+        # bucketed per-point work; the linear scan's is |polys|
+        est = c[2].size / max(c[0].size, 1)
+        if est * _BUCKET_OVERHEAD < len(parrays):
+            cover = c
 
     def _shift(x, y):
         # identical sequence of float64 ops to transform_udf
@@ -142,15 +280,9 @@ def _make_kernel(src, dst, polys, zoom: int, id_mode: bool):
 
     def _assign(lon, lat):
         """first-match poly_seq per point; -1 = miss."""
-        res = np.full(lon.shape[0], -1, dtype=np.int64)
-        for seq, _pid, x1, y1, x2, y2, bw, be, bs, bn in parrays:
-            cand = (res < 0) & (lon >= bw) & (lon <= be) & (lat >= bs) & (lat <= bn)
-            if not cand.any():
-                continue
-            ix = np.flatnonzero(cand)
-            inside = _raycast_inside(lon[ix], lat[ix], x1, y1, x2, y2)
-            res[ix[inside]] = seq
-        return res
+        if cover is not None:
+            return _assign_bucketed(parrays, cover, lon, lat)
+        return _assign_linear(parrays, lon, lat)
 
     def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys_acc: list[np.ndarray] = []

@@ -123,6 +123,97 @@ def test_invalid_zoom_rejected(points, polys):
         reproject_pip_tile_rollup(points, SRC, DST, polys, 25)
 
 
+def _many_polys(n_polys=80, seed=7):
+    """Deterministic overlapping quad soup (> _BUCKETED_THRESHOLD) —
+    overlaps make first-match priority observable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(n_polys):
+        cx = float(rng.uniform(-120.0, -70.0))
+        cy = float(rng.uniform(26.0, 48.0))
+        w = float(rng.uniform(0.5, 6.0))
+        h = float(rng.uniform(0.5, 4.0))
+        ring = [
+            (cx - w, cy - h),
+            (cx + w, cy - h + float(rng.uniform(-0.3, 0.3))),
+            (cx + w * 0.8, cy + h),
+            (cx - w * 0.9, cy + h * 0.7),
+            (cx - w, cy - h),
+        ]
+        polys.append((f"p{i}", ring))
+    return polys
+
+
+def test_bucketed_assign_matches_linear():
+    """The cell-bucketed candidate path (used when |polys| > 32) must
+    return identical first-match assignments to the linear scan."""
+    import numpy as np
+
+    from proj_spark.operators.fused import (
+        _assign_bucketed,
+        _assign_linear,
+        _build_cover_csr,
+        _cover_for,
+        _poly_arrays,
+    )
+
+    parrays = _poly_arrays(_many_polys())
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-130.0, -60.0, 200_000)
+    lat = rng.uniform(20.0, 55.0, 200_000)
+    lin = _assign_linear(parrays, lon, lat)
+    cover = _cover_for(parrays)
+    buck = _assign_bucketed(parrays, cover, lon, lat)
+    assert (lin == buck).all()
+    assert (lin >= 0).any() and (lin < 0).any()  # both lanes exercised
+    # resolution-independence: a much coarser and a much finer cover
+    # give the same answer (only candidate superset size changes)
+    for res in (3, 10):
+        assert (
+            _assign_bucketed(parrays, _build_cover_csr(parrays, res), lon, lat)
+            == lin
+        ).all()
+
+
+def test_rows_bucketed_matches_composed(spark):
+    """End-to-end: with > _BUCKETED_THRESHOLD polygons the kernel takes
+    the bucketed path; results must still equal the composed
+    point_in_polygon_join (identity transform isolates the PIP lane)."""
+    polys = _many_polys(48, seed=3)
+    pts = (
+        spark.range(30_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 6200 / 100.0 - 125.0).alias("lon"),
+            ((F.col("id") * 2246822519) % 2700 / 100.0 + 24.0).alias("lat"),
+        )
+    )
+    fused = reproject_pip_tile_rows(pts, DST, DST, polys, ZOOM, id_col="id")
+    # composed side must see the same deg->rad->deg doubles the fused
+    # kernel produces (identity CRS pair still roundtrips the units)
+    shifted = transform(pts, DST, DST, "lon", "lat")
+    pts = shifted.select("id", F.col("x").alias("lon"), F.col("y").alias("lat"))
+    pdf = spark.createDataFrame(
+        [
+            {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring], "poly_seq": i}
+            for i, (pid, ring) in enumerate(polys)
+        ]
+    )
+    composed = point_in_polygon_join(
+        pts, pdf, res=7, lon="lon", lat="lat", point_id="id", how="left_first"
+    ).select(
+        "id",
+        E.tile_x("lon", F.lit(ZOOM)).alias("tile_x"),
+        E.tile_y("lat", F.lit(ZOOM)).alias("tile_y"),
+        "poly_seq",
+    )
+    assert {tuple(r) for r in fused.collect()} == {
+        tuple(r) for r in composed.collect()
+    }
+
+
 def test_nonfinite_coordinates_grouped_under_null_tiles(spark, polys):
     """NaN input coords (the transform's per-point failure sentinel)
     must land in the (null, null, null) rollup group, matching the
