@@ -1050,6 +1050,62 @@ def _simhash_pairs_oracle() -> str:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER ids from the banded simhash near-dup pairs:
+    connected components via min-label propagation + pointer jumping
+    (operators/components.py — the distributed union-find the dedup
+    pipeline needs to go from pairs to keep/drop decisions).  The
+    DuckDB oracle computes the same transitive closure with a
+    recursive reachability CTE."""
+    from proj_spark.operators.components import connected_components
+
+    pairs = q_simhash_pairs(spark, sf_dir).where(F.col("hamming") <= 1)
+    return connected_components(pairs)
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict: group id (component min) + the
+    canonical keep flag, singletons included — the materialized form a
+    training-data filter actually consumes."""
+    from proj_spark.operators.components import dedup_groups
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = q_simhash_pairs(spark, sf_dir).where(F.col("hamming") <= 1)
+    out = dedup_groups(docs, pairs, id_col="doc_id")
+    return out.select("doc_id", "group_id", "is_canonical")
+
+
+def _cc_reach_sql() -> str:
+    """Shared recursive-CTE body: simhash(hamming<=1) edges +
+    transitive reachability (DuckDB replay of connected components)."""
+    return (
+        f"pairs AS (SELECT id_a, id_b FROM ({_simhash_pairs_oracle()}) "
+        "WHERE hamming <= 1),\n"
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION SELECT id_b AS u, id_a AS v FROM pairs),\n"
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+    )
+
+
+def _dedup_components_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_cc_reach_sql()}\n"
+        "SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u"
+    )
+
+
+def _dedup_groups_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_cc_reach_sql()},\n"
+        "comp AS (SELECT u AS node, least(u, min(v)) AS component "
+        "FROM reach GROUP BY u)\n"
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id,\n"
+        "       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical\n"
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"
+    )
+
+
 # surrogate-phash construction shared by q_phash_pairs and its oracle:
 # customers group by 8 (one 'source image' per group); quarters of the
 # 64-bit hash derive from the group id, and members flip at most ONE
@@ -1647,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_components": q_dedup_components,
+        "dedup_groups": q_dedup_groups,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "ann_cosine": q_ann_cosine,
@@ -2076,6 +2134,8 @@ FROM documents
         "lsh_pairs": _lsh_pairs_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        "dedup_components": _dedup_components_oracle(),
+        "dedup_groups": _dedup_groups_oracle(),
         "phash_pairs": _phash_pairs_oracle(),
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),
