@@ -838,6 +838,53 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length band, stopword ratio,
+    punctuation ratio, repetition) + the composite keep score —
+    operators/text.py quality_score, milli-quantized for the oracle
+    hash (both engines compute the identical IEEE expression tree)."""
+    from proj_spark.operators.text import quality_score
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quality_score(docs, text="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("stop_ratio") * 1000.0).cast("long").alias("stop_milli"),
+        F.floor(F.col("punct_ratio") * 1000.0).cast("long").alias("punct_milli"),
+        F.floor(F.col("rep_ratio") * 1000.0).cast("long").alias("rep_milli"),
+        F.floor(F.col("quality") * 1000.0).cast("long").alias("quality_milli"),
+    )
+
+
+def _quality_oracle() -> str:
+    from proj_spark.operators.text import LANG_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    len(toks) AS n_tok,
+    CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS DOUBLE) / len(toks) AS stop_ratio,
+    CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS rep_ratio
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(floor(stop_ratio * 1000.0) AS BIGINT) AS stop_milli,
+  CAST(floor(punct_ratio * 1000.0) AS BIGINT) AS punct_milli,
+  CAST(floor(rep_ratio * 1000.0) AS BIGINT) AS rep_milli,
+  CAST(floor((0.35 * least(n_tok / 64.0, 1.0)
+            + 0.25 * least(stop_ratio * 4.0, 1.0)
+            + 0.25 * rep_ratio
+            + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))) * 1000.0) AS BIGINT) AS quality_milli
+FROM r"""
+
+
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 _TOKENS_RAW_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -1705,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_components": q_dedup_components,
         "dedup_groups": q_dedup_groups,
+        "quality": q_quality,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "ann_cosine": q_ann_cosine,
@@ -2136,6 +2184,7 @@ FROM documents
         "simhash_pairs": _simhash_pairs_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "dedup_groups": _dedup_groups_oracle(),
+        "quality": _quality_oracle(),
         "phash_pairs": _phash_pairs_oracle(),
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),
