@@ -1153,6 +1153,64 @@ def _dedup_groups_oracle() -> str:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio lane end-to-end: synthesize REAL WAV payloads (RIFF/PCM16,
+    sources/audio.py) for customer-keyed seeds, decode them back on
+    executors, and emit integer-exact features (energy, peak, strict
+    zero crossings, duration).  The oracle recomputes the features
+    from the generator's integer LCG formula in BIGINT SQL — the WAV
+    encode->decode roundtrip is what the Spark side adds on top."""
+    from proj_spark.operators.multimodal import audio_features
+    from proj_spark.sources.audio import audio_for_ids
+
+    ids = (
+        _load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .where(F.col("id") <= 240)
+    )
+    wavs = audio_for_ids(ids)
+    out = audio_features(wavs)
+    return out.select(
+        "media_id",
+        F.col("rate").cast("long").alias("rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "energy",
+        "peak",
+        "zero_crossings",
+    )
+
+
+def _audio_features_oracle() -> str:
+    from proj_spark.sources.audio import PCM_A, PCM_B
+
+    return f"""WITH ids AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(4000 + (c_custkey % 5) * 2000 AS BIGINT) AS n
+  FROM customer WHERE c_custkey <= 240
+),
+s AS (
+  SELECT id, n, t.k AS k,
+         (({PCM_A} * (id + 1) + {PCM_B} * t.k) % 65536) - 32768 AS v
+  FROM ids, unnest(range(n)) AS t(k)
+),
+s2 AS (
+  SELECT id, n, k, v, lag(v) OVER (PARTITION BY id ORDER BY k) AS pv FROM s
+),
+agg AS (
+  SELECT id, max(n) AS n_samples, sum(v * v) AS energy, max(abs(v)) AS peak,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS zero_crossings
+  FROM s2 GROUP BY id
+)
+SELECT 'a' || lpad(CAST(id AS VARCHAR), 9, '0') AS media_id,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy, CAST(peak AS BIGINT) AS peak,
+       CAST(zero_crossings AS BIGINT) AS zero_crossings
+FROM agg"""
+
+
 # surrogate-phash construction shared by q_phash_pairs and its oracle:
 # customers group by 8 (one 'source image' per group); quarters of the
 # 64-bit hash derive from the group id, and members flip at most ONE
@@ -1753,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_groups": q_dedup_groups,
         "quality": q_quality,
+        "audio_features": q_audio_features,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "ann_cosine": q_ann_cosine,
@@ -2185,6 +2244,7 @@ FROM documents
         "dedup_components": _dedup_components_oracle(),
         "dedup_groups": _dedup_groups_oracle(),
         "quality": _quality_oracle(),
+        "audio_features": _audio_features_oracle(),
         "phash_pairs": _phash_pairs_oracle(),
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),

@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) column operators.
 
 Binary payloads stay opaque through shuffles (SURVEY.md §1.2) and are
-decoded only inside Arrow-batched UDFs.  The PNG and quantizing-lossy
-codecs are real (sources/images.py); formats that need native
-libraries absent from this container (real JPEG, video, audio) are
-STUBBED behind NotImplementedError at the single decode call site —
-the Spark-side plumbing (schemas, batching, partitioning) is real and
-tested either way.
+decoded only inside Arrow-batched UDFs.  The PNG, quantizing-lossy
+image, and WAV/PCM16 audio codecs are real (sources/images.py,
+sources/audio.py — standard containers any reader opens); formats
+that need native libraries absent from this container (real JPEG,
+video codecs) are STUBBED behind NotImplementedError at the single
+decode call site — the Spark-side plumbing (schemas, batching,
+partitioning) is real and tested either way.
 
 Scale notes:
 - all operators are narrow mapInPandas passes: parallelism = input
@@ -238,3 +239,100 @@ def phash_dedup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode WAV payloads (REAL RIFF/PCM16 codec, sources/audio.py)
+    and emit integer-exact features: total energy (sum of squared
+    samples), peak amplitude, strict-sign zero crossings, duration.
+
+    Integer features mean the values are engine-reproducible to the
+    bit — the DuckDB oracle recomputes them from the generator
+    formula with BIGINT math.  Narrow mapInPandas pass; the payload
+    column never shuffles."""
+    from ..sources.audio import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mids = b["media_id"].to_numpy()
+            blobs = b[bytes_col].to_numpy()
+            rows = []
+            for mid, blob in zip(mids, blobs):
+                rate, pcm = decode_wav(bytes(blob))
+                s = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        s.shape[0],
+                        s.shape[0] * 1000 // rate,
+                        int((s * s).sum()),
+                        int(np.abs(s).max(initial=0)),
+                        int(((s[1:] * s[:-1]) < 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "rate",
+                    "n_samples",
+                    "duration_ms",
+                    "energy",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select("media_id", bytes_col).mapInPandas(run, _AUDIO_FEAT_SCHEMA)
+
+
+_AUDIO_OUT_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, out_rate: int, bytes_col: str = "bytes") -> DataFrame:
+    """Linear-interpolation resample to ``out_rate``, re-encoded as
+    WAV so downstream decode invariants keep holding.  Same narrow
+    shape as resize_images: decode -> numpy -> re-encode per batch."""
+    from ..sources.audio import decode_wav, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"].to_numpy(), b[bytes_col].to_numpy()):
+                rate, pcm = decode_wav(bytes(blob))
+                n_out = max(int(round(pcm.shape[0] * out_rate / rate)), 1)
+                t_out = np.arange(n_out, dtype=np.float64) * (rate / out_rate)
+                res = np.interp(
+                    t_out, np.arange(pcm.shape[0], dtype=np.float64), pcm
+                )
+                out = np.clip(np.rint(res), -32768, 32767).astype(np.int16)
+                rows.append(
+                    (mid, encode_wav(out, out_rate), out_rate, n_out, "wav")
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "rate", "n_samples", "fmt"]
+            )
+
+    return df.select("media_id", bytes_col).mapInPandas(run, _AUDIO_OUT_SCHEMA)
