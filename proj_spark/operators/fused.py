@@ -179,9 +179,15 @@ def _assign_bucketed(parrays, cover, lon, lat) -> np.ndarray:
     n = 1 << res
     two_n = 2 * n
     out = np.full(lon.shape[0], -1, dtype=np.int64)
-    ix = np.clip(np.floor((lon + 180.0) / 360.0 * two_n), 0, two_n - 1)
-    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1)
+    if lon.shape[0] == 0:
+        return out
+    # non-finite coords (transform failure sentinel) are a miss; route
+    # them to an impossible cell id instead of casting NaN to int
+    bad = ~(np.isfinite(lon) & np.isfinite(lat))
+    ix = np.clip(np.floor((np.where(bad, 0.0, lon) + 180.0) / 360.0 * two_n), 0, two_n - 1)
+    iy = np.clip(np.floor((np.where(bad, 0.0, lat) + 90.0) / 180.0 * n), 0, n - 1)
     cid = iy.astype(np.int64) * two_n + ix.astype(np.int64)
+    cid[bad] = -1  # below every cover cell id
     order = np.argsort(cid, kind="stable")
     cid_s = cid[order]
     starts = np.flatnonzero(np.diff(cid_s, prepend=cid_s[0] - 1))

@@ -177,6 +177,24 @@ def test_bucketed_assign_matches_linear():
         ).all()
 
 
+def test_bucketed_nonfinite_and_empty():
+    import numpy as np
+
+    from proj_spark.operators.fused import (
+        _assign_bucketed,
+        _cover_for,
+        _poly_arrays,
+    )
+
+    parrays = _poly_arrays(_many_polys())
+    cover = _cover_for(parrays)
+    empty = np.empty(0, dtype=np.float64)
+    assert _assign_bucketed(parrays, cover, empty, empty).shape == (0,)
+    lon = np.array([float("nan"), -100.0, float("inf")])
+    lat = np.array([40.0, float("nan"), 40.0])
+    assert (_assign_bucketed(parrays, cover, lon, lat) == -1).all()
+
+
 def test_rows_bucketed_matches_composed(spark):
     """End-to-end: with > _BUCKETED_THRESHOLD polygons the kernel takes
     the bucketed path; results must still equal the composed
