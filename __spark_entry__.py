@@ -1433,6 +1433,52 @@ FROM ranked WHERE rank <= 5
 
 
 # ================================================================= events
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rollup through the salted two-phase aggregation
+    (operators/skew.py salted_agg): event_type has a handful of hot
+    values — the shape of the north rule's hot-cell skew.  Salting
+    must be invisible in the result, so the oracle is the plain GROUP
+    BY.  Sums are integer cents (order-independent across engines)."""
+    from proj_spark.operators.skew import salted_agg
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100.0).cast("long")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_cents": (F.sum("value_cents"), F.sum("sum_cents")),
+            "vmin": (F.min("value"), F.min("vmin")),
+            "vmax": (F.max("value"), F.max("vmax")),
+        },
+        n_salts=16,
+        salt_by=["event_id"],
+    )
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"), "sum_cents", "vmin", "vmax"
+    )
+
+
+def q_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed equi-join through the salted replicated join
+    (operators/skew.py salted_broadcast_join): events.user_id is a hot
+    probe key against a customer-derived dim; the salt replicates the
+    dim 8x so one hot key spreads across tasks.  The result must equal
+    the plain inner join + GROUP BY (the oracle)."""
+    from proj_spark.operators.skew import salted_broadcast_join
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        _load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .where(F.col("user_id") < 64)
+    )
+    j = salted_broadcast_join(ev, dim, on="user_id", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped rollup: events -> synthetic points -> zoom-6
     tiles per event_type (batch view of the tile-stream aggregation)."""
@@ -1812,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "quality": q_quality,
         "audio_features": q_audio_features,
+        "salted_rollup": q_salted_rollup,
+        "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "ann_cosine": q_ann_cosine,
@@ -2245,6 +2293,17 @@ FROM documents
         "dedup_groups": _dedup_groups_oracle(),
         "quality": _quality_oracle(),
         "audio_features": _audio_features_oracle(),
+        "salted_rollup": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
+            "       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,\n"
+            "       min(value) AS vmin, max(value) AS vmax\n"
+            "FROM events GROUP BY event_type"
+        ),
+        "salted_join_rollup": (
+            "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n\n"
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey\n"
+            "WHERE c.c_custkey < 64 GROUP BY c.c_mktsegment"
+        ),
         "phash_pairs": _phash_pairs_oracle(),
         "jaccard_consecutive": _jaccard_oracle(),
         "ann_cosine": _ann_oracle(),
