@@ -635,6 +635,51 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-range join (within 200 km, haversine) through the
+    cell-pruned scale path (operators/knn.py within_distance_join:
+    guaranteed-cover k-ring + broadcast, big side never shuffles) vs
+    the all-pairs SQL filter oracle."""
+    from proj_spark.operators.knn import within_distance_join
+
+    nations = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qk"),
+        E.synth_lon((F.col("n_nationkey") * 7919 + 13).cast("double")).alias("qlon"),
+        E.synth_lat((F.col("n_nationkey") * 7919 + 13).cast("double")).alias("qlat"),
+    )
+    cust = _points(spark, sf_dir, "customer", "c_custkey")
+    out = within_distance_join(
+        nations, cust, 200_000.0, res=6,
+        q_id="qk", q_lon="qlon", q_lat="qlat",
+        c_id="pk", c_lon="lon", c_lat="lat",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("dist_m") * 10.0).cast("long").alias("dist_dm"),
+    )
+
+
+def _range_join_oracle() -> str:
+    hav = _HAVERSINE_SQL.format(
+        lat1="q.qlat", lon1="q.qlon", lat2="c.lat", lon2="c.lon", D=D
+    )
+    qk = "CAST(n_nationkey * 7919 + 13 AS DOUBLE)"
+    return f"""
+WITH q AS (
+  SELECT n_nationkey AS qk, {_lon_sql(qk)} AS qlon, {_lat_sql(qk)} AS qlat FROM nation
+),
+c AS ({_CUSTOMER_PTS_SQL}),
+pairs AS (
+  SELECT q.qk AS query_id, c.pk AS neighbor_id, {hav} AS dist_m
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id,
+       CAST(floor(dist_m * 10.0) AS BIGINT) AS dist_dm
+FROM pairs WHERE dist_m <= 200000.0
+"""
+
+
 def _knn_oracle() -> str:
     hav = _HAVERSINE_SQL.format(
         lat1="q.qlat", lon1="q.qlon", lat2="c.lat", lon2="c.lon", D=D
@@ -1894,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "cubeface_rollup": q_cubeface_rollup,
         "knn": q_knn,
+        "range_join": q_range_join,
         "pip": q_pip,
         "fused_pip_tiles": q_fused_pip_tiles,
         "fused_assign": q_fused_assign,
@@ -2323,6 +2369,7 @@ FROM pts
         "cell_rollup": _cell_oracle(_CUSTOMER_PTS_SQL, 7),
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),
+        "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
         "fused_pip_tiles": _fused_pip_tiles_oracle(9),
         "fused_assign": _fused_assign_oracle(9),

@@ -209,3 +209,70 @@ def knn_join(
         c_lat=c_lat,
     )
     return good.unionByName(redo)
+
+
+def within_distance_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    radius_m: float,
+    res: int = 6,
+    q_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    c_id: str = "cand_id",
+    c_lon: str = "c_lon",
+    c_lat: str = "c_lat",
+    max_ring: int = 6,
+) -> DataFrame:
+    """Distance-range join: every candidate within ``radius_m``
+    (haversine) of each query — the radius-query sibling of
+    :func:`knn_join`, EXACT by construction.
+
+    Plan shape (10^12-safe): candidates compute one cell id (narrow);
+    the small query side explodes a k-ring sized to GUARANTEE the
+    radius is covered and is broadcast — the big side never shuffles.
+    The ring bound: a hit differs from its query by at most
+    ``radius/R`` rad in latitude and ``radius/(R cos phi)`` rad in
+    longitude, so ``ring = ceil(worst-axis span / cell size)`` cells
+    suffice, using the query set's extreme latitude (one tiny driver
+    aggregate on the SMALL side) widened by the latitude span itself.
+    Raises when the needed ring exceeds ``max_ring`` — the resolution
+    is too fine for this radius; lower ``res`` (each -1 halves the
+    ring) instead of silently exploding the probe fan-out.
+    """
+    cell_h_deg = 180.0 / (1 << res)
+    cell_h_m = math.pi * EARTH_M * cell_h_deg / 180.0
+    dphi_deg = math.degrees(radius_m / EARTH_M)
+
+    phi_max = (
+        queries.agg(F.max(F.abs(F.col(q_lat)))).first()[0] or 0.0
+    )
+    phi_worst = min(phi_max + dphi_deg, 89.9)
+    cos_w = max(math.cos(math.radians(phi_worst)), 1e-6)
+    ring = max(int(math.ceil((radius_m / cell_h_m / cos_w) * (1.0 + 1e-9))), 1)
+    if ring > max_ring:
+        raise ValueError(
+            f"radius {radius_m:.0f} m at |lat|<={phi_worst:.1f} needs a "
+            f"ring of {ring} > max_ring={max_ring} cells at res={res}; "
+            f"use res<={res - math.ceil(math.log2(ring / max_ring))}"
+        )
+
+    c = candidates.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_lon).alias("_clon"),
+        F.col(c_lat).alias("_clat"),
+    ).withColumn("_ccell", E.cell_id("_clon", "_clat", res))
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+    ).withColumn(
+        "_cell",
+        F.explode(E.cell_neighbors(E.cell_id("_qlon", "_qlat", res), res, k=ring)),
+    )
+    pairs = c.join(F.broadcast(q), c["_ccell"] == q["_cell"], "inner").withColumn(
+        "dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat")
+    )
+    return pairs.where(F.col("dist_m") <= F.lit(float(radius_m))).select(
+        "query_id", "neighbor_id", "dist_m"
+    )

@@ -513,3 +513,63 @@ def test_cosine_dedup_pairs_bucketed_recall_and_cap(spark):
     )
     n = cosine_dedup_pairs(same, threshold=0.5, bits=6, dim=16, pair_cap=10).count()
     assert n <= 10 * (10 - 1) // 2 * 7  # bounded by cap per probe bucket
+
+
+class TestWithinDistanceJoin:
+    def _data(self, spark, q_lat_base=30.0, n_q=8, n_c=4000):
+        from pyspark.sql import functions as F
+
+        q = spark.range(n_q).select(
+            F.col("id").alias("query_id"),
+            (F.lit(-120.0) + F.col("id") * 2.5).alias("q_lon"),
+            (F.lit(q_lat_base) + F.col("id") * 1.7).alias("q_lat"),
+        )
+        c = spark.range(n_c).select(
+            F.col("id").alias("cand_id"),
+            ((F.col("id") * 2654435761) % 4000 / 100.0 - 125.0).alias("c_lon"),
+            ((F.col("id") * 2246822519) % 3500 / 100.0 + 22.0).alias("c_lat"),
+        )
+        return q, c
+
+    def _brute(self, q, c, radius_m):
+        from pyspark.sql import functions as F
+
+        from proj_spark.functions import expressions as E
+
+        pairs = c.crossJoin(q).withColumn(
+            "dist_m", E.haversine_m("q_lon", "q_lat", "c_lon", "c_lat")
+        )
+        return {
+            (r.query_id, r.cand_id)
+            for r in pairs.where(F.col("dist_m") <= radius_m).collect()
+        }
+
+    def test_exact_vs_bruteforce(self, spark):
+        from proj_spark.operators.knn import within_distance_join
+
+        q, c = self._data(spark)
+        for radius in (60_000.0, 200_000.0):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in within_distance_join(q, c, radius, res=6).collect()
+            }
+            assert got == self._brute(q, c, radius)
+
+    def test_high_latitude_ring_widens_and_stays_exact(self, spark):
+        from proj_spark.operators.knn import within_distance_join
+
+        q, c = self._data(spark, q_lat_base=47.0)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in within_distance_join(q, c, 250_000.0, res=6).collect()
+        }
+        assert got == self._brute(q, c, 250_000.0)
+
+    def test_refuses_oversized_ring(self, spark):
+        import pytest
+
+        from proj_spark.operators.knn import within_distance_join
+
+        q, c = self._data(spark)
+        with pytest.raises(ValueError, match="max_ring"):
+            within_distance_join(q, c, 2_000_000.0, res=9)
