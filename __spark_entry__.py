@@ -1529,6 +1529,42 @@ FROM ranked WHERE rank <= 5
 
 
 # ================================================================= events
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py) per event_type
+    over user_id, k=16 so the large groups exercise the ESTIMATOR
+    branch (not just exact fallback).  The LCG hash is pure BIGINT
+    math, so the oracle rebuilds the identical sketch in SQL."""
+    from proj_spark.operators.sketch import kmv_distinct
+
+    ev = _load(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=16)
+
+
+def _kmv_oracle() -> str:
+    from proj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    prod = float((16 - 1) * MINHASH_P)  # (k-1) * P as one double literal
+    return f"""WITH h AS (
+  SELECT DISTINCT event_type,
+         ({MINHASH_A[0]} * CAST(user_id AS BIGINT) + {MINHASH_B[0]}) % {MINHASH_P} AS _h
+  FROM events
+),
+r AS (
+  SELECT event_type, _h,
+         row_number() OVER (PARTITION BY event_type ORDER BY _h ASC) AS _rn
+  FROM h
+),
+t AS (
+  SELECT event_type, count(*) AS n_sketch, max(_h) AS _maxh
+  FROM r WHERE _rn <= 16 GROUP BY event_type
+)
+SELECT event_type, CAST(n_sketch AS BIGINT) AS n_sketch,
+       CASE WHEN n_sketch < 16 THEN NULL ELSE _maxh END AS kth_min,
+       CAST(floor(CASE WHEN n_sketch < 16 THEN CAST(n_sketch AS DOUBLE)
+                       ELSE {prod!r} / _maxh END) AS BIGINT) AS est_distinct
+FROM t"""
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key rollup through the salted two-phase aggregation
     (operators/skew.py salted_agg): event_type has a handful of hot
@@ -1956,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "audio_features": q_audio_features,
         "salted_rollup": q_salted_rollup,
+        "kmv_distinct": q_kmv_distinct,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
@@ -2396,6 +2433,7 @@ FROM documents
         "dedup_groups": _dedup_groups_oracle(),
         "quality": _quality_oracle(),
         "audio_features": _audio_features_oracle(),
+        "kmv_distinct": _kmv_oracle(),
         "salted_rollup": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
             "       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,\n"

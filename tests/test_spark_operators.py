@@ -573,3 +573,38 @@ class TestWithinDistanceJoin:
         q, c = self._data(spark)
         with pytest.raises(ValueError, match="max_ring"):
             within_distance_join(q, c, 2_000_000.0, res=9)
+
+
+class TestKmvSketch:
+    def test_exact_branch_small_groups(self, spark):
+        from pyspark.sql import functions as F
+
+        from proj_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(30)],
+            "g string, v long",
+        )
+        out = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=16).collect()}
+        assert out["a"].est_distinct == 7 and out["a"].kth_min is None
+        assert out["b"].est_distinct == 3
+        assert out["a"].n_sketch == 7
+
+    def test_estimator_branch_accuracy(self, spark):
+        from proj_spark.operators.sketch import kmv_distinct
+
+        n_true = 5000
+        df = spark.range(20_000).selectExpr("'g' AS g", f"id % {n_true} AS v")
+        r = kmv_distinct(df, ["g"], "v", k=256).first()
+        assert r.n_sketch == 256 and r.kth_min is not None
+        assert abs(r.est_distinct - n_true) / n_true < 0.25  # ~4/sqrt(k)
+
+    def test_sketch_is_partitioning_invariant(self, spark):
+        from proj_spark.operators.sketch import kmv_distinct
+
+        df = spark.range(10_000).selectExpr("'g' AS g", "id % 900 AS v")
+        a = kmv_distinct(df.repartition(32), ["g"], "v", k=64).first()
+        b = kmv_distinct(df.coalesce(1), ["g"], "v", k=64).first()
+        assert (a.est_distinct, a.kth_min, a.n_sketch) == (
+            b.est_distinct, b.kth_min, b.n_sketch,
+        )
