@@ -185,3 +185,90 @@ def stream_dedup(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def minhash_key_udf(n_hashes: int = 8, w: int = 3):
+    """Per-row minhash signature key (narrow pandas UDF, no shuffle):
+    crc32 shingle ids -> min over the dedup LCG family
+    (operators/dedup.py MINHASH_*), folded to one int64.  A pure
+    function of the text, so checkpoint restarts recompute identical
+    keys.  Two documents share the key iff ALL n component minhashes
+    agree — Jaccard ~>= 0.9 with high probability at n=8."""
+    import zlib
+
+    import numpy as np
+
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    @F.pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = str(t).lower().split()
+            shingles = {
+                " ".join(toks[i : i + w]) for i in range(max(len(toks) - w + 1, 0))
+            }
+            if shingles:
+                tids = np.fromiter(
+                    (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                key = np.int64(0)
+                for i in range(n_hashes):
+                    mh = int(
+                        (
+                            (MINHASH_A[i % 8] * tids + MINHASH_B[i % 8]) % MINHASH_P
+                        ).min()
+                    )
+                    key = np.int64(
+                        (int(key) * 6364136223846793005 + mh) % (1 << 63)
+                    )
+            else:
+                key = np.int64(-1)  # all empty/short docs collapse together
+            out.append(int(key))
+        return pd.Series(out, dtype="int64")
+
+    return _udf
+
+
+def stream_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    w: int = 3,
+    output_mode: str = "update",
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """Streaming NEAR-dup filter at minhash-signature granularity:
+    like :func:`stream_dedup`, but the content key is the folded
+    n-minhash signature over w-shingles, so whitespace/case noise and
+    other edits that keep the w-shingle set identical dedup to one
+    emission (edits that change shingles — reorders, rewrites — are
+    the batch LSH path's job).
+
+    Granularity note: signature EQUALITY (all n minhashes agree), not
+    banded LSH — single-band streaming recall of lower-similarity
+    pairs needs cross-key coordination that a per-key stateful op
+    cannot see; run the batch ``lsh_candidate_pairs`` ->
+    ``connected_components`` path over the survivors for that.  Same
+    scale/state story as stream_dedup (state ~ distinct signatures,
+    TTL eviction opt-in)."""
+    keyed = docs.select(
+        minhash_key_udf(n_hashes, w)(F.col(text_col)).alias("content_key"),
+        F.col(id_col).cast("string").alias("doc_id"),
+    )
+    ttl = int(ttl_ms)
+    _update = _make_dedup_update(ttl)
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        _update,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

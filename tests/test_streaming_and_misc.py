@@ -297,3 +297,64 @@ def test_mk_cheby_cut_residual_semantics():
     cx, cy, resid, cut = mk_cheby((-1.0, -1.0), (1.0, 1.0), 1e-4, f, 15, 15)
     assert resid[0] >= 0 and resid[0] < 1e-4 and resid[1] < 1e-4
     assert np.all((cx == 0.0) | (np.abs(cx) >= cut))
+
+
+def test_stream_near_dedup_collapses_noisy_duplicates(spark, tmp_path):
+    """Near-dup streaming filter: case/whitespace noise preserves the
+    shingle set, so noisy re-ingests share a minhash signature and
+    dedup to ONE emission; genuinely different docs all survive."""
+    import os
+
+    from proj_spark.streaming.stateful import stream_near_dedup
+
+    src = str(tmp_path / "near_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_near")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    noisy = "The  QUICK brown fox jumps  over the LAZY dog again and  again"
+    other = "completely different content about spark streaming state stores"
+    b1 = [Row(doc_id="d0", text=base), Row(doc_id="d1", text=other)]
+    b2 = [Row(doc_id="e0", text=noisy), Row(doc_id="e1", text=base)]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("SELECT content_key, doc_id FROM near_dedup_test").collect()
+    # base == noisy == base-again (one signature) + other
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} == {"d0", "d1"}
+
+
+def test_minhash_key_is_order_invariant_but_content_sensitive(spark):
+    from proj_spark.streaming.stateful import minhash_key_udf
+
+    udf = minhash_key_udf()
+    df = spark.createDataFrame(
+        [
+            ("a", "one two three four five six"),
+            ("b", "ONE  two THREE four  five six"),  # case/space noise: same shingles
+            ("c", "one two three four five six"),  # identical
+            ("d", "totally unrelated words here now"),
+            ("e", ""),
+            ("f", "x"),
+        ],
+        "id string, text string",
+    )
+    keys = {r.id: r.k for r in df.select("id", udf("text").alias("k")).collect()}
+    assert keys["a"] == keys["b"] == keys["c"]
+    assert keys["a"] != keys["d"]
+    assert keys["e"] == keys["f"] == -1  # sub-shingle docs collapse
