@@ -1529,6 +1529,85 @@ FROM ranked WHERE rank <= 5
 
 
 # ================================================================= events
+def _with_injected_boilerplate(docs: DataFrame) -> DataFrame:
+    """The synthetic documents are single-line, so the boilerplate
+    queries inject deterministic chrome lines (plain string concat —
+    identically reproducible in SQL): one line in EVERY doc, one in
+    every even doc, one unique per doc."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today\nref code "),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nfollow us on social media")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_BOILER_INJECT_SQL = (
+    "SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today' "
+    "|| chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'follow us on social media' "
+    "ELSE '' END AS text FROM documents"
+)
+
+_BOILER_DICT_SQL = """lines AS (
+  SELECT DISTINCT doc_id, trim(lower(l.line)) AS line
+  FROM d, unnest(string_split(text, chr(10))) AS l(line)
+  WHERE length(trim(lower(l.line))) >= 10
+),
+boiler AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+)"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate dictionary: lines repeated verbatim across
+    documents (operators/text.py boilerplate_lines) — the injected
+    every-doc and every-even-doc chrome must surface, per-doc lines
+    must not."""
+    from proj_spark.operators.text import boilerplate_lines
+
+    docs = _with_injected_boilerplate(_load(spark, sf_dir, "documents"))
+    return boilerplate_lines(docs, min_docs=2, min_chars=10)
+
+
+def _boilerplate_oracle() -> str:
+    return (
+        f"WITH d AS ({_BOILER_INJECT_SQL}),\n{_BOILER_DICT_SQL}\n"
+        "SELECT line, n_docs FROM boiler"
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal end-to-end: build the dictionary, strip
+    matching lines from every document (broadcast anti-join at line
+    granularity, order-preserving reassembly), return the cleaned
+    text per doc."""
+    from proj_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+    docs = _with_injected_boilerplate(_load(spark, sf_dir, "documents"))
+    boiler = boilerplate_lines(docs, min_docs=2, min_chars=10)
+    out = strip_boilerplate(docs, boiler)
+    return out.select("doc_id", "text_clean")
+
+
+def _strip_boilerplate_oracle() -> str:
+    return f"""WITH d AS ({_BOILER_INJECT_SQL}),
+{_BOILER_DICT_SQL},
+bl AS (SELECT list(line) AS bls FROM boiler)
+SELECT d.doc_id,
+       list_aggregate(
+         list_filter(string_split(d.text, chr(10)),
+                     x -> NOT list_contains(bl.bls, trim(lower(x)))),
+         'string_agg', chr(10)) AS text_clean
+FROM d CROSS JOIN bl"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -1993,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "salted_rollup": q_salted_rollup,
         "kmv_distinct": q_kmv_distinct,
+        "boilerplate": q_boilerplate,
+        "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
@@ -2434,6 +2515,8 @@ FROM documents
         "quality": _quality_oracle(),
         "audio_features": _audio_features_oracle(),
         "kmv_distinct": _kmv_oracle(),
+        "boilerplate": _boilerplate_oracle(),
+        "strip_boilerplate": _strip_boilerplate_oracle(),
         "salted_rollup": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
             "       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,\n"

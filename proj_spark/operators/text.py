@@ -113,3 +113,72 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id", p: in
         df.withColumn("_toks", toks)
         .select(id_col, contrib.alias("fingerprint"))
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text: str = "text",
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Cross-document repeated lines (the C4-style boilerplate rule:
+    a line occurring verbatim in many documents is navigation/footer
+    chrome, not content).  Returns (line, n_docs) for normalized
+    (trimmed, lowercased) lines of >= ``min_chars`` chars appearing in
+    >= ``min_docs`` DISTINCT documents.
+
+    Scale shape: explode -> distinct(doc, line) -> count per line —
+    two shuffles on the line hash, algebraic all the way; the output
+    (the boilerplate dictionary) is tiny and broadcastable."""
+    lines = df.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text), r"\n")).alias("_raw"),
+    ).select("doc_id", F.trim(F.lower(F.col("_raw"))).alias("line"))
+    lines = lines.where(F.length("line") >= min_chars).distinct()
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame,
+    text: str = "text",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove boilerplate lines from every document: keep each line
+    whose normalized form is NOT in the (broadcast) dictionary,
+    rejoin with newlines.  One narrow pass over the big side — the
+    dictionary rides in as a broadcast array inside a higher-order
+    filter expression, no join of the 10^12-row table."""
+    from pyspark.sql.functions import broadcast
+
+    # broadcast anti-join at line granularity, then reassemble in order
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text), r"\n")).alias("_pos", "_raw"),
+    ).withColumn("_norm", F.trim(F.lower(F.col("_raw"))))
+    kept = lines.join(
+        broadcast(boiler.select(F.col("line").alias("_norm"), F.lit(1).alias("_b"))),
+        on="_norm",
+        how="left",
+    ).where(F.col("_b").isNull())
+    reass = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_raw"))
+                    ),
+                    lambda s: s["_raw"],
+                ),
+                "\n",
+            ).alias(out_col)
+        )
+    )
+    return df.join(reass, on="doc_id", how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -608,3 +608,40 @@ class TestKmvSketch:
         assert (a.est_distinct, a.kth_min, a.n_sketch) == (
             b.est_distinct, b.kth_min, b.n_sketch,
         )
+
+
+class TestBoilerplate:
+    def test_detect_and_strip_preserves_order(self, spark):
+        from proj_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+        docs = spark.createDataFrame(
+            [
+                ("a", "unique first line\ncommon footer line here\nunique tail a"),
+                ("b", "b's own content\ncommon footer line here"),
+                ("c", "COMMON FOOTER LINE HERE\nc content line one\nc content two"),
+                ("d", "short\ncommon footer line here"),  # 'short' < min_chars kept
+            ],
+            "doc_id string, text string",
+        )
+        boiler = boilerplate_lines(docs, min_docs=2, min_chars=10)
+        rows = {r.line: r.n_docs for r in boiler.collect()}
+        assert rows == {"common footer line here": 4}
+        out = {
+            r.doc_id: r.text_clean
+            for r in strip_boilerplate(docs, boiler).collect()
+        }
+        assert out["a"] == "unique first line\nunique tail a"
+        assert out["b"] == "b's own content"
+        assert out["c"] == "c content line one\nc content two"
+        assert out["d"] == "short"  # sub-min_chars lines never stripped
+
+    def test_all_boilerplate_doc_becomes_empty(self, spark):
+        from proj_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+        docs = spark.createDataFrame(
+            [("a", "only the footer text"), ("b", "only the footer text")],
+            "doc_id string, text string",
+        )
+        boiler = boilerplate_lines(docs, min_docs=2, min_chars=10)
+        out = {r.doc_id: r.text_clean for r in strip_boilerplate(docs, boiler).collect()}
+        assert out == {"a": "", "b": ""}
