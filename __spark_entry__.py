@@ -1608,6 +1608,85 @@ SELECT d.doc_id,
 FROM d CROSS JOIN bl"""
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/text.py scrub_pii): inject one
+    deterministic email / phone / IPv4 per document (string concat,
+    SQL-identical), then count and replace with typed placeholders.
+    Patterns are lookaround-free so Java regex and RE2 agree."""
+    from proj_spark.operators.text import scrub_pii
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_scrubbed"
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    from proj_spark.operators.text import PII_PATTERNS
+
+    em, ph, ip = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    inject = (
+        "SELECT doc_id, text || ' contact doc' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.7 call +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+        "AS text FROM documents"
+    )
+    return f"""WITH d AS ({inject})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{em}', '[EMAIL]', 'g'),
+      '{ph}', '[PHONE]', 'g'),
+      '{ip}', '[IPV4]', 'g') AS text_scrubbed
+FROM d"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check (operators/text.py
+    contamination): 13-gram collisions of every document against a
+    benchmark set (here: the n-grams of docs 0-4, standing in for an
+    eval set).  The benchmark docs flag themselves fully; the
+    synthetic corpus's heavy self-similarity makes nonzero counts on
+    OTHER docs the interesting signal."""
+    from proj_spark.operators.text import contamination, ngram_set
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = ngram_set(docs.where(F.col("doc_id") < 5), w=13)
+    return contamination(docs, bench, w=13)
+
+
+def _contamination_oracle() -> str:
+    w = 13
+    return f"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i.i, i.i + {w - 1}), ' ') AS ngram
+  FROM tok, unnest(range(1, len(toks) - {w} + 2)) AS i(i)
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 5),
+hits AS (
+  SELECT g.doc_id, count(*) AS n FROM g JOIN bench USING (ngram) GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -2073,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "kmv_distinct": q_kmv_distinct,
         "boilerplate": q_boilerplate,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
@@ -2516,6 +2597,8 @@ FROM documents
         "audio_features": _audio_features_oracle(),
         "kmv_distinct": _kmv_oracle(),
         "boilerplate": _boilerplate_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "contamination": _contamination_oracle(),
         "strip_boilerplate": _strip_boilerplate_oracle(),
         "salted_rollup": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"

@@ -182,3 +182,93 @@ def strip_boilerplate(
     return df.join(reass, on="doc_id", how="left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+# PII patterns: the Java-regex / RE2 COMMON dialect (no lookaround),
+# so the Spark expressions and the DuckDB oracle compile identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text: str = "text",
+    out_col: str = "text_scrubbed",
+    kinds: tuple = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """Replace PII spans with typed placeholders ([EMAIL], [PHONE],
+    [IPV4]) and count each kind — the standard pre-training scrub
+    pass.  Pure regexp expressions (whole-stage codegen, zero Python);
+    patterns are deliberately lookaround-free so any RE2-class engine
+    reproduces them."""
+    out = df
+    scrubbed = F.col(text)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        # lit pattern, NOT F.expr — SQL literals would eat the \. \b
+        out = out.withColumn(
+            f"n_{kind}",
+            F.coalesce(
+                F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return out.withColumn(out_col, scrubbed)
+
+
+def ngram_set(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    w: int = 13,
+) -> DataFrame:
+    """Distinct w-gram strings per document (whitespace tokens joined
+    by single spaces) — the unit of train/test decontamination."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    grams = F.when(
+        F.size("_toks") >= w,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {w} + 1), "
+            f"i -> array_join(slice(_toks, i, {w}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("_toks", toks)
+        .select(id_col, F.explode(grams).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    bench_ngrams: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    w: int = 13,
+) -> DataFrame:
+    """Per-document count of w-grams colliding with a benchmark n-gram
+    set — the standard decontamination check before training (e.g.
+    GPT-3 appendix C / PaLM: drop or flag docs sharing 13-grams with
+    eval sets).  ``bench_ngrams`` needs one ``ngram`` string column
+    (build it with :func:`ngram_set` over the benchmark).
+
+    Scale shape: the benchmark set is small and broadcast; the doc
+    side explodes to distinct (doc, gram) and inner-joins — the count
+    per doc then left-joins back so clean docs report 0.  No shuffle
+    of the corpus beyond the per-doc distinct."""
+    grams = ngram_set(docs, text=text, id_col=id_col, w=w)
+    hits = (
+        grams.join(
+            F.broadcast(bench_ngrams.select("ngram").distinct()), on="ngram"
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return docs.select(id_col).join(hits, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+    )

@@ -645,3 +645,47 @@ class TestBoilerplate:
         boiler = boilerplate_lines(docs, min_docs=2, min_chars=10)
         out = {r.doc_id: r.text_clean for r in strip_boilerplate(docs, boiler).collect()}
         assert out == {"a": "", "b": ""}
+
+
+class TestPiiAndContamination:
+    def test_scrub_pii_counts_and_placeholders(self, spark):
+        from proj_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                ("a", "mail me at jo.doe+x@sub.example.org or 10.1.2.3 now"),
+                ("b", "call +1 415 555 0199 twice: +44 201 555 0101 ok"),
+                ("c", "nothing sensitive here at all"),
+            ],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert (out["a"].n_email, out["a"].n_ipv4, out["a"].n_phone) == (1, 1, 0)
+        assert "[EMAIL]" in out["a"].text_scrubbed
+        assert "[IPV4]" in out["a"].text_scrubbed
+        assert "jo.doe" not in out["a"].text_scrubbed
+        assert out["b"].n_phone == 2
+        assert out["b"].text_scrubbed.count("[PHONE]") == 2
+        assert out["c"].text_scrubbed == "nothing sensitive here at all"
+
+    def test_contamination_counts(self, spark):
+        from proj_spark.operators.text import contamination, ngram_set
+
+        common = " ".join(f"t{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [
+                ("bench", common + " tailA tailB"),
+                ("hit", "lead " + common),  # shares exactly the 13-gram
+                ("clean", " ".join(f"u{i}" for i in range(20))),
+                ("short", "just three tokens"),  # < w -> zero n-grams
+            ],
+            "doc_id string, text string",
+        )
+        bench = ngram_set(docs.where(F.col("doc_id") == "bench"), w=13)
+        out = {
+            r.doc_id: r.n_contaminated
+            for r in contamination(docs, bench, w=13).collect()
+        }
+        assert out["hit"] == 1
+        assert out["clean"] == 0 and out["short"] == 0
+        assert out["bench"] == 3  # its own 3 distinct 13-grams
