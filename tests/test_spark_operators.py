@@ -689,3 +689,24 @@ class TestPiiAndContamination:
         assert out["hit"] == 1
         assert out["clean"] == 0 and out["short"] == 0
         assert out["bench"] == 3  # its own 3 distinct 13-grams
+
+
+def test_example_curation_pipeline(spark):
+    """The composed curation pipeline (tools/example_pipeline.py) runs
+    end-to-end and its funnel is monotone."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "example_pipeline", "/root/repo/tools/example_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    s = mod.run(spark, "/root/testdata/sf0.001")
+    assert s["docs_in"] == 500
+    assert (
+        s["docs_in"]
+        >= s["after_quality_gate"]
+        >= s["after_dedup"]
+        >= s["after_decontamination"]
+        > 0
+    )
