@@ -142,6 +142,11 @@ def boilerplate_lines(
     )
 
 
+# dictionary sizes up to this ride inline as a literal array in a
+# narrow higher-order filter; larger ones fall back to the join path
+_BOILER_INLINE_CAP = 4096
+
+
 def strip_boilerplate(
     df: DataFrame,
     boiler: DataFrame,
@@ -149,13 +154,30 @@ def strip_boilerplate(
     out_col: str = "text_clean",
 ) -> DataFrame:
     """Remove boilerplate lines from every document: keep each line
-    whose normalized form is NOT in the (broadcast) dictionary,
-    rejoin with newlines.  One narrow pass over the big side — the
-    dictionary rides in as a broadcast array inside a higher-order
-    filter expression, no join of the 10^12-row table."""
+    whose normalized form is NOT in the dictionary, rejoin with
+    newlines (order preserved).
+
+    Physical plan: the dictionary is tiny by definition (lines
+    repeated across MANY docs), so it is collected once and rides as
+    a literal array inside one higher-order split->filter->array_join
+    projection — the 10^12-row side stays NARROW, zero joins, zero
+    shuffles, line order free.  Dictionaries beyond the inline cap
+    fall back to a broadcast anti-join at line granularity with
+    positional reassembly (one doc-keyed shuffle)."""
     from pyspark.sql.functions import broadcast
 
-    # broadcast anti-join at line granularity, then reassemble in order
+    dict_rows = boiler.select("line").limit(_BOILER_INLINE_CAP + 1).collect()
+    if not dict_rows:
+        return df.withColumn(out_col, F.col(text))
+    if len(dict_rows) <= _BOILER_INLINE_CAP:
+        bdict = F.array(*[F.lit(r.line) for r in dict_rows])
+        kept = F.filter(
+            F.split(F.col(text), r"\n"),
+            lambda x: ~F.array_contains(bdict, F.trim(F.lower(x))),
+        )
+        return df.withColumn(out_col, F.array_join(kept, "\n"))
+
+    # oversized dictionary: broadcast anti-join + ordered reassembly
     lines = df.select(
         "doc_id",
         F.posexplode(F.split(F.col(text), r"\n")).alias("_pos", "_raw"),

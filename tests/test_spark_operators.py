@@ -710,3 +710,21 @@ def test_example_curation_pipeline(spark):
         >= s["after_decontamination"]
         > 0
     )
+
+
+def test_strip_boilerplate_narrow_plan_no_shuffle(spark):
+    """Small dictionaries ride inline: the strip must be ONE narrow
+    projection over the corpus — no Exchange, no Join."""
+    from proj_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [("a", "keep me\ncommon footer line"), ("b", "mine\ncommon footer line")],
+        "doc_id string, text string",
+    )
+    boiler = boilerplate_lines(docs, min_docs=2, min_chars=5)
+    out = strip_boilerplate(docs, boiler)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    got = {r.doc_id: r.text_clean for r in out.collect()}
+    assert got == {"a": "keep me", "b": "mine"}
