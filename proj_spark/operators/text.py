@@ -278,15 +278,29 @@ def contamination(
     eval sets).  ``bench_ngrams`` needs one ``ngram`` string column
     (build it with :func:`ngram_set` over the benchmark).
 
-    Scale shape: the benchmark set is small and broadcast; the doc
-    side explodes to distinct (doc, gram) and inner-joins — the count
-    per doc then left-joins back so clean docs report 0.  No shuffle
-    of the corpus beyond the per-doc distinct."""
-    grams = ngram_set(docs, text=text, id_col=id_col, w=w)
+    Scale shape: the benchmark set is small and broadcast, and the
+    broadcast join runs BEFORE any shuffle — the corpus side is a
+    narrow explode+filter; only the (rare) colliding (doc, gram) pairs
+    reach the distinct + per-doc count, so no full-corpus n-gram
+    shuffle ever happens.  The count left-joins back so clean docs
+    report 0."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    grams_expr = F.when(
+        F.size("_toks") >= w,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {w} + 1), "
+            f"i -> array_join(slice(_toks, i, {w}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.withColumn("_toks", toks)
+        .select(id_col, F.explode(grams_expr).alias("ngram"))
+    )
     hits = (
         grams.join(
             F.broadcast(bench_ngrams.select("ngram").distinct()), on="ngram"
         )
+        .distinct()  # per-doc distinct AFTER the filter: tiny
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
