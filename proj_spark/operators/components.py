@@ -37,8 +37,12 @@ Scale notes (10^12 rows, 1000 executors):
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -105,6 +109,13 @@ def connected_components(
         lab = new
         if changed == 0:
             break
+    else:
+        _LOG.warning(
+            "connected_components: labels still changing after max_iter=%d "
+            "rounds — returning possibly-unconverged components (a path "
+            "graph of length > 2^max_iter; raise max_iter)",
+            max_iter,
+        )
     return lab.select(F.col("u").alias("node"), F.col("comp").alias("component"))
 
 
