@@ -1687,6 +1687,58 @@ SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/text.py repetition_stats):
+    modal 2-gram coverage + duplicate-line fraction, milli-quantized;
+    the modal gram's (count desc, gram asc) tie-break makes the row
+    deterministic in both engines."""
+    from proj_spark.operators.text import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.floor(F.col("dup_line_frac") * 1000.0).cast("long").alias("dup_line_milli"),
+        "top_gram",
+        "top_gram_n",
+        F.floor(F.col("top_gram_frac") * 1000.0).cast("long").alias("top_gram_milli"),
+    )
+
+
+def _repetition_oracle() -> str:
+    return r"""WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_replace(text, '\s+', '', 'g')) AS nchars
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nchars,
+         array_to_string(list_slice(toks, i.i, i.i + 1), ' ') AS gram
+  FROM base, unnest(range(1, len(toks))) AS i(i)
+),
+pg AS (
+  SELECT doc_id, nchars, gram, count(*) AS n FROM g GROUP BY doc_id, nchars, gram
+),
+top AS (
+  SELECT doc_id, gram, n, nchars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+  FROM pg
+)
+SELECT b.doc_id,
+  CAST(len(b.lines) AS BIGINT) AS n_lines,
+  CAST(floor(1000.0 * (len(b.lines) - len(list_distinct(b.lines)))
+             / len(b.lines)) AS BIGINT) AS dup_line_milli,
+  coalesce(t.gram, '') AS top_gram,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS top_gram_n,
+  CAST(floor(1000.0 * coalesce(
+      t.n * len(regexp_replace(t.gram, '\s+', '', 'g')) / b.nchars,
+      0.0)) AS BIGINT) AS top_gram_milli
+FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON b.doc_id = t.doc_id"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -2154,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "repetition": q_repetition,
         "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
@@ -2599,6 +2652,7 @@ FROM documents
         "boilerplate": _boilerplate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "contamination": _contamination_oracle(),
+        "repetition": _repetition_oracle(),
         "strip_boilerplate": _strip_boilerplate_oracle(),
         "salted_rollup": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"

@@ -308,3 +308,73 @@ def contamination(
         id_col,
         F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    gram_w: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: docs
+    dominated by repeated lines / n-grams are low-quality):
+
+    - dup_line_frac: fraction of lines that are repeats of an earlier
+      line (0 for single-line docs)
+    - top_gram_frac: fraction of characters covered by the most
+      frequent ``gram_w``-gram (count * gram chars / total non-space
+      chars); modal gram ties break lexicographically (deterministic
+      under any partitioning)
+
+    Scale shape: line stats are pure per-row expressions; the n-gram
+    mode is explode -> per-(doc, gram) count -> per-doc max — two
+    shuffles keyed by doc/gram, both map-side combinable."""
+    lines = F.split(F.col(text), r"\n")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    grams = F.when(
+        F.size("_toks") >= gram_w,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {gram_w} + 1), "
+            f"i -> array_join(slice(_toks, i, {gram_w}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.withColumn("_toks", toks).withColumn(
+        "_nchars", F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+    )
+    per_gram = (
+        base.select(id_col, "_nchars", F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_nchars", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_n").desc(), F.col("_g").asc())
+    top = (
+        per_gram.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_g").alias("top_gram"),
+            F.col("_n").alias("top_gram_n"),
+            (
+                F.col("_n")
+                * F.length(F.regexp_replace(F.col("_g"), r"\s+", ""))
+                / F.col("_nchars")
+            ).alias("top_gram_frac"),
+        )
+    )
+    line_stats = df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        ((n_lines - n_distinct_lines) / n_lines).alias("dup_line_frac"),
+    )
+    return line_stats.join(top, on=id_col, how="left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+        F.coalesce("top_gram_n", F.lit(0)).cast("long").alias("top_gram_n"),
+        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+    )

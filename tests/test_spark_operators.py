@@ -728,3 +728,26 @@ def test_strip_boilerplate_narrow_plan_no_shuffle(spark):
     assert "Join" not in plan, plan
     got = {r.doc_id: r.text_clean for r in out.collect()}
     assert got == {"a": "keep me", "b": "mine"}
+
+
+def test_repetition_stats(spark):
+    from proj_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("rep", "spam spam spam spam ham"),
+            ("lines", "a line\nb line\na line\nc line"),
+            ("tiny", "one"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # 'spam spam' occurs 3x of 4 bigrams; chars: 3*8/19
+    assert out["rep"].top_gram == "spam spam" and out["rep"].top_gram_n == 3
+    assert abs(out["rep"].top_gram_frac - 3 * 8 / 19) < 1e-12
+    assert out["rep"].dup_line_frac == 0.0 and out["rep"].n_lines == 1
+    assert out["lines"].n_lines == 4
+    assert abs(out["lines"].dup_line_frac - 0.25) < 1e-12
+    # sub-bigram doc: zero-filled, not dropped
+    assert out["tiny"].top_gram == "" and out["tiny"].top_gram_n == 0
+    assert out["tiny"].top_gram_frac == 0.0
