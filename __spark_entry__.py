@@ -1739,6 +1739,36 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON b.doc_id = t.doc_id"""
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest QC profile (operators/profile.py) over the
+    events table's cleanly-renderable columns (bigint + varchar; float
+    and timestamp min/max string forms are engine-specific, so they
+    stay out of the cross-engine gate and in pytest)."""
+    from proj_spark.operators.profile import profile_table
+
+    ev = _load(spark, sf_dir, "events")
+    return profile_table(ev, columns=["event_id", "user_id", "event_type"])
+
+
+def _profile_oracle() -> str:
+    rows = []
+    for c, dt in [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+    ]:
+        rows.append(
+            f"SELECT '{c}' AS column, '{dt}' AS dtype,\n"
+            f"  CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,\n"
+            f"  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  CAST(min({c}) AS VARCHAR) AS min_str,\n"
+            f"  CAST(max({c}) AS VARCHAR) AS max_str\n"
+            f"FROM events"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -2207,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition": q_repetition,
+        "profile": q_profile,
         "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
@@ -2653,6 +2684,7 @@ FROM documents
         "pii_scrub": _pii_scrub_oracle(),
         "contamination": _contamination_oracle(),
         "repetition": _repetition_oracle(),
+        "profile": _profile_oracle(),
         "strip_boilerplate": _strip_boilerplate_oracle(),
         "salted_rollup": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"

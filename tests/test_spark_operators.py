@@ -751,3 +751,22 @@ def test_repetition_stats(spark):
     # sub-bigram doc: zero-filled, not dropped
     assert out["tiny"].top_gram == "" and out["tiny"].top_gram_n == 0
     assert out["tiny"].top_gram_frac == 0.0
+
+
+def test_profile_table(spark):
+    from proj_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None), (None, "a", 0.5)],
+        "k long, s string, v double",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1
+    assert out["k"].n_distinct == 2  # nulls excluded, dup collapsed
+    assert (out["k"].min_str, out["k"].max_str) == ("1", "2")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["v"].min_str == "0.5"
+    # approx mode returns a sane estimate without countDistinct
+    approx = {r.column: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert abs(approx["k"].n_distinct - 2) <= 1
