@@ -164,3 +164,28 @@ def test_cosine_dedup_distinct_exchanges_ids_only(spark):
     for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
         keys = m.group(1)
         assert "_v" not in keys and "embedding" not in keys, plan
+
+
+def test_range_join_big_side_never_shuffles(spark):
+    """within_distance_join: queries explode + broadcast; the
+    candidate side must reach the output through narrow stages only —
+    one BroadcastExchange, zero hash-partitioning exchanges."""
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.knn import within_distance_join
+
+    q = spark.range(5).select(
+        F.col("id").alias("query_id"),
+        (F.lit(-110.0) + F.col("id")).alias("q_lon"),
+        (F.lit(35.0) + F.col("id")).alias("q_lat"),
+    )
+    c = spark.range(10_000).select(
+        F.col("id").alias("cand_id"),
+        ((F.col("id") % 600) / 10.0 - 125.0).alias("c_lon"),
+        ((F.col("id") % 300) / 10.0 + 25.0).alias("c_lat"),
+    )
+    out = within_distance_join(q, c, 100_000.0, res=6)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
