@@ -115,11 +115,48 @@ def _pick_cover_res(parrays) -> int:
     ``functions.expressions.cell_id`` and ``spatial_join.polygon_cover``).
     A cell comparable to a bbox keeps per-poly cover ~O(1) cells and
     per-cell candidate lists ~O(local overlap)."""
-    spans = [max(t[7] - t[6], (t[9] - t[8]) * 2.0, 1e-12) for t in parrays]
+    spans = [
+        max(t[7] - t[6], (t[9] - t[8]) * 2.0, 1e-12)
+        for t in parrays
+        if all(map(math.isfinite, t[6:10]))
+    ]
+    if not spans:  # every bbox non-finite -> cover is empty at any res
+        return 2
     med = float(np.median(spans))
     # cell x-width at res is 360/2^(res+1); want it ~= med
     res = int(round(math.log2(360.0 / med) - 1.0))
     return min(max(res, 2), 12)
+
+
+def _cell_rect(bbox, res: int):
+    """Clamped (ix0, ix1, iy0, iy1) cover rectangle for a bbox at
+    ``res``; None when the bbox has a non-finite coordinate (such a
+    polygon can never match — NaN comparisons are false in the exact
+    bbox test — so it is excluded from the cover instead of crashing
+    the floor/int conversion)."""
+    bw, be, bs, bn = bbox
+    if not all(map(math.isfinite, bbox)):
+        return None
+    n = 1 << res
+    two_n = 2 * n
+    ix0 = int(min(max(math.floor((bw + 180.0) / 360.0 * two_n), 0), two_n - 1))
+    ix1 = int(min(max(math.floor((be + 180.0) / 360.0 * two_n), 0), two_n - 1))
+    iy0 = int(min(max(math.floor((bs + 90.0) / 180.0 * n), 0), n - 1))
+    iy1 = int(min(max(math.floor((bn + 90.0) / 180.0 * n), 0), n - 1))
+    return ix0, ix1, iy0, iy1
+
+
+def _cover_entry_count(parrays, res: int) -> int:
+    """Analytic CSR size at ``res`` — O(|polys|), no allocation, so
+    the resolution can be chosen BEFORE building anything (a single
+    global-bbox polygon at a fine res would otherwise mean tens of
+    millions of dict inserts just to discover the cap is blown)."""
+    total = 0
+    for t in parrays:
+        r = _cell_rect(t[6:10], res)
+        if r is not None:
+            total += (r[1] - r[0] + 1) * (r[3] - r[2] + 1)
+    return total
 
 
 def _build_cover_csr(parrays, res: int):
@@ -131,11 +168,12 @@ def _build_cover_csr(parrays, res: int):
     n = 1 << res
     two_n = 2 * n
     per_cell: dict[int, list[int]] = {}
-    for seq, _pid, _x1, _y1, _x2, _y2, bw, be, bs, bn in parrays:
-        ix0 = int(min(max(math.floor((bw + 180.0) / 360.0 * two_n), 0), two_n - 1))
-        ix1 = int(min(max(math.floor((be + 180.0) / 360.0 * two_n), 0), two_n - 1))
-        iy0 = int(min(max(math.floor((bs + 90.0) / 180.0 * n), 0), n - 1))
-        iy1 = int(min(max(math.floor((bn + 90.0) / 180.0 * n), 0), n - 1))
+    for t in parrays:
+        r = _cell_rect(t[6:10], res)
+        if r is None:
+            continue
+        ix0, ix1, iy0, iy1 = r
+        seq = t[0]
         for iy in range(iy0, iy1 + 1):
             base = iy * two_n
             for ix in range(ix0, ix1 + 1):
@@ -155,13 +193,14 @@ def _build_cover_csr(parrays, res: int):
 
 def _cover_for(parrays):
     """Bbox-sized cover, coarsened until the CSR fits the entry cap
-    (the closure ships to every task; keep it broadcast-small)."""
+    (the closure ships to every task; keep it broadcast-small).  The
+    cap is checked ANALYTICALLY before any build, so one huge-bbox
+    polygon cannot force a multi-million-insert dict build at a fine
+    resolution just to discover it must coarsen."""
     res = _pick_cover_res(parrays)
-    cover = _build_cover_csr(parrays, res)
-    while cover[2].size > _COVER_ENTRY_CAP and res > 2:
+    while res > 2 and _cover_entry_count(parrays, res) > _COVER_ENTRY_CAP:
         res -= 1
-        cover = _build_cover_csr(parrays, res)
-    return cover
+    return _build_cover_csr(parrays, res)
 
 
 def _assign_bucketed(parrays, cover, lon, lat) -> np.ndarray:
@@ -206,6 +245,7 @@ def _assign_bucketed(parrays, cover, lon, lat) -> np.ndarray:
         px = lon[pts]
         py = lat[pts]
         res_c = np.full(pts.shape[0], -1, dtype=np.int64)
+        n_open = pts.shape[0]
         for k in range(lo, hi):
             seq = int(cand[k])
             _s, _pid, x1, y1, x2, y2, bw, be, bs, bn = parrays[seq]
@@ -214,7 +254,11 @@ def _assign_bucketed(parrays, cover, lon, lat) -> np.ndarray:
                 continue
             lx = np.flatnonzero(live)
             inside = _raycast_inside(px[lx], py[lx], x1, y1, x2, y2)
-            res_c[lx[inside]] = seq
+            won = lx[inside]
+            res_c[won] = seq
+            n_open -= won.shape[0]
+            if n_open == 0:
+                break  # every point in this cell is assigned
         out[pts] = res_c
     return out
 

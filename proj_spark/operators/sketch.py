@@ -47,7 +47,13 @@ def kmv_distinct(
     identity — else (k-1)*P/kth_min rounded down).
     """
     a, b = MINHASH_A[hash_idx % 8], MINHASH_B[hash_idx % 8]
-    h = (F.lit(a) * F.col(value).cast("long") + F.lit(b)) % F.lit(MINHASH_P)
+    # pmod twice: first to fold arbitrary (negative / full-64-bit)
+    # values into [0, P) so a*x cannot overflow (a < 2^31, x < 2^31
+    # -> product < 2^62), then to keep the hash itself non-negative —
+    # Spark's % keeps the dividend's sign, and a negative kth_min
+    # would make the (k-1)*P/h_k estimate garbage
+    x = F.pmod(F.col(value).cast("long"), F.lit(MINHASH_P))
+    h = F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
     hashed = df.select(*keys, h.alias("_h")).distinct()
     w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
     top = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)

@@ -120,6 +120,7 @@ def boilerplate_lines(
     text: str = "text",
     min_docs: int = 2,
     min_chars: int = 10,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cross-document repeated lines (the C4-style boilerplate rule:
     a line occurring verbatim in many documents is navigation/footer
@@ -131,13 +132,13 @@ def boilerplate_lines(
     two shuffles on the line hash, algebraic all the way; the output
     (the boilerplate dictionary) is tiny and broadcastable."""
     lines = df.select(
-        F.col("doc_id"),
+        F.col(id_col),
         F.explode(F.split(F.col(text), r"\n")).alias("_raw"),
-    ).select("doc_id", F.trim(F.lower(F.col("_raw"))).alias("line"))
+    ).select(id_col, F.trim(F.lower(F.col("_raw"))).alias("line"))
     lines = lines.where(F.length("line") >= min_chars).distinct()
     return (
         lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
 
@@ -152,6 +153,7 @@ def strip_boilerplate(
     boiler: DataFrame,
     text: str = "text",
     out_col: str = "text_clean",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Remove boilerplate lines from every document: keep each line
     whose normalized form is NOT in the dictionary, rejoin with
@@ -166,20 +168,24 @@ def strip_boilerplate(
     positional reassembly (one doc-keyed shuffle)."""
     from pyspark.sql.functions import broadcast
 
+    # contract (all three paths): NULL text -> '' (a NULL-vs-'' flip
+    # depending on dictionary size would break downstream filters)
     dict_rows = boiler.select("line").limit(_BOILER_INLINE_CAP + 1).collect()
     if not dict_rows:
-        return df.withColumn(out_col, F.col(text))
+        return df.withColumn(out_col, F.coalesce(F.col(text), F.lit("")))
     if len(dict_rows) <= _BOILER_INLINE_CAP:
         bdict = F.array(*[F.lit(r.line) for r in dict_rows])
         kept = F.filter(
             F.split(F.col(text), r"\n"),
             lambda x: ~F.array_contains(bdict, F.trim(F.lower(x))),
         )
-        return df.withColumn(out_col, F.array_join(kept, "\n"))
+        return df.withColumn(
+            out_col, F.coalesce(F.array_join(kept, "\n"), F.lit(""))
+        )
 
     # oversized dictionary: broadcast anti-join + ordered reassembly
     lines = df.select(
-        "doc_id",
+        F.col(id_col),
         F.posexplode(F.split(F.col(text), r"\n")).alias("_pos", "_raw"),
     ).withColumn("_norm", F.trim(F.lower(F.col("_raw"))))
     kept = lines.join(
@@ -188,7 +194,7 @@ def strip_boilerplate(
         how="left",
     ).where(F.col("_b").isNull())
     reass = (
-        kept.groupBy("doc_id")
+        kept.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
@@ -201,7 +207,7 @@ def strip_boilerplate(
             ).alias(out_col)
         )
     )
-    return df.join(reass, on="doc_id", how="left").withColumn(
+    return df.join(reass, on=id_col, how="left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
 
@@ -242,6 +248,22 @@ def scrub_pii(
     return out.withColumn(out_col, scrubbed)
 
 
+def _grams_expr(w: int):
+    """Array of w-gram strings from a ``_toks`` column (space-joined
+    windows; empty array below w tokens — sequence() would otherwise
+    run DESCENDING for a negative span).  The single source of truth
+    for ngram_set / contamination / repetition_stats, so the
+    decontamination unit can never drift from benchmark n-gram
+    construction."""
+    return F.when(
+        F.size("_toks") >= w,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {w} + 1), "
+            f"i -> array_join(slice(_toks, i, {w}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_set(
     df: DataFrame,
     text: str = "text",
@@ -251,13 +273,7 @@ def ngram_set(
     """Distinct w-gram strings per document (whitespace tokens joined
     by single spaces) — the unit of train/test decontamination."""
     toks = F.split(F.trim(F.col(text)), r"\s+")
-    grams = F.when(
-        F.size("_toks") >= w,
-        F.expr(
-            f"transform(sequence(1, size(_toks) - {w} + 1), "
-            f"i -> array_join(slice(_toks, i, {w}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams_expr(w)
     return (
         df.withColumn("_toks", toks)
         .select(id_col, F.explode(grams).alias("ngram"))
@@ -285,16 +301,9 @@ def contamination(
     shuffle ever happens.  The count left-joins back so clean docs
     report 0."""
     toks = F.split(F.trim(F.col(text)), r"\s+")
-    grams_expr = F.when(
-        F.size("_toks") >= w,
-        F.expr(
-            f"transform(sequence(1, size(_toks) - {w} + 1), "
-            f"i -> array_join(slice(_toks, i, {w}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = (
         docs.withColumn("_toks", toks)
-        .select(id_col, F.explode(grams_expr).alias("ngram"))
+        .select(id_col, F.explode(_grams_expr(w)).alias("ngram"))
     )
     hits = (
         grams.join(
@@ -333,13 +342,7 @@ def repetition_stats(
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
-    grams = F.when(
-        F.size("_toks") >= gram_w,
-        F.expr(
-            f"transform(sequence(1, size(_toks) - {gram_w} + 1), "
-            f"i -> array_join(slice(_toks, i, {gram_w}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams_expr(gram_w)
     base = df.withColumn("_toks", toks).withColumn(
         "_nchars", F.length(F.regexp_replace(F.col(text), r"\s+", ""))
     )

@@ -193,7 +193,10 @@ def minhash_key_udf(n_hashes: int = 8, w: int = 3):
     (operators/dedup.py MINHASH_*), folded to one int64.  A pure
     function of the text, so checkpoint restarts recompute identical
     keys.  Two documents share the key iff ALL n component minhashes
-    agree — Jaccard ~>= 0.9 with high probability at n=8."""
+    agree — Jaccard ~>= 0.9 with high probability at n=8.  Documents
+    too short to form a w-shingle get an exact-text key (negative
+    range, disjoint from signature keys), so distinct short docs are
+    never conflated."""
     import zlib
 
     import numpy as np
@@ -225,7 +228,12 @@ def minhash_key_udf(n_hashes: int = 8, w: int = 3):
                         (int(key) * 6364136223846793005 + mh) % (1 << 63)
                     )
             else:
-                key = np.int64(-1)  # all empty/short docs collapse together
+                # sub-shingle doc: fall back to an exact-text key so
+                # DISTINCT short docs are never collapsed together
+                # (they dedup only against identical text)
+                key = np.int64(
+                    -2 - (zlib.crc32(str(t).encode()) & 0x7FFFFFFF)
+                )
             out.append(int(key))
         return pd.Series(out, dtype="int64")
 

@@ -244,3 +244,51 @@ def test_nonfinite_coordinates_grouped_under_null_tiles(spark, polys):
     rows = {(r.tile_x, r.tile_y, r.poly_seq): r.n for r in out.collect()}
     assert rows[(None, None, None)] == 2
     assert sum(rows.values()) == 3
+
+
+def test_nonfinite_polygon_bbox_is_skipped_not_crashed():
+    """A polygon with a NaN ring vertex must behave as never-matching
+    in the bucketed path (as it does in the linear path via NaN-false
+    bbox compares), not crash cover construction."""
+    import numpy as np
+
+    from proj_spark.operators.fused import (
+        _assign_bucketed,
+        _assign_linear,
+        _cover_for,
+        _poly_arrays,
+    )
+
+    polys = _many_polys(40)
+    polys[7] = ("bad", [(-100.0, float("nan")), (-99.0, 40.0), (-100.0, 41.0),
+                        (-100.0, float("nan"))])
+    parrays = _poly_arrays(polys)
+    cover = _cover_for(parrays)  # must not raise
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-130.0, -60.0, 50_000)
+    lat = rng.uniform(20.0, 55.0, 50_000)
+    assert (
+        _assign_bucketed(parrays, cover, lon, lat)
+        == _assign_linear(parrays, lon, lat)
+    ).all()
+
+
+def test_cover_res_capped_before_building():
+    """One global polygon among many tiny ones must not force a huge
+    cover build: the analytic entry count caps the resolution first."""
+    from proj_spark.operators.fused import (
+        _COVER_ENTRY_CAP,
+        _cover_entry_count,
+        _cover_for,
+        _poly_arrays,
+    )
+
+    tiny = _many_polys(40)
+    for i, (pid, ring) in enumerate(tiny):
+        tiny[i] = (pid, [(x / 400.0 - 100.0, y / 400.0 + 35.0) for x, y in ring])
+    world = ("world", [(-180.0, -90.0), (180.0, -90.0), (180.0, 90.0),
+                       (-180.0, 90.0), (-180.0, -90.0)])
+    parrays = _poly_arrays(tiny + [world])
+    cover = _cover_for(parrays)
+    assert cover[2].size <= _COVER_ENTRY_CAP
+    assert _cover_entry_count(parrays, cover[3]) == cover[2].size

@@ -770,3 +770,20 @@ def test_profile_table(spark):
     # approx mode returns a sane estimate without countDistinct
     approx = {r.column: r for r in profile_table(df, exact_distinct=False).collect()}
     assert abs(approx["k"].n_distinct - 2) <= 1
+
+
+def test_kmv_handles_negative_and_wide_values(spark):
+    """xxhash64-style signed-64-bit inputs (the docstring's own use
+    case) must hash into [0, P): no negative kth_min / estimate."""
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(3_000).select(
+        F.lit("g").alias("g"), (F.xxhash64("id")).alias("v")
+    )
+    r = kmv_distinct(df, ["g"], "v", k=64).first()
+    assert r.kth_min is not None and r.kth_min > 0
+    assert r.est_distinct > 0
+    # estimate is in the right ballpark for ~3000 distinct hashes
+    assert 1000 < r.est_distinct < 9000

@@ -351,10 +351,15 @@ def test_minhash_key_is_order_invariant_but_content_sensitive(spark):
             ("d", "totally unrelated words here now"),
             ("e", ""),
             ("f", "x"),
+            ("g", "x"),
         ],
         "id string, text string",
     )
     keys = {r.id: r.k for r in df.select("id", udf("text").alias("k")).collect()}
     assert keys["a"] == keys["b"] == keys["c"]
     assert keys["a"] != keys["d"]
-    assert keys["e"] == keys["f"] == -1  # sub-shingle docs collapse
+    # sub-shingle docs: exact-text keys in a disjoint negative range —
+    # identical short docs share a key, DISTINCT ones never collapse
+    assert keys["e"] < 0 and keys["f"] < 0
+    assert keys["e"] != keys["f"]
+    assert keys["f"] == keys["g"]

@@ -8,7 +8,9 @@ a toy):
              -> exact dedup -> minhash-LSH near-dup pairs
              -> connected components -> canonical-doc selection
              -> benchmark decontamination
-  images:    centroid reproject (fused kernel) -> PIP + tile rollup
+
+(The image lane — fused reproject -> PIP -> tile rollup over the
+image table — is exercised by bench.py and tools/example_job.py.)
 
 Usage:  python tools/example_pipeline.py [sf_dir] [out.json]
 Prints one JSON summary line; exits nonzero on any invariant breach.
