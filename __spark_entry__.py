@@ -1805,6 +1805,49 @@ SELECT event_type, CAST(n_sketch AS BIGINT) AS n_sketch,
 FROM t"""
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (operators/
+    sessions.py — lag start-flags + running sum, the gaps-and-islands
+    plan) vs the identical ANSI-SQL windows in DuckDB.  Bounds as
+    epoch seconds, sums as integer cents (cross-engine exact)."""
+    from proj_spark.operators.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100.0).cast("long")
+    )
+    out = sessionize(ev, gap_s=1800, value="value_cents")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("started").cast("timestamp").cast("long").alias("started_s"),
+        F.col("ended").cast("timestamp").cast("long").alias("ended_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("sum_cents"),
+    )
+
+
+def _sessionize_oracle() -> str:
+    return """WITH m AS (
+  SELECT user_id, ts, CAST(round(value * 100.0) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS st
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, cents,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS started_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS ended_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_id"""
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key rollup through the salted two-phase aggregation
     (operators/skew.py salted_agg): event_type has a handful of hot
@@ -2232,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "audio_features": q_audio_features,
         "salted_rollup": q_salted_rollup,
+        "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
         "boilerplate": q_boilerplate,
         "pii_scrub": q_pii_scrub,
@@ -2680,6 +2724,7 @@ FROM documents
         "quality": _quality_oracle(),
         "audio_features": _audio_features_oracle(),
         "kmv_distinct": _kmv_oracle(),
+        "sessionize": _sessionize_oracle(),
         "boilerplate": _boilerplate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "contamination": _contamination_oracle(),

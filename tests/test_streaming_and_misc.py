@@ -363,3 +363,65 @@ def test_minhash_key_is_order_invariant_but_content_sensitive(spark):
     assert keys["e"] < 0 and keys["f"] < 0
     assert keys["e"] != keys["f"]
     assert keys["f"] == keys["g"]
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from proj_spark.operators.sessions import sessionize
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0, 0), 1.0),
+        (1, T(2024, 1, 1, 10, 10, 0), 2.0),   # same session (600s < 1800)
+        (1, T(2024, 1, 1, 11, 0, 0), 3.0),    # 3000s gap -> new session
+        (2, T(2024, 1, 1, 10, 0, 0), 5.0),    # other user independent
+        (1, T(2024, 1, 1, 11, 30, 0), 4.0),   # exactly 1800s -> NEW (>=)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.session_id): r for r in sessionize(df, gap_s=1800).collect()
+    }
+    assert len(out) == 4
+    assert out[(1, 1)].n_events == 2 and out[(1, 1)].sum_value == 3.0
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].sum_value == 3.0
+    assert out[(1, 3)].n_events == 1  # the >= boundary starts a session
+    assert out[(2, 1)].n_events == 1
+
+
+def test_stream_sessionize_smoke(spark, tmp_path):
+    import os
+    from datetime import datetime
+
+    from proj_spark.operators.sessions import stream_sessionize
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    T = datetime
+    spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0)),
+            (1, T(2024, 1, 1, 10, 5, 0)),
+            (1, T(2024, 1, 1, 12, 0, 0)),
+            (2, T(2024, 1, 1, 10, 0, 0)),
+        ],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src + "/b*")
+    q = (
+        stream_sessionize(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("SELECT user_id, n_events FROM sess_test").collect()
+    # append mode emits sessions closed by the final watermark; the
+    # user-1 10:00 session (2 events) and user-2 session are closed by
+    # the 12:00 event's watermark advance
+    got = {(r.user_id, r.n_events) for r in rows}
+    assert (1, 2) in got and (2, 1) in got
