@@ -336,3 +336,54 @@ def resample_audio(df: DataFrame, out_rate: int, bytes_col: str = "bytes") -> Da
             )
 
     return df.select("media_id", bytes_col).mapInPandas(run, _AUDIO_OUT_SCHEMA)
+
+
+_AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "crop_center")
+
+
+def augment_images(
+    df: DataFrame,
+    op: str = "hflip",
+    crop_frac: float = 0.75,
+) -> DataFrame:
+    """Deterministic image augmentation over the REAL codecs (decode
+    -> numpy view transform -> re-encode with the input's codec
+    family): horizontal/vertical flip, k*90-degree rotation, center
+    crop.  Same narrow mapInPandas shape as resize_images — payloads
+    never shuffle, parallelism = input partitions.  Determinism
+    matters for resumability: re-running a partition reproduces
+    identical augmented bytes."""
+    if op not in _AUGMENT_OPS:
+        raise ValueError(f"op {op!r} not in {_AUGMENT_OPS}")
+
+    def _apply(px: np.ndarray) -> np.ndarray:
+        if op == "hflip":
+            return px[:, ::-1]
+        if op == "vflip":
+            return px[::-1, :]
+        if op == "rot90":
+            return np.rot90(px, 1)
+        if op == "rot180":
+            return np.rot90(px, 2)
+        if op == "rot270":
+            return np.rot90(px, 3)
+        h, w, _ = px.shape
+        ch, cw = max(int(h * crop_frac), 1), max(int(w * crop_frac), 1)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return px[y0 : y0 + ch, x0 : x0 + cw]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw, fmt in zip(
+                b["image_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = _apply(decode_image(raw, fmt))
+                px = np.ascontiguousarray(px)
+                data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+                out.append((iid, data, px.shape[1], px.shape[0], fmt))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, _RESIZE_SCHEMA)

@@ -71,3 +71,66 @@ def test_phash_dedup_pairs_finds_identical_images(spark):
     pairs = {(r.id_a, r.id_b) for r in phash_dedup_pairs(df, max_hamming=2).collect()}
     for k in range(10):
         assert (f"a{k}", f"b{k}") in pairs
+
+
+class TestAugment:
+    def test_flip_involution_and_rot_cycle(self, spark):
+        from proj_spark.operators.multimodal import augment_images
+        from proj_spark.sources.images import decode_image, generate_images
+
+        imgs = generate_images(spark, 6).cache()
+        orig = {
+            r.image_id: decode_image(bytes(r.bytes), r.fmt)
+            for r in imgs.collect()
+        }
+        # hflip twice == identity on decoded pixels (both codecs:
+        # per-pixel quantization commutes with the flip)
+        once = augment_images(imgs, "hflip")
+        twice = {
+            r.image_id: decode_image(bytes(r.bytes), r.fmt)
+            for r in augment_images(once, "hflip").collect()
+        }
+        for iid, px in orig.items():
+            assert (twice[iid] == px).all()
+        # rot90 then rot270 == identity; rot90 swaps dimensions
+        r90 = augment_images(imgs, "rot90").cache()
+        for r in r90.collect():
+            assert (r.w, r.h) == (orig[r.image_id].shape[0], orig[r.image_id].shape[1])
+        back = {
+            r.image_id: decode_image(bytes(r.bytes), r.fmt)
+            for r in augment_images(r90, "rot270").collect()
+        }
+        for iid, px in orig.items():
+            assert (back[iid] == px).all()
+
+    def test_center_crop_dims_and_content(self, spark):
+        import numpy as np
+
+        from proj_spark.operators.multimodal import augment_images
+        from proj_spark.sources.images import decode_image, generate_images
+
+        imgs = generate_images(spark, 3)
+        orig = {
+            r.image_id: decode_image(bytes(r.bytes), r.fmt) for r in imgs.collect()
+        }
+        out = augment_images(imgs, "crop_center", crop_frac=0.5)
+        for r in out.collect():
+            src = orig[r.image_id]
+            h, w, _ = src.shape
+            assert (r.h, r.w) == (h // 2, w // 2)
+            got = decode_image(bytes(r.bytes), r.fmt)
+            y0, x0 = (h - h // 2) // 2, (w - w // 2) // 2
+            ref = src[y0 : y0 + h // 2, x0 : x0 + w // 2]
+            if r.fmt == "png":
+                assert (got == ref).all()
+            else:  # lossy family: content within the codec's quant step
+                assert np.abs(got.astype(int) - ref.astype(int)).max() <= 4
+
+    def test_unknown_op_rejected(self, spark):
+        import pytest
+
+        from proj_spark.operators.multimodal import augment_images
+        from proj_spark.sources.images import generate_images
+
+        with pytest.raises(ValueError):
+            augment_images(generate_images(spark, 1), "zoom")
