@@ -1769,6 +1769,61 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by LCG hash ring
+    (operators/split.py hash_split — never rand(): resume/retry must
+    reproduce the split).  The oracle recomputes the exact bucket."""
+    from proj_spark.operators.split import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_split(docs, id_col="doc_id").select("doc_id", "split")
+
+
+def _hash_split_oracle() -> str:
+    from proj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    a, b = MINHASH_A[0], MINHASH_B[0]
+    cut1 = int(0.9 * MINHASH_P)
+    cut2 = int((0.9 + 0.05) * MINHASH_P)
+    return f"""WITH h AS (
+  SELECT doc_id, ({a} * (doc_id % {MINHASH_P}) + {b}) % {MINHASH_P} AS hh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hh < {cut1} THEN 'train'
+            WHEN hh < {cut2} THEN 'val'
+            ELSE 'test' END AS split
+FROM h"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 20% deterministic sample (operators/split.py
+    stratified_sample): exact per-stratum proportions, ordered by the
+    id hash so any partitioning yields the identical subset."""
+    from proj_spark.operators.split import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, keys=["lang"], frac=0.2, id_col="doc_id")
+
+
+def _stratified_sample_oracle() -> str:
+    from proj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    a, b = MINHASH_A[0], MINHASH_B[0]
+    return f"""WITH h AS (
+  SELECT doc_id, lang,
+         ({a} * (doc_id % {MINHASH_P}) + {b}) % {MINHASH_P} AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.2)"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -2277,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "boilerplate": q_boilerplate,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
@@ -2725,6 +2782,8 @@ FROM documents
         "audio_features": _audio_features_oracle(),
         "kmv_distinct": _kmv_oracle(),
         "sessionize": _sessionize_oracle(),
+        "hash_split": _hash_split_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
         "boilerplate": _boilerplate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "contamination": _contamination_oracle(),

@@ -787,3 +787,58 @@ def test_kmv_handles_negative_and_wide_values(spark):
     assert r.est_distinct > 0
     # estimate is in the right ballpark for ~3000 distinct hashes
     assert 1000 < r.est_distinct < 9000
+
+
+class TestSplitAndSample:
+    def test_hash_split_stable_and_proportional(self, spark):
+        from pyspark.sql import functions as F
+
+        from proj_spark.operators.split import hash_split
+
+        df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df)
+        frac = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert abs(frac["train"] / 20_000 - 0.9) < 0.02
+        assert abs(frac["val"] / 20_000 - 0.05) < 0.01
+        # membership is a pure function of the id: a grown corpus
+        # never reassigns existing rows
+        small = {
+            r.doc_id: r.split
+            for r in hash_split(
+                spark.range(5_000).withColumnRenamed("id", "doc_id")
+            ).collect()
+        }
+        big = {r.doc_id: r.split for r in out.collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_hash_split_rejects_overweight(self, spark):
+        import pytest
+
+        from proj_spark.operators.split import hash_split
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            hash_split(df, weights={"a": 0.8, "b": 0.4})
+
+    def test_stratified_sample_exact_and_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from proj_spark.operators.split import stratified_sample
+
+        df = spark.range(3_000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g")
+        )
+        out = stratified_sample(df, keys=["g"], frac=0.1, id_col="doc_id")
+        per = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {0: 100, 1: 100, 2: 100}  # exact ceil(0.1 * 1000)
+        a = {r.doc_id for r in out.collect()}
+        b = {
+            r.doc_id
+            for r in stratified_sample(
+                df.repartition(17), keys=["g"], frac=0.1, id_col="doc_id"
+            ).collect()
+        }
+        assert a == b
