@@ -355,6 +355,11 @@ def augment_images(
     identical augmented bytes."""
     if op not in _AUGMENT_OPS:
         raise ValueError(f"op {op!r} not in {_AUGMENT_OPS}")
+    if not 0.0 < crop_frac <= 1.0:
+        raise ValueError(
+            f"crop_frac {crop_frac} outside (0, 1] — a frac > 1 would "
+            "silently wrap to a negative slice offset"
+        )
 
     def _apply(px: np.ndarray) -> np.ndarray:
         if op == "hflip":

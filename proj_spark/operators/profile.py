@@ -4,12 +4,15 @@ Ingest QC for the 10^12-row pipeline: before any expensive stage,
 profile the batch — null fractions catch schema drift, min/max catch
 unit regressions (a lat column spanning ±3.2e6 is in the wrong unit),
 distinct counts catch key collapse.  All columns are profiled in one
-wide aggregate (a single scan + one partial-agg exchange), then the
-single result row unpivots driver-side to one row per column.
+wide aggregate over a single scan, then the single result row
+unpivots driver-side to one row per column.
 
-``exact_distinct=False`` swaps countDistinct for HLL++
-(approx_count_distinct) — the right choice at full scale; exact mode
-exists for oracle checks and small batches.  (For an engine-portable
+Cost caveat: with ``exact_distinct=True`` Spark plans the K
+countDistinct aggregates via an Expand that replicates each input row
+K+1 times before the partial aggregate — fine for oracle checks and
+small batches, NOT the 10^12-row shape.  At full scale use
+``exact_distinct=False`` (HLL++ approx_count_distinct), which keeps
+the pass truly single-width: one scan, one partial-agg exchange.  (For an engine-portable
 estimate over integer keys use operators/sketch.kmv_distinct.)
 """
 from __future__ import annotations

@@ -19,8 +19,6 @@ oracle reproduces the exact assignment).
 """
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +45,12 @@ def hash_split(
     falls into the LAST label).  Pure narrow expression — no shuffle,
     no state, resumable by construction."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"split weights must all be positive, got {weights} — a "
+            "non-positive weight makes its label unreachable via "
+            "non-monotonic ring cuts"
+        )
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split weights sum to {total} > 1")

@@ -228,12 +228,15 @@ def minhash_key_udf(n_hashes: int = 8, w: int = 3):
                         (int(key) * 6364136223846793005 + mh) % (1 << 63)
                     )
             else:
-                # sub-shingle doc: fall back to an exact-text key so
-                # DISTINCT short docs are never collapsed together
-                # (they dedup only against identical text)
-                key = np.int64(
-                    -2 - (zlib.crc32(str(t).encode()) & 0x7FFFFFFF)
-                )
+                # sub-shingle doc: fall back to an exact-text key in
+                # the negative range (disjoint from signature keys) so
+                # distinct short docs dedup only against identical
+                # text.  62-bit blake2b, not crc32 — 31 bits would
+                # birthday-collide distinct short docs past ~80k keys
+                import hashlib
+
+                d = hashlib.blake2b(str(t).encode(), digest_size=8).digest()
+                key = np.int64(-2 - (int.from_bytes(d, "big") >> 2))
             out.append(int(key))
         return pd.Series(out, dtype="int64")
 

@@ -842,3 +842,24 @@ class TestSplitAndSample:
             ).collect()
         }
         assert a == b
+
+
+def test_augment_rejects_bad_crop_frac(spark):
+    import pytest
+
+    from proj_spark.operators.multimodal import augment_images
+    from proj_spark.sources.images import generate_images
+
+    for bad in (1.5, 0.0, -0.2):
+        with pytest.raises(ValueError):
+            augment_images(generate_images(spark, 1), "crop_center", crop_frac=bad)
+
+
+def test_hash_split_rejects_nonpositive_weight(spark):
+    import pytest
+
+    from proj_spark.operators.split import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(df, weights={"a": 0.5, "b": -0.2, "c": 0.7})
