@@ -145,11 +145,24 @@ def _warm_map_in_pandas(spark, slots: int):
     action on a fresh worker pool pays python-worker fork + module
     import + Arrow stream setup (~2s across 32 workers), a one-time
     cost a long-running cluster amortizes away; run it on every worker
-    slot so the timed flagship measures the steady state."""
+    slot so the timed flagship measures the steady state.
+
+    The warm kernel also imports the engine modules the flagship
+    kernel needs (numpy + the kernel/plan packages): measured on this
+    box, a noop-only warm still left the first fused run ~1.5 s slower
+    than steady state because each of the 32 workers paid the package
+    import inside the timed region — the exact cost a warm pool
+    exists to hoist."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     def _noop(batches):
+        import numpy  # noqa: F401  (resident after warm)
+
+        import proj_spark.kernels.xmath  # noqa: F401
+        import proj_spark.operators.fused  # noqa: F401
+        import proj_spark.plans.pipeline  # noqa: F401
+
         n = 0
         for b in batches:
             n += len(b)
