@@ -7,7 +7,7 @@ a toy):
   documents: PII scrub -> boilerplate strip -> quality/langid filter
              -> exact dedup -> minhash-LSH near-dup pairs
              -> connected components -> canonical-doc selection
-             -> benchmark decontamination
+             -> benchmark decontamination -> train/val/test hash split
 
 (The image lane — fused reproject -> PIP -> tile rollup over the
 image table — is exercised by bench.py and tools/example_job.py.)
@@ -90,13 +90,26 @@ def run(spark, sf_dir: str) -> dict:
     docs = docs.join(cont, "doc_id").where(F.col("n_contaminated") == 0)
     n_final = docs.count()
 
+    # 6. deterministic train/val/test assignment (never rand())
+    from proj_spark.operators.split import hash_split
+
+    splits = {
+        r.split: r.n
+        for r in hash_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
     summary = {
         "docs_in": n0,
         "after_quality_gate": n_quality,
         "after_dedup": n_dedup,
         "after_decontamination": n_final,
+        "splits": splits,
     }
     assert n0 >= n_quality >= n_dedup >= n_final >= 0
+    assert sum(splits.values()) == n_final
     return summary
 
 
