@@ -148,3 +148,33 @@ def dedup_groups(
         F.coalesce("component", F.col(id_col)).alias("group_id"),
     )
     return out.withColumn("is_canonical", F.col(id_col) == F.col("group_id"))
+
+
+def canonical_by(
+    df: DataFrame,
+    group_col: str = "group_id",
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "is_canonical",
+) -> DataFrame:
+    """Re-pick the canonical member of each duplicate group by an
+    arbitrary preference order (e.g. highest quality score) instead of
+    :func:`dedup_groups`' min-id rule — real pipelines keep the BEST
+    duplicate, not the lexicographically first.
+
+    ``order_cols``: list of Columns or column names, best-first (e.g.
+    ``[F.col("quality").desc()]``); the id ascending is always the
+    final tie-break so the choice is total-ordered and deterministic
+    under any partitioning.  One window shuffle keyed by the group id
+    (groups are tiny — bounded by duplicate-cluster size)."""
+    from pyspark.sql import Window
+
+    order_cols = list(order_cols or [])
+    w = Window.partitionBy(group_col).orderBy(
+        *order_cols, F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -112,3 +112,24 @@ def test_empty_pairs(spark):
     docs = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
     out = dedup_groups(docs, pairs, id_col="doc_id").collect()
     assert all(r.group_id == r.doc_id and r.is_canonical for r in out)
+
+
+def test_canonical_by_quality(spark):
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.components import canonical_by
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "g1", 0.2),
+            ("d2", "g1", 0.9),  # best quality wins over min id
+            ("d3", "g1", 0.9),  # tie -> min id among the tied
+            ("d4", "g2", 0.1),  # singleton group: canonical
+        ],
+        "doc_id string, group_id string, quality double",
+    )
+    out = {
+        r.doc_id: r.is_canonical
+        for r in canonical_by(df, order_cols=[F.col("quality").desc()]).collect()
+    }
+    assert out == {"d1": False, "d2": True, "d3": False, "d4": True}
