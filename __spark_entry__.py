@@ -1824,6 +1824,45 @@ r AS (
 SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.2)"""
 
 
+def q_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget pack assignment (operators/pack.py): canonical
+    hash order within 8 buckets, packs cut at 512-token boundaries of
+    the running count.  Integer windows — the oracle recomputes the
+    identical assignment."""
+    from proj_spark.operators.pack import pack_by_token_budget
+    from proj_spark.operators.text import token_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = token_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    out = pack_by_token_budget(toks, budget=512, n_buckets=8)
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_pos")
+
+
+def _pack_budget_oracle() -> str:
+    from proj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    a, b = MINHASH_A[0], MINHASH_B[0]
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ({a} * (doc_id % {MINHASH_P}) + {b}) % {MINHASH_P} AS hh
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens, hh, hh % 8 AS bkt,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY hh % 8 ORDER BY hh ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(bkt * {1 << 40} + floor(bef / 512.0) AS BIGINT) AS pack_id,
+       CAST(bef - floor(bef / 512.0) * 512 AS BIGINT) AS pack_pos
+FROM w"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) per event_type
     over user_id, k=16 so the large groups exercise the ESTIMATOR
@@ -2334,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pack_budget": q_pack_budget,
         "boilerplate": q_boilerplate,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
@@ -2784,6 +2824,7 @@ FROM documents
         "sessionize": _sessionize_oracle(),
         "hash_split": _hash_split_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
+        "pack_budget": _pack_budget_oracle(),
         "boilerplate": _boilerplate_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "contamination": _contamination_oracle(),

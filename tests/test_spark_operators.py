@@ -863,3 +863,38 @@ def test_hash_split_rejects_nonpositive_weight(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="positive"):
         hash_split(df, weights={"a": 0.5, "b": -0.2, "c": 0.7})
+
+
+def test_pack_by_token_budget(spark):
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.pack import pack_by_token_budget
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tokens")
+    )
+    out = pack_by_token_budget(df, budget=256, n_buckets=4).cache()
+    rows = out.collect()
+    # every doc assigned; pack_pos is the running offset before the doc
+    assert len(rows) == 1_000
+    assert all(0 <= r.pack_pos < 256 for r in rows)
+    # pack budgets: tokens BEFORE each doc stay under budget, so a
+    # pack's total can overflow only via its final (straddling) doc
+    per_pack = (
+        out.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert all(p.tot < 256 + p.mx for p in per_pack)
+    # partitioning invariance: identical assignment after repartition
+    again = {
+        (r.doc_id, r.pack_id, r.pack_pos)
+        for r in pack_by_token_budget(
+            df.repartition(13), budget=256, n_buckets=4
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.pack_id, r.pack_pos) for r in rows}
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_by_token_budget(df, budget=0)
