@@ -30,7 +30,13 @@ def sessionize(
 ) -> DataFrame:
     """One row per (user, session): session_id (1-based per user),
     started/ended timestamps, n_events, sum of ``value`` (omitted when
-    value=None)."""
+    value=None).
+
+    Ordering note: events are ordered by ``ts`` alone; two events of
+    one user sharing an exact timestamp have ambiguous relative order
+    — harmless for session MEMBERSHIP (a zero gap never starts a
+    session) and for the per-session aggregates (min/max/count/sum are
+    order-invariant), so results stay deterministic even with ties."""
     w = Window.partitionBy(user).orderBy(F.col(ts).asc())
     prev = F.lag(F.col(ts)).over(w)
     # cast via timestamp: TIMESTAMP_NTZ -> double is disallowed, and
