@@ -1643,16 +1643,19 @@ def _pii_scrub_oracle() -> str:
         "|| '.7 call +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
         "AS text FROM documents"
     )
-    return f"""WITH d AS ({inject})
+    # counts mirror scrub_pii's progressive semantics: each kind is
+    # counted on the text AFTER the previous kinds were replaced.
+    return f"""WITH d AS ({inject}),
+s1 AS (SELECT doc_id, text,
+         regexp_replace(text, '{em}', '[EMAIL]', 'g') AS t1 FROM d),
+s2 AS (SELECT doc_id, text, t1,
+         regexp_replace(t1, '{ph}', '[PHONE]', 'g') AS t2 FROM s1)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
-  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
-  regexp_replace(regexp_replace(regexp_replace(text,
-      '{em}', '[EMAIL]', 'g'),
-      '{ph}', '[PHONE]', 'g'),
-      '{ip}', '[IPV4]', 'g') AS text_scrubbed
-FROM d"""
+  CAST(len(regexp_extract_all(t1, '{ph}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ipv4,
+  regexp_replace(t2, '{ip}', '[IPV4]', 'g') AS text_scrubbed
+FROM s2"""
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,7 +59,15 @@ def connected_components(
     ``max_iter`` bounds the rounds (reached only by a path graph of
     length > 2^max_iter — impossible at any real scale); iteration
     stops at the first round with no label change.
+
+    Every node appearing in ``pairs`` gets an output row, including
+    nodes that occur only in self-pairs (u == v): the node set is the
+    union of both endpoint columns *before* self-edges are dropped
+    from the propagation graph.
     """
+    ends = pairs.select(F.col(a).alias("u")).union(
+        pairs.select(F.col(b).alias("u"))
+    )
     sym = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
         F.col("u") != F.col("v")
     )
@@ -67,9 +75,11 @@ def connected_components(
     sym = sym.distinct()
     if checkpoint:
         sym = sym.localCheckpoint(eager=False)
-    lab = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    lab = ends.distinct().withColumn("comp", F.col("u"))
     for _ in range(max_iter):
-        # propagate: min label over the neighborhood (inclusive)
+        # propagate: min label over the neighborhood (inclusive).  The
+        # round's OLD label rides along as _oc so convergence detection
+        # below is a scan of the checkpointed frame, not an extra join.
         nb = (
             sym.join(
                 lab.select(F.col("u").alias("v"), F.col("comp").alias("_vc")), "v"
@@ -78,7 +88,9 @@ def connected_components(
             .agg(F.min("_vc").alias("_nb"))
         )
         new = lab.join(nb, "u", "left").select(
-            "u", F.least("comp", F.coalesce("_nb", "comp")).alias("comp")
+            "u",
+            F.least("comp", F.coalesce("_nb", "comp")).alias("comp"),
+            F.col("comp").alias("_oc"),
         )
         # shortcut: jump to the label's own label
         new = (
@@ -95,18 +107,13 @@ def connected_components(
                 F.least(F.col("x.comp"), F.coalesce("_lc", F.col("x.comp"))).alias(
                     "comp"
                 ),
+                F.col("x._oc").alias("_oc"),
             )
         )
         if checkpoint:
             new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(lab.select("u", F.col("comp").alias("_oc")), "u")
-            .where(F.col("comp") != F.col("_oc"))
-            .limit(1)
-            .count()
-        )
-        lab = new
+        changed = new.where(F.col("comp") != F.col("_oc")).limit(1).count()
+        lab = new.select("u", "comp")
         if changed == 0:
             break
     else:

@@ -303,6 +303,12 @@ def _tile_xy(lon, lat, zoom: int):
 
 
 def _make_kernel(src, dst, polys, zoom: int, id_mode: bool):
+    if len(polys) + 1 >= 1 << _TY_SHIFT:
+        raise ValueError(
+            f"{len(polys)} polygons exceed the packed-key poly_seq field "
+            f"(max {(1 << _TY_SHIFT) - 2}); split the polygon set or use "
+            "the composed spatial_join path"
+        )
     src = CRS.from_proj4(src) if isinstance(src, str) else src
     dst = CRS.from_proj4(dst) if isinstance(dst, str) else dst
     plan = build_plan(src, dst)

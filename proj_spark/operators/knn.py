@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
+from itertools import count as _count
+
 from ..functions import expressions as E
+
+# observation names must be unique within a query plan; two knn_join
+# results composed into one query would otherwise collide on the name
+_OBS_SEQ = _count()
 
 EARTH_M = E.EARTH_RADIUS_M
 
@@ -95,13 +101,24 @@ def knn_join(
     (small) explodes its (2*ring+1)^2 k-ring and is broadcast, so the
     big side never shuffles for the join.
 
-    Queries failing the coverage guarantee are retried: if MORE than
-    ``fallback_frac`` of queries fail (sparse data / bad (res, ring)
-    choice), the ring is ESCALATED (ring+1, up to ``max_ring``) for the
-    failing subset instead of brute-forcing them against the full
-    candidate table — the silent O(|C|x|Q|) cliff the round-1 review
-    flagged.  Only a small residue ever reaches brute force, and the
-    fallback fraction is logged either way.
+    Queries failing the coverage guarantee are retried: the ring is
+    ESCALATED (ring+1, up to ``max_ring``) for the failing subset
+    instead of brute-forcing them against the full candidate table —
+    the silent O(|C|x|Q|) cliff the round-1 review flagged.  Only the
+    residue still failing at ``max_ring`` reaches brute force.
+
+    Construction is LAZY (round-3 review): the escalated/brute paths
+    are unioned behind the coverage predicate, so building the
+    DataFrame runs no Spark job — nothing executes until the caller
+    acts.  With AQE on, an empty failing set collapses the escalated
+    joins to empty relations at runtime, so the happy path pays
+    nothing for the fallback plan.  Coverage stats are attached via
+    ``DataFrame.observe`` (metric ``knn_cover_r{ring}_{seq}``:
+    n_queries, n_failed) for listeners to read after an action.
+
+    ``fallback_frac`` is retained for API compatibility; the lazy plan
+    always escalates the failing subset (the fraction can no longer be
+    inspected without running a job at build time).
     """
     c = candidates.select(
         F.col(c_id).alias("neighbor_id"),
@@ -126,11 +143,12 @@ def knn_join(
     if not verify_cover:
         return ranked
 
-    # the verify path consumes ``ranked`` up to three times (coverage
-    # aggregate, anti-join, returned result) and runs driver actions —
-    # persist so the candidate join + window materialize exactly ONCE
-    # (round-2 review: without this, each action re-ran the most
-    # expensive stage from scan)
+    # the verify path consumes ``ranked`` twice (coverage aggregate via
+    # the anti-join predicate, and the returned good rows) — persist so
+    # the candidate join + window materialize exactly ONCE when the
+    # caller finally acts (round-2 review: without this, each consumer
+    # re-ran the most expensive stage from scan).  persist() is lazy;
+    # no job runs here.
     ranked = ranked.persist()
 
     # coverage radius: a ring of R cells guarantees correctness iff the
@@ -158,24 +176,20 @@ def knn_join(
     )
     safe_m = F.lit(float(ring) * cell_h_m) * F.cos(F.radians(phi_far))
     is_bad = F.col("_n").isNull() | (F.col("_n") < k) | (F.col("_maxd") >= safe_m)
-    # ONE driver action for both totals (was two .count()s, each
-    # re-running the candidate join); ranked is cached above so the
-    # per_q lineage below this point is cheap
-    n_q, n_bad = per_q.agg(
-        F.count(F.lit(1)), F.count_if(is_bad)
-    ).first()
-    if n_bad == 0:
-        return ranked
+    # coverage stats ride the plan as an observation — readable by a
+    # QueryExecutionListener after the caller's action, at zero cost
+    per_q = per_q.observe(
+        f"knn_cover_r{ring}_{next(_OBS_SEQ)}",
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count_if(is_bad).alias("n_failed"),
+    )
+    # LAZY fallback: union the escalated path behind the coverage
+    # predicate.  No action runs here; when nothing fails, the failing
+    # side is empty and AQE prunes the escalated joins at runtime.
     bad_q = per_q.where(is_bad).select("query_id")
     bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
     good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
-    frac = n_bad / max(n_q, 1)
-    if frac > fallback_frac and ring < max_ring:
-        _LOG.warning(
-            "knn_join: %d/%d queries (%.1f%%) failed the ring-%d coverage "
-            "guarantee; escalating failing subset to ring=%d",
-            n_bad, n_q, 100.0 * frac, ring, ring + 1,
-        )
+    if ring < max_ring:
         redo = knn_join(
             bad_queries,
             candidates,
@@ -192,22 +206,18 @@ def knn_join(
             fallback_frac=fallback_frac,
             max_ring=max_ring,
         )
-        return good.unionByName(redo)
-    _LOG.info(
-        "knn_join: %d/%d queries (%.1f%%) fell back to brute force",
-        n_bad, n_q, 100.0 * frac,
-    )
-    redo = knn_join_bruteforce(
-        bad_queries,
-        candidates,
-        k=k,
-        q_id="query_id",
-        q_lon="_qlon",
-        q_lat="_qlat",
-        c_id=c_id,
-        c_lon=c_lon,
-        c_lat=c_lat,
-    )
+    else:
+        redo = knn_join_bruteforce(
+            bad_queries,
+            candidates,
+            k=k,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+        )
     return good.unionByName(redo)
 
 

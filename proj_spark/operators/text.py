@@ -231,7 +231,12 @@ def scrub_pii(
     [IPV4]) and count each kind — the standard pre-training scrub
     pass.  Pure regexp expressions (whole-stage codegen, zero Python);
     patterns are deliberately lookaround-free so any RE2-class engine
-    reproduces them."""
+    reproduces them.
+
+    Each kind is counted on the text AFTER the previous kinds were
+    scrubbed, so the reported counts always agree with the spans that
+    were actually replaced (an IPv4 inside an already-scrubbed email's
+    domain is not double-counted)."""
     out = df
     scrubbed = F.col(text)
     for kind in kinds:
@@ -240,7 +245,7 @@ def scrub_pii(
         out = out.withColumn(
             f"n_{kind}",
             F.coalesce(
-                F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0))),
+                F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))),
                 F.lit(0),
             ).cast("long"),
         )

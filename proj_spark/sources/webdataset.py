@@ -53,11 +53,20 @@ def write_webdataset_shards(
     def _write(pidx: int, it) -> Iterator[int]:
         n_shard = 0
         tar = None
+        tar_tmp = tar_final = None
         count = 0
 
         def _open(seq: int):
+            # write to a .tmp name and os.replace() into place on close:
+            # a task killed mid-write never leaves a truncated .tar at
+            # the final name, so retries are idempotent.
             path = os.path.join(out_dir, f"{prefix}-{pidx:05d}-{seq:03d}.tar")
-            return tarfile.open(path, "w"), path
+            tmp = path + ".tmp"
+            return tarfile.open(tmp, "w"), tmp, path
+
+        def _close(t, tmp, final):
+            t.close()
+            os.replace(tmp, final)
 
         def _add(t, name: str, data: bytes):
             info = tarfile.TarInfo(name=name)
@@ -67,7 +76,7 @@ def write_webdataset_shards(
 
         for row in it:
             if tar is None:
-                tar, _ = _open(n_shard)
+                tar, tar_tmp, tar_final = _open(n_shard)
             key, payload, fmt, caption = (
                 row[key_col], row[bytes_col], row[fmt_col], row[caption_col]
             )
@@ -75,12 +84,12 @@ def write_webdataset_shards(
             _add(tar, f"{key}.txt", str(caption).encode("utf-8"))
             count += 1
             if count >= rows_per_shard:
-                tar.close()
+                _close(tar, tar_tmp, tar_final)
                 n_shard += 1
                 count = 0
                 tar = None
         if tar is not None:
-            tar.close()
+            _close(tar, tar_tmp, tar_final)
             n_shard += 1
         yield n_shard
 

@@ -72,8 +72,9 @@ def test_self_loops_and_duplicates_ignored(spark):
     edges = [(1, 1), (2, 3), (3, 2), (2, 3)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
-    # node 1 only appears in a self loop -> not in any pair graph
-    assert got == {2: 2, 3: 2}
+    # self loops don't merge anything, but a node appearing only in a
+    # self pair still gets its singleton output row (docstring contract)
+    assert got == {1: 1, 2: 2, 3: 2}
 
 
 def test_string_ids(spark):

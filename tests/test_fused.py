@@ -123,6 +123,18 @@ def test_invalid_zoom_rejected(points, polys):
         reproject_pip_tile_rollup(points, SRC, DST, polys, 25)
 
 
+def test_oversized_polygon_set_rejected(points, polys):
+    """poly_seq+1 must fit the packed key's 20-bit field; a bigger set
+    would silently corrupt tile_y bits (round-3 advice)."""
+
+    class _FakeLen(list):
+        def __len__(self):
+            return 1 << 20
+
+    with pytest.raises(ValueError, match="packed-key"):
+        reproject_pip_tile_rollup(points, SRC, DST, _FakeLen(polys), 12)
+
+
 def _many_polys(n_polys=80, seed=7):
     """Deterministic overlapping quad soup (> _BUCKETED_THRESHOLD) —
     overlaps make first-match priority observable."""

@@ -120,27 +120,34 @@ def test_knn_candidate_join_is_broadcast(spark, images):
     assert "SortMergeJoin" not in plan
 
 
-def test_knn_verify_path_materializes_ranked_once(spark, images):
-    """verify_cover=True runs driver actions (coverage counts): the
-    ranked candidate join must be persisted so those actions + the
-    returned result materialize it ONCE (round-2 review: without the
-    persist each action re-ran the join+window from scan)."""
+def test_knn_verify_path_is_lazy_and_caches_ranked(spark, images):
+    """verify_cover=True must be LAZY (round-3 review): constructing
+    the DataFrame runs NO Spark job — the escalated/brute fallback is
+    unioned behind the coverage predicate instead of decided by a
+    driver action.  The ranked candidate join is persisted so its two
+    consumers (good rows + coverage predicate) materialize it once when
+    the caller finally acts."""
     from proj_spark.operators.knn import knn_join
 
     sc = spark.sparkContext
-    before = len(sc._jsc.sc().getRDDStorageInfo())
     q = spark.createDataFrame([Row(qid=1, qlon=-100.0, qlat=40.0)])
+    cands = images.select(F.col("image_id").alias("cid"), "lon", "lat")
+    # DAGScheduler.nextJobId is the count of jobs ever submitted; it
+    # must not move during construction
+    jobs_before = sc._jsc.sc().dagScheduler().nextJobId()
     out = knn_join(
         q,
-        images.select(F.col("image_id").alias("cid"), "lon", "lat"),
+        cands,
         k=3,
         res=5,
         ring=2,
         q_id="qid", q_lon="qlon", q_lat="qlat", c_id="cid", c_lon="lon", c_lat="lat",
         verify_cover=True,
     )
-    after = len(sc._jsc.sc().getRDDStorageInfo())
-    assert after > before, "ranked was not persisted across the verify actions"
+    jobs_after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert jobs_after == jobs_before, (
+        f"knn_join construction ran {jobs_after - jobs_before} Spark job(s)"
+    )
     assert out.count() > 0
     # InMemoryTableScan in the returned plan == the result reads the cache
     assert "InMemoryTableScan" in _plan(out)

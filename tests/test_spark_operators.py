@@ -418,12 +418,11 @@ def test_token_dictionary_vocab_guard(spark):
     assert ok.count() == 32  # 30 unique + 'common' + 'word'
 
 
-def test_knn_ring_escalation_on_sparse_data(spark, caplog):
+def test_knn_ring_escalation_on_sparse_data(spark):
     """Sparse candidates at fine resolution: most queries fail ring-1
-    coverage; the join must escalate the ring (logged) and still match
-    brute force exactly — not silently brute-force everything."""
-    import logging
-
+    coverage; the lazy fallback plan must escalate the ring for the
+    failing subset and still match brute force exactly.  Escalation is
+    visible through the per-ring observe() metrics after the action."""
     from proj_spark.operators.knn import knn_join, knn_join_bruteforce
 
     cand = _synth_points(spark, 120).select(F.col("point_id").alias("cid"), "lon", "lat")
@@ -435,13 +434,22 @@ def test_knn_ring_escalation_on_sparse_data(spark, caplog):
         (r.query_id, r.neighbor_id, r.rank)
         for r in knn_join_bruteforce(q, cand, **kw).collect()
     }
-    with caplog.at_level(logging.WARNING, logger="proj_spark.operators.knn"):
-        pr = {
-            (r.query_id, r.neighbor_id, r.rank)
-            for r in knn_join(q, cand, res=8, ring=1, **kw).collect()
-        }
+    out = knn_join(q, cand, res=8, ring=1, **kw)
+    pr = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
     assert bf == pr
-    assert any("escalating failing subset" in r.message for r in caplog.records)
+    om = out._jdf.queryExecution().observedMetrics()
+    metrics, it = {}, om.iterator()
+    while it.hasNext():
+        t = it.next()
+        metrics[str(t._1())] = t._2()
+    assert any(k.startswith("knn_cover_r1") for k in metrics), metrics
+    # ring-1 coverage fails for some queries -> the escalated ring-2
+    # level saw a nonempty failing subset
+    r2 = [k for k in metrics if k.startswith("knn_cover_r2")]
+    assert r2, metrics
+    assert metrics[r2[0]].getLong(0) > 0, (
+        "escalated ring-2 level never received failing queries"
+    )
 
 
 def test_ivf_topk_exact_at_full_probe_and_recall_at_low(spark):
@@ -667,6 +675,21 @@ class TestPiiAndContamination:
         assert out["b"].n_phone == 2
         assert out["b"].text_scrubbed.count("[PHONE]") == 2
         assert out["c"].text_scrubbed == "nothing sensitive here at all"
+
+    def test_scrub_pii_overlapping_spans_count_what_was_scrubbed(self, spark):
+        """An IPv4-shaped span inside an email's domain is consumed by
+        the email replacement; counts reflect the scrubbed output, not
+        raw per-pattern matches on the original text (round-3 advice)."""
+        from proj_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [("a", "report to admin@10.1.2.3.example.com please")],
+            "doc_id string, text string",
+        )
+        r = scrub_pii(df).collect()[0]
+        assert r.n_email == 1
+        assert r.n_ipv4 == 0, "ipv4 span was inside the scrubbed email"
+        assert r.text_scrubbed == "report to [EMAIL] please"
 
     def test_contamination_counts(self, spark):
         from proj_spark.operators.text import contamination, ngram_set
