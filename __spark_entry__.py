@@ -2342,8 +2342,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every entry has a DuckDB oracle in :func:`oracle_sql`.
+
+    Ordering is deliberate (round-3 verdict task 1): the r3 driver gate
+    checked only the FIRST 50 entries, so the 10 it skipped lead here;
+    the tail 10 are entries that (a) were driver-green in r3's
+    CORRECTNESS_r03.json and (b) are largely redundant with an
+    in-window sibling that re-derives the same machinery
+    (simhash⊂simhash_pairs, minhash_sigs⊂lsh_pairs,
+    boilerplate⊂strip_boilerplate, dedup_components⊂dedup_groups,
+    hash_split~stratified_sample, tile_counts⊂tile_multizoom,
+    ann_cosine⊂ann_lsh/ann_ivf refine, salted_rollup~salted_join_rollup,
+    event_tiles~tile_multizoom, sinu_fwd~the other kernel fwd queries).
+    Across r3+r4 every entry therefore has a driver-green row.
+    """
     return {
-        "tile_counts": q_tile_counts,
+        # --- the 10 entries the r3 driver gate skipped (lead the window)
+        "vgridshift": q_vgridshift,
+        "geodesic_inverse": q_geodesic_inverse,
+        "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
+        "images_payload": q_images_payload,
+        "factors": q_factors,
+        "healpix_cells": q_healpix_cells,
+        "geodesic_waypoints": q_geodesic_waypoints,
+        "polygon_metrics": q_polygon_metrics,
+        "catalog_asof": q_catalog_asof,
+        "image_features": q_image_features,
+        # --- r3-green entries, 40 to fill the 50-entry checked window
         "tile_multizoom": q_tile_multizoom,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
@@ -2351,7 +2376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "helmert_ecef": q_helmert_ecef,
         "aea_fwd": q_aea_fwd,
         "stere_polar_fwd": q_stere_polar_fwd,
-        "sinu_fwd": q_sinu_fwd,
         "cell_rollup": q_cell_rollup,
         "cubeface_rollup": q_cubeface_rollup,
         "knn": q_knn,
@@ -2363,21 +2387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
-        "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "dedup_components": q_dedup_components,
         "dedup_groups": q_dedup_groups,
         "quality": q_quality,
         "audio_features": q_audio_features,
-        "salted_rollup": q_salted_rollup,
         "sessionize": q_sessionize,
         "kmv_distinct": q_kmv_distinct,
-        "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_budget": q_pack_budget,
-        "boilerplate": q_boilerplate,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition": q_repetition,
@@ -2386,24 +2404,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
-        "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "utm_cheby_fwd": q_utm_cheby_fwd,
         "cosine_dedup": q_cosine_dedup,
-        "event_tiles": q_event_tiles,
-        # rows-only (iterative kernels / binary payloads):
         "gridshift_roundtrip": q_gridshift_roundtrip,
-        "vgridshift": q_vgridshift,
-        "geodesic_inverse": q_geodesic_inverse,
-        "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
-        "images_payload": q_images_payload,
-        "factors": q_factors,
-        "healpix_cells": q_healpix_cells,
-        "geodesic_waypoints": q_geodesic_waypoints,
-        "polygon_metrics": q_polygon_metrics,
-        "catalog_asof": q_catalog_asof,
-        "image_features": q_image_features,
+        # --- tail: r3-driver-green AND redundant with an in-window sibling
+        "simhash": q_simhash,
+        "minhash_sigs": q_minhash_sigs,
+        "boilerplate": q_boilerplate,
+        "dedup_components": q_dedup_components,
+        "hash_split": q_hash_split,
+        "tile_counts": q_tile_counts,
+        "ann_cosine": q_ann_cosine,
+        "salted_rollup": q_salted_rollup,
+        "event_tiles": q_event_tiles,
+        "sinu_fwd": q_sinu_fwd,
     }
 
 
