@@ -408,6 +408,87 @@ def cmd_geod(args) -> int:
         return az + 360.0 if (args.pos_azi and az < 0.0) else az
 
     w = sys.stdout.write
+
+    # ---- arc / geodesic-interval mode (geod.c:33-57, geod_set.c:37-60):
+    # +lat_1/+lon_1 (+lat_2/+lon_2 | +S +A) with a divisor
+    # (+n_A/+del_A: azimuth arc sweep; +del_S | +n_S: waypoints) emits
+    # the line itself instead of filtering stdin.
+    plus = {}
+    for tok in defn.split():
+        if tok.startswith("+") and "=" in tok:
+            k, v = tok[1:].split("=", 1)
+            plus[k] = v
+    if "lat_1" in plus:
+        def _deg(key: str) -> float:  # pj_param 'r': DMS-or-degrees
+            return dmstor(plus[key]) * RAD_TO_DEG
+
+        def _adjlon_deg(az: float) -> float:  # adjlon (radians) in degrees
+            while abs(az) > 180.0:
+                az -= 360.0 if az > 0.0 else -360.0
+            return az
+
+        def _print_ll(lat: float, lon: float) -> None:
+            w(f"{ang(lat, 'N', 'S')}\t{ang(lon, 'E', 'W')}\n")
+
+        lat1, lon1 = _deg("lat_1"), _deg("lon_1")
+        if "lat_2" in plus:
+            lat2, lon2 = _deg("lat_2"), _deg("lon_2")
+            s12, azi1, _ = geod_inverse(
+                np.array([lat1]), np.array([lon1]),
+                np.array([lat2]), np.array([lon2]), a, f,
+            )
+            geod_s, al12 = float(s12[0]), float(azi1[0])
+        elif float(plus.get("S", 0.0) or 0.0) != 0.0:
+            geod_s, al12 = float(plus["S"]), _deg("A")
+            la2, lo2, _ = geod_direct(
+                np.array([lat1]), np.array([lon1]),
+                np.array([al12]), np.array([geod_s]), a, f,
+            )
+            lat2, lon2 = float(la2[0]), float(lo2[0])
+        else:
+            sys.stderr.write("geod: incomplete geodesic/arc info\n")
+            return 1
+        n_alpha = int(plus.get("n_A", 0) or 0)
+        if n_alpha > 0:
+            if "del_A" not in plus or _deg("del_A") == 0.0:
+                sys.stderr.write("geod: del azimuth == 0\n")
+                return 1
+            del_a = _deg("del_A")
+            # do_arc (geod.c:33-43): the initial endpoint, then n_A
+            # endpoints sweeping the azimuth by del_A at fixed S
+            _print_ll(lat2, lon2)
+            azs = []
+            az = al12
+            for _ in range(n_alpha):
+                az = _adjlon_deg(az + del_a)
+                azs.append(az)
+            la, lo, _ = geod_direct(
+                np.full(n_alpha, lat1), np.full(n_alpha, lon1),
+                np.array(azs), np.full(n_alpha, geod_s), a, f,
+            )
+            for j in range(n_alpha):
+                _print_ll(float(la[j]), float(lo[j]))
+            return 0
+        del_s = abs(float(plus.get("del_S", 0.0) or 0.0))
+        n_s = int(geod_s / del_s + 0.5) if del_s else int(plus.get("n_S", 0) or 0)
+        if n_s <= 0:
+            sys.stderr.write("geod: no interval divisor selected\n")
+            return 1
+        # do_geod (geod.c:44-57): point 1, n_S-1 equally-spaced
+        # waypoints along the line, then the stored endpoint
+        _print_ll(lat1, lon1)
+        if n_s > 1:
+            step = geod_s / n_s
+            dists = np.arange(1, n_s) * step
+            la, lo, _ = geod_direct(
+                np.full(n_s - 1, lat1), np.full(n_s - 1, lon1),
+                np.full(n_s - 1, al12), dists, a, f,
+            )
+            for j in range(n_s - 1):
+                _print_ll(float(la[j]), float(lo[j]))
+        _print_ll(lat2, lon2)
+        return 0
+
     for line in args.infile:
         if line.startswith(args.tag):
             w(line if line.endswith("\n") else line + "\n")

@@ -146,16 +146,23 @@ _FRAME_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling.
+    """Video frame sampling — every ``every_n``-th frame as a row.
 
-    Real video decoding needs libav/ffmpeg, absent from this
-    container: fmt values other than the deterministic test container
-    'fakevid' raise NotImplementedError at the decode site (explicit
-    stub per the build brief).  'fakevid' payloads are a sequence of
-    concatenated length-prefixed PNG frames, so the sampling plumbing
-    (explode to frame rows, batching, schema) runs for real.
+    Two real container formats:
+    - ``avi``: true RIFF/AVI parsing (``sources/avi.py``, pure-python,
+      public spec) — extracts the compressed frame payloads of the
+      video stream (e.g. MJPEG bitstreams) with their codec fourcc as
+      the output fmt.  Decoding those bitstreams to PIXELS still needs
+      a real codec (libav/ffmpeg, absent here) and raises
+      NotImplementedError downstream in decode_image.
+    - ``fakevid``: the deterministic test container (length-prefixed
+      PNG frames), fully decodable end-to-end.
+    Any other fmt raises NotImplementedError (explicit stub per the
+    build brief).
     """
     import struct
+
+    from ..sources.avi import read_avi_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -165,6 +172,11 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 b["bytes"].to_numpy(),
                 b["fmt"].to_numpy(),
             ):
+                if fmt == "avi":
+                    for idx, frame, codec in read_avi_frames(bytes(data)):
+                        if idx % every_n == 0:
+                            out.append((mid, idx, frame, codec))
+                    continue
                 if fmt != "fakevid":
                     raise NotImplementedError(
                         f"video codec {fmt!r} requires libav/ffmpeg "

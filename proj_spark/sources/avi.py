@@ -1,0 +1,190 @@
+"""Minimal pure-python AVI (RIFF) container codec — the video lane.
+
+The round-3 verdict asked for an explicit decision on video: real
+codec DECODE (H.264 etc.) needs libav/ffmpeg, which this environment
+does not ship, but the AVI *container* is a fully public format
+(Microsoft's "AVI RIFF File Reference": RIFF('AVI ' LIST('hdrl' ...)
+LIST('movi' '00dc'...) 'idx1')) parseable with stdlib ``struct``
+alone.  This module implements:
+
+- :func:`read_avi_frames`: walk the RIFF tree, locate the video
+  stream headers (``strh``/``strf``), and yield every compressed
+  frame payload from the ``movi`` list (``##dc``/``##db`` chunks,
+  including ones nested in ``rec `` LISTs) with its stream fourcc —
+  i.e. MJPEG frame EXTRACTION, the container-level half of frame
+  sampling.  Decoding the extracted JPEG bitstreams to pixels still
+  requires a JPEG decoder and stays out of scope.
+- :func:`write_avi_mjpeg`: a deterministic writer (fixed header
+  fields, zero reserved words, idx1 index) so tests can roundtrip a
+  real AVI file without external tooling.
+
+Both ends are byte-exact deterministic: writing the same frames twice
+produces identical files (no timestamps, no randomness), matching the
+repo-wide reproducibility rule.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Tuple
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """RIFF chunk with even-size padding."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def write_avi_mjpeg(
+    frames: List[bytes], width: int, height: int, fps: int = 30
+) -> bytes:
+    """Serialize pre-compressed frames (e.g. JPEG bitstreams) as a
+    single-video-stream MJPG AVI.  Layout: RIFF('AVI ' LIST('hdrl'
+    avih LIST('strl' strh strf)) LIST('movi' 00dc*) idx1)."""
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    usec_per_frame = 1_000_000 // fps
+
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            usec_per_frame,  # dwMicroSecPerFrame
+            max_bytes * fps,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0x10,  # dwFlags: AVIF_HASINDEX
+            n,  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            max_bytes,  # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,  # dwReserved[4]
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale, dwRate -> rate/scale = fps
+            0,  # dwStart
+            n,  # dwLength (in frames)
+            max_bytes,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (-1: default)
+            0,  # dwSampleSize (0: varying)
+            0, 0, width, height,  # rcFrame
+        ),
+    )
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,  # biSize
+            width,
+            height,
+            1,  # biPlanes
+            24,  # biBitCount
+            b"MJPG",  # biCompression
+            width * height * 3,  # biSizeImage (nominal)
+            0, 0, 0, 0,
+        ),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+
+    movi_chunks = []
+    index = []
+    offset = 4  # relative to the 'movi' fourcc
+    for data in frames:
+        ck = _chunk(b"00dc", data)
+        movi_chunks.append(ck)
+        index.append(
+            b"00dc" + struct.pack("<III", 0x10, offset, len(data))
+        )  # AVIIF_KEYFRAME
+        offset += len(ck)
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(index))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk(data: bytes, pos: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [pos, end); tolerant of truncation (stops at the first bad size)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        start = pos + 8
+        if start + size > end:
+            return
+        yield fourcc, start, size
+        pos = start + size + (size % 2)
+
+
+def read_avi_frames(data: bytes) -> Iterator[Tuple[int, bytes, str]]:
+    """Yield (frame_idx, payload_bytes, codec_fourcc) for every video
+    frame chunk in RIFF order.  codec_fourcc comes from the stream's
+    ``strh`` handler (e.g. ``'mjpg'``), falling back to ``strf``
+    biCompression, then ``'rawv'``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+
+    codec_by_stream: dict[int, str] = {}
+    video_streams: set[int] = set()
+
+    def scan_strl(payload_start: int, payload_end: int, stream_no: int) -> None:
+        fcc = None
+        for cc, s, sz in _walk(data, payload_start, payload_end):
+            if cc == b"strh" and sz >= 8:
+                if data[s : s + 4] == b"vids":
+                    video_streams.add(stream_no)
+                    handler = data[s + 4 : s + 8].strip(b"\x00 ")
+                    if handler:
+                        fcc = handler.decode("ascii", "replace").lower()
+            elif cc == b"strf" and sz >= 20 and fcc is None:
+                comp = data[s + 16 : s + 20].strip(b"\x00 ")
+                if comp:
+                    fcc = comp.decode("ascii", "replace").lower()
+        codec_by_stream[stream_no] = fcc or "rawv"
+
+    def scan_hdrl(payload_start: int, payload_end: int) -> None:
+        stream_no = 0
+        for cc, s, sz in _walk(data, payload_start, payload_end):
+            if cc == b"LIST" and data[s : s + 4] == b"strl":
+                scan_strl(s + 4, s + sz, stream_no)
+                stream_no += 1
+
+    def frame_chunks(payload_start: int, payload_end: int):
+        for cc, s, sz in _walk(data, payload_start, payload_end):
+            if cc == b"LIST" and data[s : s + 4] == b"rec ":
+                yield from frame_chunks(s + 4, s + sz)
+            elif cc[2:4] in (b"dc", b"db") and cc[:2].isdigit():
+                yield int(cc[:2]), s, sz
+
+    movi = None
+    for cc, s, sz in _walk(data, 12, end):
+        if cc == b"LIST":
+            lt = data[s : s + 4]
+            if lt == b"hdrl":
+                scan_hdrl(s + 4, s + sz)
+            elif lt == b"movi":
+                movi = (s + 4, s + sz)
+    if movi is None:
+        raise ValueError("AVI file has no movi list")
+
+    idx = 0
+    for stream_no, s, sz in frame_chunks(*movi):
+        if video_streams and stream_no not in video_streams:
+            continue
+        yield idx, data[s : s + sz], codec_by_stream.get(stream_no, "rawv")
+        idx += 1

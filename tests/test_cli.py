@@ -307,3 +307,72 @@ def test_cs2cs_reverse_flags():
     )
     bx, by = base.split()[:2]
     assert s_out.split()[:2] == [by, bx]
+
+
+def test_geod_waypoint_mode_endpoint_defined():
+    """+lat_1/+lon_1/+lat_2/+lon_2 +n_S emits the n_S+1 points of the
+    geodesic (do_geod, geod.c:44-57): point 1, n_S-1 equally spaced
+    intermediates, the exact stored endpoint; stdin is not consumed."""
+    rc, out = run_cli(
+        ["geod", "-f", "%.9f",
+         "+ellps=WGS84 +lat_1=40 +lon_1=-74 +lat_2=50 +lon_2=-3 +n_S=4"],
+        "SHOULD NOT BE READ\n",
+    )
+    assert rc == 0
+    rows = [tuple(float(t) for t in ln.split("\t")) for ln in out.splitlines()]
+    assert len(rows) == 5
+    assert rows[0] == (40.0, -74.0)
+    assert rows[-1] == (50.0, -3.0)
+    # consecutive points are equally spaced along the SAME geodesic:
+    # each leg's distance is total/4 and the azimuth chain is continuous
+    from proj_spark.kernels.geodesy import geod_inverse
+
+    lats = np.array([r[0] for r in rows])
+    lons = np.array([r[1] for r in rows])
+    s_total = geod_inverse(lats[:1], lons[:1], lats[-1:], lons[-1:], 6378137.0, 1 / 298.257223563)[0][0]
+    legs = geod_inverse(lats[:-1], lons[:-1], lats[1:], lons[1:], 6378137.0, 1 / 298.257223563)[0]
+    assert np.allclose(legs, s_total / 4.0, atol=0.5)
+
+
+def test_geod_waypoint_mode_del_S_rounding():
+    """+del_S: n_S = S/del_S + .5 C-truncated (geod_set.c:57)."""
+    rc, out = run_cli(
+        ["geod",
+         "+ellps=clrk66 +lat_1=30n +lon_1=0 +lat_2=60n +lon_2=0 +del_S=1112000"],
+        "",
+    )
+    # meridian arc ~3335km -> n_S = int(2.999+0.5) = 3 -> 4 lines
+    assert len(out.splitlines()) == 4
+    # DMS default formatting with hemisphere letters (printLL)
+    assert out.splitlines()[0] == "30dN\t0dE"
+
+
+def test_geod_arc_mode_sweeps_azimuth():
+    """+n_A/+del_A (do_arc, geod.c:33-43): initial endpoint then n_A
+    points at azimuths al12 + i*del_A, fixed S — each output point is
+    exactly geod_direct(point1, az_i, S)."""
+    from proj_spark.kernels.geodesy import geod_direct
+
+    rc, out = run_cli(
+        ["geod", "-f", "%.9f",
+         "+ellps=WGS84 +lat_1=40 +lon_1=-74 +S=100000 +A=45 +n_A=3 +del_A=10"],
+        "",
+    )
+    rows = [tuple(float(t) for t in ln.split("\t")) for ln in out.splitlines()]
+    assert len(rows) == 4
+    a, f = 6378137.0, 1 / 298.257223563
+    for i, az in enumerate([45.0, 55.0, 65.0, 75.0]):
+        la, lo, _ = geod_direct(
+            np.array([40.0]), np.array([-74.0]), np.array([az]), np.array([100000.0]), a, f
+        )
+        assert rows[i][0] == pytest.approx(la[0], abs=1e-9)
+        assert rows[i][1] == pytest.approx(lo[0], abs=1e-9)
+
+
+def test_geod_arc_mode_errors():
+    rc, _ = run_cli(["geod", "+ellps=WGS84 +lat_1=40 +lon_1=-74"], "")
+    assert rc == 1  # incomplete geodesic/arc info
+    rc, _ = run_cli(
+        ["geod", "+ellps=WGS84 +lat_1=40 +lon_1=-74 +lat_2=41 +lon_2=-73"], ""
+    )
+    assert rc == 1  # no interval divisor selected
