@@ -50,6 +50,53 @@ _IMG_CACHE = _img_cache(N_IMAGES)
 _PTS_CACHE = _pts_cache(N_IMAGES)
 _PTS_UNCL_CACHE = _pts_uncl_cache(N_IMAGES)
 
+_SF1_CACHE = "/tmp/proj_spark_bench/sf1_scaled10"
+# tables the headline queries touch; key column(s) remapped per replica
+_SF1_TABLES = {
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "customer": ("c_custkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "nation": (),   # small dim: copied as-is (query side of knn)
+    "events": ("event_id",),
+}
+
+
+def _sf1_dir(spark, src_dir: str) -> str:
+    """Materialize a 10x-replicated copy of ``src_dir`` (sf0.1 -> an
+    sf1-equivalent row count) under /tmp, once.  Keys are remapped
+    key*10+replica so point distributions stay uniform (synth_lon/lat
+    derive from the key); document text gets a per-replica token so
+    near-dup timing isn't dominated by 10-way exact clones."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(_SF1_CACHE, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(_SF1_CACHE, exist_ok=True)
+        reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_rep")
+        for tbl, keys in _SF1_TABLES.items():
+            src = os.path.join(src_dir, f"{tbl}.parquet")
+            if not os.path.exists(src):
+                continue
+            df = spark.read.parquet(src)
+            if keys:
+                df = df.select("*", reps)
+                for k in keys:
+                    df = df.withColumn(k, F.col(k) * 10 + F.col("_rep"))
+                if tbl == "documents":
+                    df = df.withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(" r"), F.col("_rep")),
+                    )
+                df = df.drop("_rep")
+            df.write.mode("overwrite").parquet(
+                os.path.join(_SF1_CACHE, f"{tbl}.parquet")
+            )
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return _SF1_CACHE
+
 
 def _image_table(spark, n_images: int):
     """Materialize the input_hint image table once (parquet cache).
@@ -301,31 +348,47 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "ann_cosine",          # vector fold dot products
         "webmerc_fwd",         # pure-expression projection
     ]
-    for name in headline:
+
+    def _time_suite(sf_dir: str, into: dict) -> None:
+        for name in headline:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            into[name] = round(time.time() - t0, 3)
+        # near-dup pipeline at scale settings: fast-mode (xxhash64)
+        # minhash LSH -> candidate pairs (the deterministic dictionary
+        # mode exists only for the DuckDB oracle gate)
+        from proj_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+            shingle,
+            tokenize,
+        )
+
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        del n
+        docs = shingle(
+            tokenize(spark.read.parquet(f"{sf_dir}/documents.parquet")), w=3
+        )
+        sigs = minhash_signatures(docs, id_col="doc_id", deterministic=False)
+        minhash_lsh_pairs(sigs).count()
+        into["minhash_lsh_fast"] = round(time.time() - t0, 3)
 
-    # near-dup pipeline at scale settings: fast-mode (xxhash64) minhash
-    # LSH -> candidate pairs (the deterministic dictionary mode exists
-    # only for the DuckDB oracle gate)
-    from pyspark.sql import functions as SF
+    _time_suite(SF_DIR, timings)
 
-    from proj_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
-        shingle,
-        tokenize,
-    )
-
-    t0 = time.time()
-    docs = shingle(tokenize(spark.read.parquet(f"{SF_DIR}/documents.parquet")), w=3)
-    sigs = minhash_signatures(docs, id_col="doc_id", deterministic=False)
-    n_pairs = minhash_lsh_pairs(sigs).count()
-    timings["minhash_lsh_fast"] = round(time.time() - t0, 3)
-    del SF, n_pairs
+    # the same suite at 10x rows (sf1-equivalent): single-query times at
+    # sf0.1 sit inside a documented +/-80% noise band (BASELINE.md), so
+    # regressions are only readable at a scale where work dominates
+    # startup noise.  On by default for the driver's sf0.1 run; skip
+    # with SPARK_GRAFT_SF1=0 (quick smokes at other SFs skip unless
+    # SPARK_GRAFT_SF1=1).
+    sf1_env = os.environ.get("SPARK_GRAFT_SF1")
+    run_sf1 = sf1_env == "1" or (sf1_env != "0" and SF_DIR.rstrip("/").endswith("sf0.1"))
+    sf1_timings: dict[str, float] = {}
+    if run_sf1:
+        t0 = time.time()
+        sf1_dir = _sf1_dir(spark, SF_DIR)
+        sf1_fixture_s = round(time.time() - t0, 3)
+        _time_suite(sf1_dir, sf1_timings)
+        sf1_timings["fixture_gen_sec"] = sf1_fixture_s
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -339,6 +402,12 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "rows_per_sec": round(n_rows / flagship_s, 1),
         "fixture_gen_sec": fixture_s,
     }
+    if sf1_timings:
+        result["sf1_queries"] = sf1_timings
+        result["sf1_note"] = (
+            "same suite at 10x-replicated rows (sf1-equivalent), keys "
+            "remapped key*10+replica; see bench.py _sf1_dir"
+        )
     spark.stop()
     return result
 
@@ -561,8 +630,111 @@ def run_compute_probe(n_executors: int, n_rows: int, cores: int = 4, mem_mb: int
     }
 
 
+def run_shuffle_cluster(
+    n_executors: int, n_docs: int, cores: int = 1, mem_mb: int = 6144
+) -> dict:
+    """Shuffle-bound scaling probe (round-3 verdict task 4): the
+    minhash-LSH near-dup pair pipeline — tokenize -> 3-shingle
+    (explode) -> algebraic min signatures (groupBy) -> banded bucket
+    self-join -> distinct pairs — over a synthetic in-executor corpus.
+    Unlike the (narrow) fused flagship of the criterion pair, every
+    stage here exchanges data, so this measures how the WIDE plans
+    scale N -> 4N under real netty shuffle.
+
+    The corpus is generated from spark.range with pure expressions
+    (no scan): ~40 tokens/doc from a 50k vocabulary, with every
+    id%7==1 doc an exact clone of its predecessor so LSH buckets have
+    real collisions to join."""
+    import time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
+        .appName("proj-spark-shuffle-scaling")
+        .config("spark.sql.shuffle.partitions", str(4 * n_executors * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores} -XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={cores}",
+        )
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from proj_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle,
+        tokenize,
+    )
+
+    def corpus(n):
+        base = spark.range(n, numPartitions=4 * n_executors * cores)
+        # id%7==1 docs clone their predecessor -> guaranteed LSH pairs
+        return base.select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(0, 39), j -> concat('t', "
+                "pmod((id - (case when id % 7 = 1 then 1 else 0 end)) "
+                "* (j + 7) + j * j, 50000))), ' ')"
+            ).alias("text"),
+        )
+
+    def pipeline(n):
+        sigs = minhash_signatures(
+            shingle(tokenize(corpus(n)), w=3), id_col="doc_id", deterministic=False
+        )
+        return minhash_lsh_pairs(sigs).count()
+
+    pipeline(2000)  # warm: python-free plan, but codegen + shuffle path
+    t0 = time.time()
+    n_pairs = pipeline(n_docs)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "executors": n_executors,
+        "cores_each": cores,
+        "total_cores": n_executors * cores,
+        "n_docs": n_docs,
+        "n_pairs": int(n_pairs),
+        "wall_sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
+    if scaling == "shuffle":
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        n_docs = int(os.environ.get("SPARK_GRAFT_SHUFFLE_DOCS", "1000000"))
+        cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "1"))
+        lo = run_shuffle_cluster(n_lo, n_docs, cores=cores)
+        hi = run_shuffle_cluster(4 * n_lo, n_docs, cores=cores)
+        ratio = hi["total_cores"] / lo["total_cores"]
+        print(
+            json.dumps(
+                {
+                    "metric": "minhash-LSH near-dup pairs docs/sec at N vs 4N executors (shuffle-bound wide plan, local-cluster)",
+                    "n_executors": lo,
+                    "4n_executors": hi,
+                    "scaling_efficiency": round(
+                        (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3
+                    ),
+                }
+            )
+        )
+        return
     if scaling == "compute":
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         n_rows = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS", str(N_IMAGES)))

@@ -3,6 +3,7 @@ waypoints, polygon metrics."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -478,3 +479,26 @@ def test_stream_near_dedup_state_survives_restart(spark, tmp_path):
     # cumulative file sink: d0 from run 1 + only the fresh doc from
     # run 2 — the restarted state suppressed the near-dup e0
     assert second == {"d0", "e1"}
+
+
+def test_resume_drill_small(tmp_path):
+    """Curation-funnel checkpoint-resume drill (tools/resume_drill.py):
+    kill the driver after the 'pairs' stage commits (poisoned partial
+    parquet left in the next stage's dir), restart, assert the resumed
+    run skips all committed stages, overwrites the partial, and lands
+    on the uninterrupted run's exact split counts."""
+    import json
+    import subprocess
+    import sys
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "resume_drill.py")
+    p = subprocess.run(
+        [sys.executable, tool, "--drill", "--docs", "5000", "--cpus", "4",
+         "--base", str(tmp_path / "drill")],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["pass"] is True
+    assert out["uninterrupted_splits"] == out["resumed_splits"]
+    assert set(out["resume_recomputed"]) == {"groups", "decon", "split"}
