@@ -2715,7 +2715,7 @@ def _images_payload_oracle() -> str:
     from proj_spark.sources.images import (
         average_phash,
         decode_image,
-        encode_ljpg,
+        encode_image,
         encode_png,
         psnr_db,
         synth_pixels,
@@ -2725,7 +2725,7 @@ def _images_payload_oracle() -> str:
     for idx in range(2000):
         px = synth_pixels(idx, 32, 32)
         fmt = "png" if idx % 2 == 0 else "jpeg"
-        data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+        data = encode_image(px, fmt)
         dec = decode_image(data, fmt)
         p = float(min(psnr_db(px, dec), 1e9))
         if fmt == "png":
@@ -2753,7 +2753,7 @@ def _image_features_oracle() -> str:
     from proj_spark.sources.images import (
         average_phash,
         decode_image,
-        encode_ljpg,
+        encode_image,
         encode_png,
         synth_pixels,
     )
@@ -2764,7 +2764,7 @@ def _image_features_oracle() -> str:
     for idx in range(1000):
         px0 = synth_pixels(idx, 32, 32)
         fmt = "png" if idx % 2 == 0 else "jpeg"
-        data = encode_png(px0) if fmt == "png" else encode_ljpg(px0)
+        data = encode_image(px0, fmt)
         px = decode_image(data, fmt).astype(np.float64)
         luma = px @ np.array([0.299, 0.587, 0.114])
         gy, gx = np.gradient(luma)

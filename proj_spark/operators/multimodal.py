@@ -1,13 +1,15 @@
 """Multimodal (image/audio/video) column operators.
 
 Binary payloads stay opaque through shuffles (SURVEY.md §1.2) and are
-decoded only inside Arrow-batched UDFs.  The PNG, quantizing-lossy
-image, and WAV/PCM16 audio codecs are real (sources/images.py,
-sources/audio.py — standard containers any reader opens); formats
-that need native libraries absent from this container (real JPEG,
-video codecs) are STUBBED behind NotImplementedError at the single
-decode call site — the Spark-side plumbing (schemas, batching,
-partitioning) is real and tested either way.
+decoded only inside Arrow-batched UDFs.  The PNG, baseline JPEG
+(ITU-T T.81, sources/jpeg.py), WAV/PCM16 audio (sources/audio.py),
+and RIFF/AVI container (sources/avi.py) codecs are all real —
+standard formats any reader opens; the MJPEG-in-AVI video lane is
+decodable to pixels end-to-end.  Video codecs that genuinely need
+native libraries absent from this container (H.264 etc.) raise
+NotImplementedError at the single decode call site — the Spark-side
+plumbing (schemas, batching, partitioning) is real and tested either
+way.
 
 Scale notes:
 - all operators are narrow mapInPandas passes: parallelism = input
@@ -37,7 +39,7 @@ from pyspark.sql.types import (
 from ..sources.images import (
     average_phash,
     decode_image,
-    encode_ljpg,
+    encode_image,
     encode_png,
 )
 
@@ -128,7 +130,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 yi = np.clip((np.arange(out_h) * h) // out_h, 0, h - 1)
                 xi = np.clip((np.arange(out_w) * w) // out_w, 0, w - 1)
                 small = px[np.ix_(yi, xi)]
-                data = encode_png(small) if fmt == "png" else encode_ljpg(small)
+                data = encode_image(small, fmt)
                 out.append((iid, data, out_w, out_h, fmt))
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
 
@@ -152,9 +154,9 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     - ``avi``: true RIFF/AVI parsing (``sources/avi.py``, pure-python,
       public spec) — extracts the compressed frame payloads of the
       video stream (e.g. MJPEG bitstreams) with their codec fourcc as
-      the output fmt.  Decoding those bitstreams to PIXELS still needs
-      a real codec (libav/ffmpeg, absent here) and raises
-      NotImplementedError downstream in decode_image.
+      the output fmt.  MJPEG frames ('mjpg') decode to pixels via the
+      real baseline JPEG decoder (``sources/jpeg.py``) through
+      ``decode_image``; other codecs (H.264 etc.) raise there.
     - ``fakevid``: the deterministic test container (length-prefixed
       PNG frames), fully decodable end-to-end.
     Any other fmt raises NotImplementedError (explicit stub per the
@@ -399,7 +401,7 @@ def augment_images(
             ):
                 px = _apply(decode_image(raw, fmt))
                 px = np.ascontiguousarray(px)
-                data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+                data = encode_image(px, fmt)
                 out.append((iid, data, px.shape[1], px.shape[0], fmt))
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
 

@@ -9,15 +9,16 @@ f(image_id) only — so any partition can be regenerated independently
 (FIXTURES.md requirement) and payload invariants are checkable without
 storing originals: verify re-derives the source pixels from image_id.
 
-Codecs (no image libraries in this container — both are real codecs
-implemented here, not stubs, but JPEG specifically is modeled):
+Codecs (no image libraries in this container — all are real codecs
+implemented here, not stubs):
 - ``png``:  true minimal PNG (8-bit RGB, zlib deflate, filter 0).
   Lossless; decodable by any standard PNG reader.
-- ``jpeg``: deterministic stand-in for a lossy DCT codec — 6-bit
-  uniform quantization per channel + deflate, magic b'LJPG'.  Chosen
-  so quantization noise lands at PSNR ~= 46 dB (> the 40 dB gate),
-  mirroring a quality~90 JPEG.  A real libjpeg path would drop in at
-  the two marked encode/decode call sites.
+- ``jpeg``: REAL baseline-sequential JPEG (ITU-T T.81 / JFIF,
+  ``sources/jpeg.py``: DCT + Annex-K tables + Huffman), quality 98
+  -> PSNR ~43 dB on the noisy fixtures (> the 40 dB gate).  Decoding
+  sniffs the payload: ``FF D8`` -> real JPEG; the legacy ``LJPG``
+  magic (round-3's 6-bit-quantization stand-in) stays decodable so
+  previously-written tables remain readable.
 
 All per-row work runs vectorized inside mapInPandas (Arrow batches);
 the generator is driver-coordinated but executor-evaluated via
@@ -181,8 +182,24 @@ def decode_ljpg(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpg", "mjpg"):
+        # sniff: real JPEG (FF D8) vs the legacy LJPG stand-in payload
+        if bytes(data[:2]) == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(data))
         return decode_ljpg(data)
+    raise NotImplementedError(f"unknown image format {fmt!r}")
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    """Encode with the named codec family (png lossless / jpeg lossy)."""
+    if fmt == "png":
+        return encode_png(px)
+    if fmt in ("jpeg", "jpg", "mjpg"):
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(px)
     raise NotImplementedError(f"unknown image format {fmt!r}")
 
 
@@ -225,7 +242,7 @@ def generate_images(
                 idx = int(idx)
                 px = synth_pixels(idx, w, h)
                 fmt = "png" if idx % 2 == 0 else "jpeg"
-                data = encode_png(px) if fmt == "png" else encode_ljpg(px)
+                data = encode_image(px, fmt)
                 ph = average_phash(px)
                 lon, lat = centroid_of(ph, idx, hot_mod, hot_lon, hot_lat)
                 image_id = f"img{idx:012d}"

@@ -116,20 +116,28 @@ class TestAugment:
         from proj_spark.operators.multimodal import augment_images
         from proj_spark.sources.images import decode_image, generate_images
 
+        from proj_spark.sources.images import psnr_db
+
         imgs = generate_images(spark, 6).cache()
+        fmts = {r.image_id: r.fmt for r in imgs.select("image_id", "fmt").collect()}
         orig = {
             r.image_id: decode_image(bytes(r.bytes), r.fmt)
             for r in imgs.collect()
         }
-        # hflip twice == identity on decoded pixels (both codecs:
-        # per-pixel quantization commutes with the flip)
+        # hflip twice == identity on decoded pixels: exact for png;
+        # for the real JPEG codec each re-encode is a fresh lossy
+        # roundtrip, so assert high fidelity (double roundtrip at q98
+        # measures ~41 dB) instead of bit equality
         once = augment_images(imgs, "hflip")
         twice = {
             r.image_id: decode_image(bytes(r.bytes), r.fmt)
             for r in augment_images(once, "hflip").collect()
         }
         for iid, px in orig.items():
-            assert (twice[iid] == px).all()
+            if fmts[iid] == "png":
+                assert (twice[iid] == px).all()
+            else:
+                assert psnr_db(twice[iid], px) >= 38.0
         # rot90 then rot270 == identity; rot90 swaps dimensions
         r90 = augment_images(imgs, "rot90").cache()
         for r in r90.collect():
@@ -139,7 +147,10 @@ class TestAugment:
             for r in augment_images(r90, "rot270").collect()
         }
         for iid, px in orig.items():
-            assert (back[iid] == px).all()
+            if fmts[iid] == "png":
+                assert (back[iid] == px).all()
+            else:
+                assert psnr_db(back[iid], px) >= 38.0
 
     def test_center_crop_dims_and_content(self, spark):
         import numpy as np
@@ -161,8 +172,10 @@ class TestAugment:
             ref = src[y0 : y0 + h // 2, x0 : x0 + w // 2]
             if r.fmt == "png":
                 assert (got == ref).all()
-            else:  # lossy family: content within the codec's quant step
-                assert np.abs(got.astype(int) - ref.astype(int)).max() <= 4
+            else:  # lossy family: one fresh JPEG roundtrip on the crop
+                from proj_spark.sources.images import psnr_db
+
+                assert psnr_db(got, ref) >= 40.0
 
     def test_unknown_op_rejected(self, spark):
         import pytest
