@@ -2137,6 +2137,102 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VID_N = 48
+_VID_FRAMES = 24
+_VID_EVERY = 6
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video lane end-to-end: build MJPEG-in-AVI payloads on the
+    EXECUTORS (real baseline JPEG frames inside a real RIFF/AVI
+    container), sample every 6th frame via the container walk
+    (operators/multimodal.sample_frames), decode the sampled MJPEG
+    bitstreams back to pixels, and roll up per-video fidelity stats.
+
+    Per-frame metrics are floored to integers BEFORE aggregation so
+    the rollup is exact under any partitioning (float summation order
+    can flip a floor on the boundary).  Oracle: single-process local
+    replay of the identical codec chain."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from proj_spark.operators.multimodal import sample_frames
+    from proj_spark.sources.images import decode_image, psnr_db, synth_pixels
+
+    def gen(batches):
+        from proj_spark.sources.avi import write_avi_mjpeg
+        from proj_spark.sources.jpeg import encode_jpeg
+
+        for b in batches:
+            rows = []
+            for vid in b["id"].to_numpy():
+                vid = int(vid)
+                frames = [
+                    encode_jpeg(synth_pixels(vid * 1000 + i, 16, 16))
+                    for i in range(_VID_FRAMES)
+                ]
+                rows.append((f"vid{vid:04d}", write_avi_mjpeg(frames, 16, 16)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    videos = (
+        spark.range(0, _VID_N, 1, 8)
+        .mapInPandas(
+            gen,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.StringType()),
+                    T.StructField("bytes", T.BinaryType()),
+                ]
+            ),
+        )
+        .withColumn("fmt", F.lit("avi"))
+    )
+    frames = sample_frames(videos, every_n=_VID_EVERY)
+
+    def met(batches):
+        for b in batches:
+            out = []
+            for mid, idx, data, fmt in zip(
+                b["media_id"].to_numpy(),
+                b["frame_idx"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = decode_image(bytes(data), fmt)
+                src = synth_pixels(int(mid[3:]) * 1000 + int(idx), 16, 16)
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                out.append(
+                    (
+                        mid,
+                        int(idx),
+                        int(np.floor(psnr_db(src, px))),
+                        int(np.floor(float(luma.mean()) * 100.0)),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "psnr_fl", "luma_centi"]
+            )
+
+    m = frames.mapInPandas(
+        met,
+        T.StructType(
+            [
+                T.StructField("media_id", T.StringType()),
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("psnr_fl", T.LongType()),
+                T.StructField("luma_centi", T.LongType()),
+            ]
+        ),
+    )
+    return m.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+        F.min("psnr_fl").cast("long").alias("min_psnr_db"),
+        F.sum("luma_centi").cast("long").alias("sum_luma_centi"),
+    )
+
+
 def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distortion analysis (pj_factors: scale h/k, areal s) on the
     two-SP Lambert conformal conic.  The Spark side uses the NUMERIC
@@ -2352,9 +2448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash⊂simhash_pairs, minhash_sigs⊂lsh_pairs,
     boilerplate⊂strip_boilerplate, dedup_components⊂dedup_groups,
     hash_split~stratified_sample, tile_counts⊂tile_multizoom,
-    ann_cosine⊂ann_lsh/ann_ivf refine, salted_rollup~salted_join_rollup,
-    event_tiles~tile_multizoom, sinu_fwd~the other kernel fwd queries).
-    Across r3+r4 every entry therefore has a driver-green row.
+    ann_cosine⊂ann_lsh/ann_ivf refine, ann_ivf~ann_lsh (both bucketed
+    ANN probes sharing the brute-force refine), salted_rollup~
+    salted_join_rollup, event_tiles~tile_multizoom, sinu_fwd~the other
+    kernel fwd queries).  Across r3+r4 every entry therefore has a
+    driver-green row.  round 4 adds ``video_frames`` (the end-to-end
+    MJPEG-in-AVI lane over the real JPEG codec) inside the window.
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2404,7 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
-        "ann_ivf": q_ann_ivf,
+        "video_frames": q_video_frames,
         "ann_lsh": q_ann_lsh,
         "utm_cheby_fwd": q_utm_cheby_fwd,
         "cosine_dedup": q_cosine_dedup,
@@ -2417,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "tile_counts": q_tile_counts,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "salted_rollup": q_salted_rollup,
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
@@ -2744,6 +2844,45 @@ def _images_payload_oracle() -> str:
     )
 
 
+def _video_frames_oracle() -> str:
+    """Golden aggregate: single-process replay of the full video chain
+    (JPEG-encode frames -> AVI container -> container walk -> sample ->
+    JPEG-decode -> integer per-frame metrics) — checks the distributed
+    sample_frames/mapInPandas path reproduces the local computation."""
+    import numpy as np
+
+    from proj_spark.sources.avi import read_avi_frames, write_avi_mjpeg
+    from proj_spark.sources.images import decode_image, psnr_db, synth_pixels
+    from proj_spark.sources.jpeg import encode_jpeg
+
+    luma_w = np.array([0.299, 0.587, 0.114])
+    rows = []
+    for vid in range(_VID_N):
+        frames = [
+            encode_jpeg(synth_pixels(vid * 1000 + i, 16, 16))
+            for i in range(_VID_FRAMES)
+        ]
+        data = write_avi_mjpeg(frames, 16, 16)
+        n = s_idx = s_luma = 0
+        min_psnr = 1 << 60
+        for idx, payload, codec in read_avi_frames(data):
+            if idx % _VID_EVERY:
+                continue
+            px = decode_image(payload, codec)
+            src = synth_pixels(vid * 1000 + idx, 16, 16)
+            luma = px.astype(np.float64) @ luma_w
+            n += 1
+            s_idx += idx
+            min_psnr = min(min_psnr, int(np.floor(psnr_db(src, px))))
+            s_luma += int(np.floor(float(luma.mean()) * 100.0))
+        rows.append(f"('vid{vid:04d}',{n},{s_idx},{min_psnr},{s_luma})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, n_sampled, sum_frame_idx, min_psnr_db, sum_luma_centi)"
+    )
+
+
 def _image_features_oracle() -> str:
     """Golden aggregate: local pandas replay of extract_features +
     all-pairs phash hamming<=2 count (the banded Spark operator has
@@ -2880,4 +3019,5 @@ FROM documents
         "polygon_metrics": _polygon_metrics_oracle(),
         "images_payload": _images_payload_oracle(),
         "image_features": _image_features_oracle(),
+        "video_frames": _video_frames_oracle(),
     }
