@@ -16,9 +16,11 @@ public baseline-sequential JPEG spec directly:
   bitstream, not assumed), canonical Huffman decode over an
   unpacked-bit array, dequantize, inverse zigzag, IDCT, YCbCr->RGB.
 
-Scope: baseline sequential, 8-bit, single scan, 1x1 sampling (4:4:4)
-for 1- or 3-component images; progressive / subsampled / restart-
-interval streams raise ValueError.  Everything is deterministic:
+Scope: baseline sequential, 8-bit, single scan, sampling factors up
+to 2x2 — i.e. 4:4:4 (the encoder default, used by the PSNR>=40
+payload gate), 4:2:2, and 4:2:0 (what stock encoders usually emit;
+chroma upsampled by replication on decode) — for 1- or 3-component
+images; progressive and restart-interval streams raise ValueError.  Everything is deterministic:
 encoding the same pixels twice yields identical bytes (no timestamps,
 fixed tables), per the repo-wide reproducibility rule.
 
@@ -275,9 +277,49 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 98) -> bytes:
+_SAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _emit_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int, t: int) -> int:
+    """Entropy-code one zigzagged quantized block; returns its DC."""
+    enc_dc, enc_ac = _ENC_DC[t], _ENC_AC[t]
+    dc = int(zz[0])
+    size, mbits = _mag_bits(dc - prev_dc)
+    code, length = enc_dc[size]
+    bw.write(code, length)
+    bw.write(mbits, size)
+    nz = np.nonzero(zz[1:])[0] + 1
+    last = 0
+    for pos in nz:
+        run = int(pos) - last - 1
+        while run >= 16:
+            code, length = enc_ac[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, mbits = _mag_bits(int(zz[pos]))
+        code, length = enc_ac[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(mbits, size)
+        last = int(pos)
+    if last != 63:
+        code, length = enc_ac[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 98, subsampling: str = "444") -> bytes:
     """Encode an (H, W, 3) or (H, W) uint8 array as baseline JFIF JPEG
-    (4:4:4, single scan, standard tables scaled to ``quality``)."""
+    (single scan, standard tables scaled to ``quality``).
+
+    ``subsampling``: '444' (default — every pixel keeps its chroma;
+    what the PSNR>=40 payload gate uses), '422' (chroma halved
+    horizontally), or '420' (halved both ways — the common rate point
+    of stock encoders; expect chroma-limited PSNR on colorful
+    content)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
@@ -285,58 +327,55 @@ def encode_jpeg(px: np.ndarray, quality: int = 98) -> bytes:
         raise ValueError(f"expected 1 or 3 channels, got {ncomp}")
     if not (0 < w <= 65535 and 0 < h <= 65535):
         raise ValueError("image dimensions out of JPEG range")
+    if subsampling not in _SAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SAMPLING)}")
+    samp = [(1, 1)] if ncomp == 1 else _SAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
-    # pad to block multiples by edge replication (minimizes ringing)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to MCU multiples by edge replication (minimizes ringing)
+    ph, pw = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
     if (ph, pw) != (h, w):
         px = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
 
     if ncomp == 3:
-        planes = rgb_to_ycbcr(px)
+        full = rgb_to_ycbcr(px)
     else:
-        planes = px.astype(np.float64)
+        full = px.astype(np.float64)
     qts = [_quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)]
 
-    # FDCT + quantization for every component, vectorized over blocks
+    # per-component planes (chroma box-averaged down to its sampling),
+    # then FDCT + quantization vectorized over all blocks at once
     comp_zz: list[np.ndarray] = []
+    comp_cols: list[int] = []
     for c in range(ncomp):
-        blocks = _blockify(planes[..., c] - 128.0)
+        hc, vc = samp[c]
+        plane = full[..., c]
+        fy, fx = vmax // vc, hmax // hc
+        if fy > 1 or fx > 1:
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        blocks = _blockify(plane - 128.0)
         coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
         q = qts[0] if c == 0 else qts[1]
         quant = np.rint(coef / q).astype(np.int64)
         comp_zz.append(quant.reshape(-1, 64)[:, _ZZ])
+        comp_cols.append(plane.shape[1] // 8)
 
-    # entropy coding: interleaved MCUs (4:4:4 -> one block per comp)
+    # entropy coding: interleaved MCUs, h x v blocks per component in
+    # raster order within each MCU (T.81 A.2.3)
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    n_blocks = comp_zz[0].shape[0]
-    for n in range(n_blocks):
-        for c in range(ncomp):
-            t = 0 if c == 0 else 1
-            enc_dc, enc_ac = _ENC_DC[t], _ENC_AC[t]
-            zz = comp_zz[c][n]
-            diff = int(zz[0]) - prev_dc[c]
-            prev_dc[c] = int(zz[0])
-            size, mbits = _mag_bits(diff)
-            code, length = enc_dc[size]
-            bw.write(code, length)
-            bw.write(mbits, size)
-            nz = np.nonzero(zz[1:])[0] + 1
-            last = 0
-            for pos in nz:
-                run = int(pos) - last - 1
-                while run >= 16:
-                    code, length = enc_ac[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, mbits = _mag_bits(int(zz[pos]))
-                code, length = enc_ac[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(mbits, size)
-                last = int(pos)
-            if last != 63:
-                code, length = enc_ac[0x00]  # EOB
-                bw.write(code, length)
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                hc, vc = samp[c]
+                for sy in range(vc):
+                    for sx in range(hc):
+                        idx = (my * vc + sy) * comp_cols[c] + (mx * hc + sx)
+                        prev_dc[c] = _emit_block(
+                            bw, comp_zz[c][idx], prev_dc[c], 0 if c == 0 else 1
+                        )
     entropy = bw.flush()
 
     # marker structure
@@ -347,7 +386,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 98) -> bytes:
         out += _segment(0xFFDB, b"\x01" + bytes(qts[1].reshape(-1)[_ZZ].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 1x1 sampling
+        hc, vc = samp[c]
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
     out += _segment(0xFFC0, sof)
     out += _segment(0xFFC4, _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
     out += _segment(0xFFC4, _dht_payload(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
@@ -471,8 +511,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             for c in range(nf):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
+                hc, vc = samp >> 4, samp & 0x0F
+                if hc not in (1, 2) or vc not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hc}x{vc} unsupported (1..2 only)"
+                    )
                 comps.append((cid, samp, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -514,47 +557,69 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     br = _BitReader(bytes(raw))
     ncomp = len(comps)
-    nbx, nby = -(-w // 8), -(-h // 8)
-    n_mcus = nbx * nby
-    planes = np.zeros((ncomp, nby * 8, nbx * 8))
+    samp = [(s >> 4, s & 0x0F) for _, s, _ in comps]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vc, mcux * 8 * hc)) for hc, vc in samp
+    ]
     prev_dc = [0] * ncomp
     idct_t = _DCT.T
-    for m in range(n_mcus):
-        by, bx = divmod(m, nbx)
+
+    def read_block(dct, act, q, ci):
+        zz = np.zeros(64, dtype=np.float64)
+        size = _decode_huff(br, dct)
+        prev_dc[ci] += _extend(br.read_bits(size), size)
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _decode_huff(br, act)
+            if rs == 0x00:  # EOB
+                break
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overrun")
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+        block = np.zeros(64)
+        block[_ZZ] = zz
+        return idct_t @ (block.reshape(8, 8) * q) @ _DCT + 128.0
+
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
         for ci, dc_t, ac_t in scan:
             q = qtables[comps[ci][2]]
             dct = huff[(0, dc_t)]
             act = huff[(1, ac_t)]
-            zz = np.zeros(64, dtype=np.float64)
-            size = _decode_huff(br, dct)
-            prev_dc[ci] += _extend(br.read_bits(size), size)
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _decode_huff(br, act)
-                if rs == 0x00:  # EOB
-                    break
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overrun")
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            block = np.zeros(64)
-            block[_ZZ] = zz
-            block = block.reshape(8, 8) * q
-            pix = idct_t @ block @ _DCT + 128.0
-            planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            hc, vc = samp[ci]
+            for sy in range(vc):
+                for sx in range(hc):
+                    pix = read_block(dct, act, q, ci)
+                    y0 = (my * vc + sy) * 8
+                    x0 = (mx * hc + sx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
 
-    planes = planes[:, :h, :w]
+    # upsample subsampled components to full resolution (replication)
+    out_planes = []
+    for ci in range(ncomp):
+        hc, vc = samp[ci]
+        p = planes[ci]
+        if vc < vmax:
+            p = np.repeat(p, vmax // vc, axis=0)
+        if hc < hmax:
+            p = np.repeat(p, hmax // hc, axis=1)
+        out_planes.append(p[:h, :w])
+
     if ncomp == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-    return ycbcr_to_rgb(np.stack([planes[0], planes[1], planes[2]], axis=-1))
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(np.stack(out_planes, axis=-1))
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -74,6 +74,30 @@ def test_odd_dimensions_and_grayscale():
     assert dg.shape == g.shape and psnr_db(g, dg) >= 38.0
 
 
+def test_subsampled_modes_roundtrip():
+    """4:2:2 / 4:2:0 (what stock encoders emit): smooth content decodes
+    at high fidelity; shapes survive non-MCU-aligned dims; grayscale is
+    unaffected by the chroma mode."""
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [np.clip(xx * 3, 0, 255), np.clip(yy * 4, 0, 255), np.clip(xx + yy, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    for mode, floor in (("444", 50.0), ("422", 45.0), ("420", 42.0)):
+        data = encode_jpeg(smooth, 95, subsampling=mode)
+        dec = decode_jpeg(data)
+        assert dec.shape == smooth.shape
+        assert psnr_db(smooth, dec) >= floor, mode
+        assert data == encode_jpeg(smooth, 95, subsampling=mode)  # deterministic
+    # odd, non-MCU-aligned dims keep their shape through 2x2 sampling
+    px = synth_pixels(1, 33, 47)
+    assert decode_jpeg(encode_jpeg(px, 98, subsampling="420")).shape == (47, 33, 3)
+    g = synth_pixels(2, 20, 20)[:, :, 0]
+    assert psnr_db(g, decode_jpeg(encode_jpeg(g, 98, subsampling="420"))) >= 38.0
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(px, 98, subsampling="411")
+
+
 def test_flat_image_near_exact():
     flat = np.full((16, 16, 3), 128, np.uint8)
     assert psnr_db(flat, decode_jpeg(encode_jpeg(flat))) >= 50.0
