@@ -136,6 +136,40 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter(rows: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (RFC 2083 §6) for 8-bit RGB.
+    rows: (h, 1+3w) uint8 — filter byte + filtered scanline."""
+    bpp, stride = 3, w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = int(rows[r, 0])
+        line = rows[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0  # left
+                b = int(prev[i])  # above
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = cur
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos = 8
@@ -146,16 +180,21 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, bit, color = struct.unpack(">IIBB", body[:10])
+            w, h, bit, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
             assert bit == 8 and color == 2, "only 8-bit RGB supported"
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNGs unsupported")
         elif tag == b"IDAT":
             idat += body
         pos += 12 + ln
     raw = zlib.decompress(idat)
     stride = w * 3 + 1
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    assert (rows[:, 0] == 0).all(), "only filter-0 PNGs supported"
-    return rows[:, 1:].reshape(h, w, 3).copy()
+    if (rows[:, 0] == 0).all():  # fast path: what encode_png emits
+        return rows[:, 1:].reshape(h, w, 3).copy()
+    return _png_unfilter(rows, h, w).reshape(h, w, 3)
 
 
 _LJPG_MAGIC = b"LJPG"

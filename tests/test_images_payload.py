@@ -34,6 +34,63 @@ def test_ljpg_psnr_above_contract():
         assert psnr_db(px, dec) >= 40.0
 
 
+def test_png_decoder_handles_all_filter_types():
+    """Stock encoders pick filters 1-4 adaptively; build a PNG whose
+    every scanline uses a chosen filter (forward-filtering here in the
+    test) and check decode recovers the exact pixels."""
+    import struct
+    import zlib
+
+    px = synth_pixels(5, 19, 7)  # odd width exercises per-pixel loops
+    h, w, _ = px.shape
+    bpp, stride = 3, w * 3
+
+    def fwd_filter(f: int) -> bytes:
+        flat = px.reshape(h, stride).astype(np.int32)
+        out = bytearray()
+        for r in range(h):
+            line = flat[r]
+            prev = flat[r - 1] if r else np.zeros(stride, np.int32)
+            filt = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (int(line[i]) - pred) & 0xFF
+            out += bytes([f]) + filt.astype(np.uint8).tobytes()
+        return bytes(out)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for f in range(5):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(fwd_filter(f)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), px), f"filter {f}"
+
+
 def test_phash_deterministic_and_64bit():
     px = synth_pixels(42)
     assert average_phash(px) == average_phash(px.copy())
