@@ -2233,6 +2233,25 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side curation signals (operators/multimodal.image_quality):
+    Laplacian blur variance, contrast, luma entropy, saturation per
+    image over the deterministic payload table, floored to integers
+    for a stable cross-engine hash.  Oracle: local pandas replay."""
+    from proj_spark.operators.multimodal import image_quality
+    from proj_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 500, partitions=4)
+    qy = image_quality(imgs)
+    return qy.select(
+        "image_id",
+        F.floor(F.col("blur_var")).cast("long").alias("blur_var_fl"),
+        F.floor(F.col("contrast") * 100.0).cast("long").alias("contrast_centi"),
+        F.floor(F.col("entropy_bits") * 1000.0).cast("long").alias("entropy_milli"),
+        F.floor(F.col("saturation") * 100.0).cast("long").alias("saturation_centi"),
+    )
+
+
 def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distortion analysis (pj_factors: scale h/k, areal s) on the
     two-SP Lambert conformal conic.  The Spark side uses the NUMERIC
@@ -2520,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
+        "image_quality": q_image_quality,
     }
 
 
@@ -2844,6 +2864,46 @@ def _images_payload_oracle() -> str:
     )
 
 
+def _image_quality_oracle() -> str:
+    """Golden per-image rows: local replay of generate+decode+metrics
+    with the identical numpy code path."""
+    import numpy as np
+
+    from proj_spark.sources.images import decode_image, encode_image, synth_pixels
+
+    luma_w = np.array([0.299, 0.587, 0.114])
+    rows = []
+    for idx in range(500):
+        src = synth_pixels(idx, 32, 32)
+        fmt = "png" if idx % 2 == 0 else "jpeg"
+        px = decode_image(encode_image(src, fmt), fmt).astype(np.float64)
+        luma = px @ luma_w
+        lap = (
+            4.0 * luma[1:-1, 1:-1]
+            - luma[:-2, 1:-1]
+            - luma[2:, 1:-1]
+            - luma[1:-1, :-2]
+            - luma[1:-1, 2:]
+        )
+        hist = np.histogram(luma, bins=256, range=(0.0, 256.0))[0]
+        p = hist[hist > 0] / hist.sum()
+        rows.append(
+            "('img{:012d}',{},{},{},{})".format(
+                idx,
+                int(np.floor(float(lap.var()))),
+                int(np.floor(float(luma.std()) * 100.0)),
+                int(np.floor(float(-(p * np.log2(p)).sum()) * 1000.0)),
+                int(np.floor(float((px.max(axis=2) - px.min(axis=2)).mean()) * 100.0)),
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(image_id, blur_var_fl, contrast_centi, entropy_milli,"
+        " saturation_centi)"
+    )
+
+
 def _video_frames_oracle() -> str:
     """Golden aggregate: single-process replay of the full video chain
     (JPEG-encode frames -> AVI container -> container walk -> sample ->
@@ -3020,4 +3080,5 @@ FROM documents
         "images_payload": _images_payload_oracle(),
         "image_features": _image_features_oracle(),
         "video_frames": _video_frames_oracle(),
+        "image_quality": _image_quality_oracle(),
     }

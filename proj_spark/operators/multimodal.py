@@ -255,6 +255,71 @@ def phash_dedup_pairs(
     )
 
 
+_QUALITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("blur_var", DoubleType()),
+        StructField("contrast", DoubleType()),
+        StructField("entropy_bits", DoubleType()),
+        StructField("saturation", DoubleType()),
+    ]
+)
+
+
+def image_quality(df: DataFrame) -> DataFrame:
+    """Per-image quality signals for curation gating (the image-side
+    analog of text quality_score — the classic pre-training filters):
+
+    - ``blur_var``: variance of the 4-neighbor Laplacian of luma (the
+      standard blur detector — low variance = soft/blurry; LAION-style
+      pipelines gate on it)
+    - ``contrast``: luma standard deviation
+    - ``entropy_bits``: Shannon entropy of the 256-bin luma histogram
+      (near-0 for flat/synthetic fills, ~7.5+ for natural content)
+    - ``saturation``: mean of (max(R,G,B) - min(R,G,B)) — near-0 flags
+      grayscale or washed-out content
+
+    Narrow mapInPandas, per-image numpy; no shuffle."""
+    luma_w = np.array([0.299, 0.587, 0.114])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw, fmt in zip(
+                b["image_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = decode_image(raw, fmt).astype(np.float64)
+                luma = px @ luma_w
+                lap = (
+                    4.0 * luma[1:-1, 1:-1]
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                hist = np.histogram(luma, bins=256, range=(0.0, 256.0))[0]
+                p = hist[hist > 0] / hist.sum()
+                out.append(
+                    (
+                        iid,
+                        float(lap.var()) if lap.size else 0.0,
+                        float(luma.std()),
+                        float(-(p * np.log2(p)).sum()),
+                        float((px.max(axis=2) - px.min(axis=2)).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "blur_var", "contrast", "entropy_bits", "saturation",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, _QUALITY_SCHEMA)
+
+
 _AUDIO_FEAT_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),

@@ -94,6 +94,35 @@ def test_sample_frames_avi(spark):
     assert [r.fmt for r in out if r.media_id == "fv0"] == ["png"]
 
 
+def test_image_quality_signals(spark):
+    """Blur variance orders sharp above smoothed; grayscale content
+    scores ~zero saturation; flat fill scores ~zero entropy."""
+    from proj_spark.operators.multimodal import image_quality
+    from proj_spark.sources.images import encode_png
+
+    sharp = synth_pixels(0, 32, 32)
+    # 3x3 box-blur of the same image (valid region padded by edges)
+    f = sharp.astype(np.float64)
+    blurred = f.copy()
+    blurred[1:-1, 1:-1] = sum(
+        f[1 + dy : 31 + dy, 1 + dx : 31 + dx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ) / 9.0
+    blurred = blurred.astype(np.uint8)
+    gray = np.repeat(sharp[:, :, :1], 3, axis=2)
+    flat = np.full((32, 32, 3), 77, np.uint8)
+    rows = [
+        Row(image_id=n, bytes=encode_png(p), fmt="png")
+        for n, p in [("sharp", sharp), ("blur", blurred), ("gray", gray), ("flat", flat)]
+    ]
+    out = {r.image_id: r for r in image_quality(spark.createDataFrame(rows)).collect()}
+    assert out["sharp"].blur_var > 2.0 * out["blur"].blur_var
+    assert out["gray"].saturation < 1e-9
+    assert out["flat"].entropy_bits < 1e-9 and out["flat"].contrast < 1e-9
+    assert out["sharp"].entropy_bits > 5.0
+
+
 def test_phash_dedup_pairs_finds_identical_images(spark):
     # rows 2k and 2k+1 with identical pixels -> identical phash
     rows = []
