@@ -1227,6 +1227,67 @@ def _dedup_groups_oracle() -> str:
     )
 
 
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side near-dup clustering: phash hamming<=3 banded pairs
+    (pigeonhole recall guarantee at that radius) -> connected
+    components -> canonical keeper — the image analog of dedup_groups.
+
+    Near-dup load by construction: each odd row adopts its even
+    sibling's phash (200 guaranteed hamming-0 pairs) without touching
+    payloads.  Oracle: DuckDB computes all-pairs hamming and the
+    components itself via a recursive CTE — an independent
+    cross-engine derivation, not a replay."""
+    from proj_spark.operators.components import dedup_groups
+    from proj_spark.operators.multimodal import phash_dedup_pairs
+    from proj_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 400, partitions=4).select("image_id", "phash")
+    idx = F.substring("image_id", 4, 12).cast("long")
+    base = imgs.select(
+        F.col("image_id").alias("base_id"), F.col("phash").alias("base_phash")
+    )
+    keyed = imgs.select(
+        "image_id", F.format_string("img%012d", idx - idx % 2).alias("base_id")
+    )
+    docs = keyed.join(base, "base_id").select(
+        "image_id", F.col("base_phash").alias("phash")
+    )
+    pairs = phash_dedup_pairs(docs, max_hamming=3)
+    out = dedup_groups(
+        docs.select("image_id"), pairs, id_col="image_id", a="id_a", b="id_b"
+    )
+    return out.select("image_id", "group_id", "is_canonical")
+
+
+def _image_dedup_groups_oracle() -> str:
+    from proj_spark.sources.images import average_phash, synth_pixels
+
+    ph: dict[int, int] = {}
+    vals = []
+    for idx in range(400):
+        b = idx - idx % 2
+        if b not in ph:
+            ph[b] = average_phash(synth_pixels(b, 32, 32))
+        vals.append(f"('img{idx:012d}',{ph[b]})")
+    return (
+        "WITH RECURSIVE imgs(image_id, phash) AS (SELECT * FROM (VALUES "
+        + ",".join(vals)
+        + ") t(a, b)),\n"
+        "cand AS (SELECT a.image_id AS id_a, b.image_id AS id_b FROM imgs a "
+        "JOIN imgs b ON a.image_id < b.image_id "
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3),\n"
+        "edges AS (SELECT id_a AS u, id_b AS v FROM cand "
+        "UNION SELECT id_b AS u, id_a AS v FROM cand),\n"
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),\n"
+        "comp AS (SELECT u AS node, least(u, min(v)) AS component "
+        "FROM reach GROUP BY u)\n"
+        "SELECT i.image_id, coalesce(c.component, i.image_id) AS group_id,\n"
+        "       i.image_id = coalesce(c.component, i.image_id) AS is_canonical\n"
+        "FROM imgs i LEFT JOIN comp c ON i.image_id = c.node"
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio lane end-to-end: synthesize REAL WAV payloads (RIFF/PCM16,
     sources/audio.py) for customer-keyed seeds, decode them back on
@@ -2540,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
         "image_quality": q_image_quality,
+        "image_dedup_groups": q_image_dedup_groups,
     }
 
 
@@ -3081,4 +3143,5 @@ FROM documents
         "image_features": _image_features_oracle(),
         "video_frames": _video_frames_oracle(),
         "image_quality": _image_quality_oracle(),
+        "image_dedup_groups": _image_dedup_groups_oracle(),
     }

@@ -207,8 +207,8 @@ def drill(n_docs: int, base: str, cpus: int) -> dict:
     t0 = time.time()
     rc_a, a = worker(root_a)
     assert rc_a == 0, a
-    rc_k, _ = worker(root_b, crash="pairs")
-    assert rc_k == 17, f"crash worker exited {rc_k}, wanted 17"
+    rc_k, kerr = worker(root_b, crash="pairs")
+    assert rc_k == 17, f"crash worker exited {rc_k}, wanted 17: {kerr}"
     poisoned = os.path.join(root_b, "groups", "data", "part-poison.parquet")
     assert os.path.exists(poisoned), "poison partial missing before resume"
     rc_b, b = worker(root_b)
