@@ -230,6 +230,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding, stuffed like any data byte) and emit
+        RSTn — markers themselves are never stuffed (T.81 F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _blockify(plane: np.ndarray) -> np.ndarray:
     """(H, W) -> (nby*nbx, 8, 8) in raster block order; H, W % 8 == 0."""
@@ -311,7 +319,12 @@ def _emit_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int, t: int) -> int:
     return dc
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 98, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 98,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (H, W, 3) or (H, W) uint8 array as baseline JFIF JPEG
     (single scan, standard tables scaled to ``quality``).
 
@@ -319,7 +332,11 @@ def encode_jpeg(px: np.ndarray, quality: int = 98, subsampling: str = "444") -> 
     what the PSNR>=40 payload gate uses), '422' (chroma halved
     horizontally), or '420' (halved both ways — the common rate point
     of stock encoders; expect chroma-limited PSNR on colorful
-    content)."""
+    content).
+
+    ``restart_interval``: if > 0, emit a DRI segment and an RSTn
+    marker every that-many MCUs (what camera MJPEG streams do so a
+    corrupted packet only loses one restart interval)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
@@ -366,16 +383,21 @@ def encode_jpeg(px: np.ndarray, quality: int = 98, subsampling: str = "444") -> 
     bw = _BitWriter()
     prev_dc = [0] * ncomp
     mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in range(ncomp):
-                hc, vc = samp[c]
-                for sy in range(vc):
-                    for sx in range(hc):
-                        idx = (my * vc + sy) * comp_cols[c] + (mx * hc + sx)
-                        prev_dc[c] = _emit_block(
-                            bw, comp_zz[c][idx], prev_dc[c], 0 if c == 0 else 1
-                        )
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart(n_rst)
+            n_rst += 1
+            prev_dc = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for c in range(ncomp):
+            hc, vc = samp[c]
+            for sy in range(vc):
+                for sx in range(hc):
+                    idx = (my * vc + sy) * comp_cols[c] + (mx * hc + sx)
+                    prev_dc[c] = _emit_block(
+                        bw, comp_zz[c][idx], prev_dc[c], 0 if c == 0 else 1
+                    )
     entropy = bw.flush()
 
     # marker structure
@@ -394,6 +416,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 98, subsampling: str = "444") -> 
     if ncomp == 3:
         out += _segment(0xFFC4, _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
         out += _segment(0xFFC4, _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _segment(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])  # DC/AC table ids
@@ -473,6 +497,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], list[dict[int, int]]] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qtable_id)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
     entropy_start = -1
@@ -521,8 +546,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:  # DRI
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             by_id = {cid: i for i, (cid, _, _) in enumerate(comps)}
@@ -537,8 +561,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if entropy_start < 0 or not comps:
         raise ValueError("no scan found")
 
-    # isolate + unstuff entropy data (ends at the next real marker)
+    # isolate + unstuff entropy data (ends at the next real marker);
+    # RSTn markers split it into independently byte-aligned segments
     end = entropy_start
+    segments: list[bytes] = []
     raw = bytearray()
     n_data = len(data)
     while end < n_data:
@@ -549,13 +575,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raw.append(0xFF)
                 end += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers unsupported")
+            if 0xD0 <= nxt <= 0xD7:  # restart: new segment, reset below
+                segments.append(bytes(raw))
+                raw = bytearray()
+                end += 2
+                continue
             break
         raw.append(b)
         end += 1
+    segments.append(bytes(raw))
 
-    br = _BitReader(bytes(raw))
+    br = _BitReader(segments[0])
+    seg_i = 0
     ncomp = len(comps)
     samp = [(s >> 4, s & 0x0F) for _, s, _ in comps]
     hmax = max(s[0] for s in samp)
@@ -593,6 +624,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return idct_t @ (block.reshape(8, 8) * q) @ _DCT + 128.0
 
     for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment in entropy data")
+            br = _BitReader(segments[seg_i])
+            prev_dc = [0] * ncomp
         my, mx = divmod(m, mcux)
         for ci, dc_t, ac_t in scan:
             q = qtables[comps[ci][2]]

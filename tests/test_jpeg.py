@@ -98,6 +98,25 @@ def test_subsampled_modes_roundtrip():
         encode_jpeg(px, 98, subsampling="411")
 
 
+def test_restart_markers_roundtrip():
+    """DRI/RSTn streams (what camera MJPEG emits): decoded pixels are
+    bit-identical to the same image coded without restarts, for
+    intervals splitting at every MCU, mid-stream, and past the end."""
+    px = synth_pixels(3, 48, 40)  # 30 MCUs at 4:4:4
+    plain = decode_jpeg(encode_jpeg(px, 98))
+    for ri in (1, 2, 7, 30, 100):
+        data = encode_jpeg(px, 98, restart_interval=ri)
+        if ri < 30:
+            assert b"\xff\xdd" in data  # DRI present
+        assert np.array_equal(decode_jpeg(data), plain), f"ri={ri}"
+    # restarts compose with subsampling
+    px2 = synth_pixels(9, 64, 48)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px2, 95, subsampling="420", restart_interval=3)),
+        decode_jpeg(encode_jpeg(px2, 95, subsampling="420")),
+    )
+
+
 def test_flat_image_near_exact():
     flat = np.full((16, 16, 3), 128, np.uint8)
     assert psnr_db(flat, decode_jpeg(encode_jpeg(flat))) >= 50.0
