@@ -65,6 +65,24 @@ def test_tile_thumbnails_end_to_end(spark, tmp_path):
                 assert all(m.mtime == 0 for m in t.getmembers())
 
 
+def test_image_funnel_tool(spark, tmp_path):
+    """Image curation funnel (tools/example_image_pipeline.py): runs
+    in-session, funnel counts are monotone, export count equals the
+    canonical keep, shards land on disk (invariants assert inside)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from example_image_pipeline import run as funnel_run
+
+    out = funnel_run(spark, 200, str(tmp_path / "funnel"))
+    f = out["funnel"]
+    assert f["ingest"] == 200 and f["payload_verified"] == 200
+    assert 0 < f["canonical"] <= f["quality_gated"]
+    assert f["thumbnails_exported"] == f["canonical"]
+
+
 def test_tile_thumbnails_shuffle_carries_no_wide_payload(spark, tmp_path):
     """Plan gate: the tile repartition must shuffle the THUMBNAIL
     payload, not the original — i.e. the resize MapInPandas ('run')
