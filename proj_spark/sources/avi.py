@@ -12,8 +12,11 @@ alone.  This module implements:
   frame payload from the ``movi`` list (``##dc``/``##db`` chunks,
   including ones nested in ``rec `` LISTs) with its stream fourcc —
   i.e. MJPEG frame EXTRACTION, the container-level half of frame
-  sampling.  Decoding the extracted JPEG bitstreams to pixels still
-  requires a JPEG decoder and stays out of scope.
+  sampling.  The extracted JPEG bitstreams decode to pixels via the
+  real baseline codec in ``sources/jpeg.py`` (see
+  ``operators/multimodal.sample_frames``), so the MJPEG lane is
+  end-to-end; codecs that genuinely need native libraries (H.264)
+  stay out of scope.
 - :func:`write_avi_mjpeg`: a deterministic writer (fixed header
   fields, zero reserved words, idx1 index) so tests can roundtrip a
   real AVI file without external tooling.
