@@ -2533,7 +2533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     salted_join_rollup, event_tiles~tile_multizoom, sinu_fwd~the other
     kernel fwd queries).  Across r3+r4 every entry therefore has a
     driver-green row.  round 4 adds ``video_frames`` (the end-to-end
-    MJPEG-in-AVI lane over the real JPEG codec) inside the window.
+    MJPEG-in-AVI lane over the real JPEG codec) inside the window, and
+    ``image_quality`` + ``image_dedup_groups`` in the tail (locally
+    gated via tools/check_oracle.py, green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
