@@ -2313,6 +2313,61 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile-thumbnail sink's manifest (operators/tilesink.py): run
+    the real export — thumbnail + per-tile WebDataset tar shards into
+    a temp dir — and return the per-tile manifest.  The oracle
+    recomputes the expected tile occupancy from the centroid law
+    locally (the shards themselves are checked by tests/test_tilesink
+    and the image-funnel tool)."""
+    import tempfile
+
+    from proj_spark.operators.tilesink import tile_thumbnails
+    from proj_spark.sources.images import generate_images, with_centroids
+
+    imgs = with_centroids(generate_images(spark, 300, partitions=4))
+    out = tempfile.mkdtemp(prefix="tile_manifest_q_")
+    return tile_thumbnails(imgs, out, zoom=6, thumb=8).select(
+        "tile_x", "tile_y", "n"
+    )
+
+
+def _tile_manifest_oracle() -> str:
+    """Expected tile occupancy from the centroid + webmerc tile law,
+    replayed locally (math.floor in plain Python)."""
+    import math
+
+    from proj_spark.sources.images import average_phash, centroid_of, synth_pixels
+
+    counts: dict[tuple[int, int], int] = {}
+    z = 1 << 6
+    for idx in range(300):
+        ph = average_phash(synth_pixels(idx, 32, 32))
+        lon, lat = centroid_of(ph, idx, 5, -118.25, 34.05)
+        tx = min(max(math.floor((lon + 180.0) / 360.0 * z), 0), z - 1)
+        # mirror functions/expressions.tile_y float-for-float:
+        # sec is computed as sqrt(tan^2 + 1), not 1/cos
+        t = math.tan(lat * 0.017453292519943295)
+        ty = min(
+            max(
+                math.floor(
+                    (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi)
+                    / 2.0
+                    * z
+                ),
+                0,
+            ),
+            z - 1,
+        )
+        counts[(tx, ty)] = counts.get((tx, ty), 0) + 1
+    rows = [f"({tx},{ty},{n})" for (tx, ty), n in sorted(counts.items())]
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(tile_x, tile_y, n)"
+    )
+
+
 def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distortion analysis (pj_factors: scale h/k, areal s) on the
     two-SP Lambert conformal conic.  The Spark side uses the NUMERIC
@@ -2604,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinu_fwd": q_sinu_fwd,
         "image_quality": q_image_quality,
         "image_dedup_groups": q_image_dedup_groups,
+        "tile_manifest": q_tile_manifest,
     }
 
 
@@ -3146,4 +3202,5 @@ FROM documents
         "video_frames": _video_frames_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
+        "tile_manifest": _tile_manifest_oracle(),
     }
