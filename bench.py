@@ -390,6 +390,35 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         _time_suite(sf1_dir, sf1_timings)
         sf1_timings["fixture_gen_sec"] = sf1_fixture_s
 
+    # image-payload lane (NOT in the suite total, so `value` stays
+    # comparable round-over-round): the metric's PSNR>=40 payload gate
+    # as a throughput number — generate real PNG/JPEG payloads, then
+    # decode + verify every row (sources/jpeg.py baseline codec).
+    img_lane: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as BF
+
+        from proj_spark.sources.images import generate_images, verify_payloads
+
+        n_img = int(os.environ.get("SPARK_GRAFT_BENCH_PAYLOADS", "20000"))
+        t0 = time.time()
+        imgs = generate_images(spark, n_img, partitions=4 * cpus)
+        imgs.write.mode("overwrite").parquet("/tmp/proj_spark_bench/_payload_lane")
+        img_lane["encode_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        stored = spark.read.parquet("/tmp/proj_spark_bench/_payload_lane")
+        ok = (
+            verify_payloads(stored)
+            .agg(BF.sum(BF.when(BF.col("caption_ok") & BF.col("pixels_ok"), 1).otherwise(0)))
+            .collect()[0][0]
+        )
+        img_lane["decode_verify_sec"] = round(time.time() - t0, 3)
+        img_lane["n_images"] = n_img
+        img_lane["n_verified_ok"] = int(ok)
+        img_lane["decode_rows_per_sec"] = round(n_img / img_lane["decode_verify_sec"], 1)
+    except Exception as exc:  # never fail the bench for the extra lane
+        img_lane = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
@@ -401,6 +430,7 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "flagship_rows": n_rows,
         "rows_per_sec": round(n_rows / flagship_s, 1),
         "fixture_gen_sec": fixture_s,
+        "image_payload_lane": img_lane,
     }
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
