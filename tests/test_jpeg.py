@@ -144,6 +144,35 @@ def test_decode_image_sniffs_real_jpeg_and_legacy_ljpg():
     assert psnr_db(px, decode_image(legacy, "jpeg")) >= 40.0
 
 
+def test_decoder_never_hangs_on_mutations():
+    """Robustness: truncations and byte flips of a valid stream either
+    decode to SOME image or raise promptly (ValueError / struct or
+    index errors) — never hang or crash the interpreter.  Deterministic
+    mutation schedule, no RNG."""
+    base = encode_jpeg(synth_pixels(7, 24, 24), 95)
+    candidates = []
+    for cut in range(1, len(base), max(len(base) // 23, 1)):  # truncations
+        candidates.append(base[:cut])
+    for pos in range(2, len(base), max(len(base) // 37, 1)):  # bit flips
+        mutated = bytearray(base)
+        mutated[pos] ^= 0x5A
+        candidates.append(bytes(mutated))
+    survived = 0
+    for data in candidates:
+        try:
+            px = decode_jpeg(data)
+            assert px.dtype == np.uint8
+            survived += 1
+        except (ValueError, IndexError):
+            # the two controlled failure modes: explicit validation
+            # (ValueError) or running off the bit/byte arrays
+            # (IndexError).  Anything else is a real bug.
+            pass
+    # flips landing in entropy data still decode (garbage pixels are
+    # fine — lossy garbage in, garbage out); structural damage raises
+    assert 0 < survived < len(candidates)
+
+
 def test_mjpeg_avi_lane_end_to_end(spark):
     """The video lane, fully real: JPEG-encode frames, wrap in a real
     RIFF/AVI container, sample via the Spark operator, decode the
