@@ -111,6 +111,10 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # local mode: driver heap IS the executor heap; the fixture's
+        # degenerate phash groups (one shared gradient base) make the
+        # pair join clique-shaped, so give it real memory
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .appName("proj-spark-image-funnel")
         .getOrCreate()
     )
