@@ -2588,9 +2588,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     salted_join_rollup, event_tiles~tile_multizoom, sinu_fwd~the other
     kernel fwd queries).  Across r3+r4 every entry therefore has a
     driver-green row.  round 4 adds ``video_frames`` (the end-to-end
-    MJPEG-in-AVI lane over the real JPEG codec) inside the window, and
-    ``image_quality`` + ``image_dedup_groups`` in the tail (locally
-    gated via tools/check_oracle.py, green 2026-08-18).
+    MJPEG-in-AVI lane over the real JPEG codec), ``image_quality``,
+    ``image_dedup_groups`` and ``tile_manifest`` — all four inside the
+    window, since they are the only entries with no prior driver
+    artifact; to make room, ``aea_fwd``/``stere_polar_fwd``/
+    ``utm_cheby_fwd`` (r3-driver-green, kernel family amply
+    represented in-window by webmerc/utm/lcc/sinu siblings) moved to
+    the tail.  Tail entries stay locally gated via
+    tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2610,8 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_fwd": q_utm_fwd,
         "lcc_fwd": q_lcc_fwd,
         "helmert_ecef": q_helmert_ecef,
-        "aea_fwd": q_aea_fwd,
-        "stere_polar_fwd": q_stere_polar_fwd,
+        "image_quality": q_image_quality,
+        "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
         "cubeface_rollup": q_cubeface_rollup,
         "knn": q_knn,
@@ -2642,10 +2647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_consecutive": q_jaccard_consecutive,
         "video_frames": q_video_frames,
         "ann_lsh": q_ann_lsh,
-        "utm_cheby_fwd": q_utm_cheby_fwd,
+        "tile_manifest": q_tile_manifest,
         "cosine_dedup": q_cosine_dedup,
         "gridshift_roundtrip": q_gridshift_roundtrip,
         # --- tail: r3-driver-green AND redundant with an in-window sibling
+        "aea_fwd": q_aea_fwd,
+        "stere_polar_fwd": q_stere_polar_fwd,
+        "utm_cheby_fwd": q_utm_cheby_fwd,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
         "boilerplate": q_boilerplate,
@@ -2657,9 +2665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
-        "image_quality": q_image_quality,
-        "image_dedup_groups": q_image_dedup_groups,
-        "tile_manifest": q_tile_manifest,
     }
 
 
