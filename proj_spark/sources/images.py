@@ -171,7 +171,8 @@ def _png_unfilter(rows: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     pos = 8
     w = h = 0
     idat = b""
@@ -183,7 +184,8 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            assert bit == 8 and color == 2, "only 8-bit RGB supported"
+            if not (bit == 8 and color == 2):
+                raise ValueError("only 8-bit RGB PNGs supported")
             if interlace:
                 raise ValueError("interlaced (Adam7) PNGs unsupported")
         elif tag == b"IDAT":
@@ -210,7 +212,8 @@ def encode_ljpg(px: np.ndarray) -> bytes:
 
 
 def decode_ljpg(data: bytes) -> np.ndarray:
-    assert data[:4] == _LJPG_MAGIC, "not an LJPG payload"
+    if bytes(data[:4]) != _LJPG_MAGIC:
+        raise ValueError("not an LJPG payload")
     w, h, qbits = struct.unpack(">HHB", data[4:9])
     q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3)
     shift = 8 - qbits
