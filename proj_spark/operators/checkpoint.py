@@ -61,7 +61,10 @@ class CheckpointedPipeline:
         out = self.spark.read.parquet(data_dir)
         elapsed = time.time() - t0
 
-        # per-partition lineage (partition = output file)
+        # per-partition lineage (partition = output file); the stage
+        # totals for the metrics row fall out of the same aggregate, so
+        # the freshly-written data is re-scanned exactly once — at 10^12
+        # rows a separate count() would be a second full pass.
         lin = out.withColumn("_file", F.input_file_name()).groupBy("_file")
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         if key and key in out.columns:
@@ -71,10 +74,14 @@ class CheckpointedPipeline:
             .withColumn("stage", F.lit(stage))
             .withColumn("wall_ts", F.lit(time.time()))
         )
+        lineage = lineage.persist()
         lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
-
-        n_rows = out.count()
-        n_parts = out.rdd.getNumPartitions()
+        tot = lineage.agg(
+            F.sum("n_rows").alias("n"), F.count(F.lit(1)).alias("p")
+        ).collect()[0]
+        lineage.unpersist()
+        n_rows = int(tot["n"] or 0)
+        n_parts = int(tot["p"])
         metrics_row = {
             "stage": stage,
             "n_rows": n_rows,

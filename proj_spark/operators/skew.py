@@ -40,8 +40,17 @@ def salted_agg(
     ``aggs`` maps output name -> (partial_agg_expr, final_agg_expr)
     where partial runs per (keys + salt) and final re-aggregates the
     partials per keys, e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``.
+
+    ``salt_by`` must vary WITHIN a key group (a row id, or by default
+    the whole row): a salt derived from the grouping keys alone would
+    be constant per key and spread nothing.
     """
-    salt_src = salt_by or keys
+    salt_src = salt_by or [c for c in df.columns]
+    if salt_by is None and set(df.columns) == set(keys):
+        raise ValueError(
+            "salted_agg: every column is a grouping key, so no salt source "
+            "varies within a key group; pass salt_by (e.g. a row id)"
+        )
     salted = df.withColumn("_salt", salt_column(n_salts, *salt_src))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
@@ -59,12 +68,13 @@ def salted_broadcast_join(
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-proof equi-join: salt the big side by its own row hash,
-    replicate the small side across all salt values (explode), join on
-    (key, salt).  Use when the optimizer falls back to sort-merge and
-    one key dominates; otherwise prefer plain broadcast()."""
-    big_cols = [c for c in big.columns]
-    big_s = big.withColumn("_salt", salt_column(n_salts, *big_cols[:1]))
+    """Skew-proof equi-join: salt the big side by its own row hash
+    (all columns — a salt derived from the join key alone would be
+    constant for the hot key and spread nothing), replicate the small
+    side across all salt values (explode), join on (key, salt).  Use
+    when the optimizer falls back to sort-merge and one key dominates;
+    otherwise prefer plain broadcast()."""
+    big_s = big.withColumn("_salt", salt_column(n_salts, *big.columns))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
