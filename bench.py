@@ -743,6 +743,103 @@ def run_shuffle_cluster(
     }
 
 
+def _payload_cache(n_images: int) -> str:
+    return f"/tmp/proj_spark_bench/payload_scale_{n_images}"
+
+
+def run_payload_cluster(
+    n_executors: int, n_images: int, cores: int = 1, mem_mb: int = 6144
+) -> dict:
+    """Decode-bound scaling probe: the metric's PSNR>=40 payload gate
+    (decode every PNG/JPEG + pixel allclose + caption equality) at N
+    vs 4N one-core executors.  Third leg of the scaling triad — the
+    criterion pair is the narrow JVM+numpy flagship, the shuffle probe
+    is the wide exchange plan, and this one is pure Python-worker
+    compute (sources/jpeg.py + png.py), the regime a 10^12-image
+    ingest spends most of its cycles in.  Input staged once, untimed,
+    by an ordinary local session; both cluster sizes read the SAME
+    parquet."""
+    import time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from proj_spark.sources.images import generate_images, verify_payloads
+
+    cache = _payload_cache(n_images)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        stage = (
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .appName("payload-scaling-stage")
+            .getOrCreate()
+        )
+        stage.sparkContext.setLogLevel("ERROR")
+        generate_images(stage, n_images, partitions=4 * CPUS).write.mode(
+            "overwrite"
+        ).parquet(cache)
+        stage.stop()
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
+        .appName("proj-spark-payload-scaling")
+        .config("spark.sql.shuffle.partitions", str(4 * n_executors * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores} -XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={cores}",
+        )
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # split sizing: >= 4 decode tasks per core so every slot stays busy
+    try:
+        tot = sum(
+            os.path.getsize(os.path.join(cache, f))
+            for f in os.listdir(cache)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        tot = 0
+    split = min(max(tot // (4 * n_executors * cores) or (128 << 20), 1 << 20), 1 << 30)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
+
+    stored = spark.read.parquet(cache)
+
+    def gate(df) -> int:
+        return int(
+            verify_payloads(df)
+            .agg(F.sum(F.when(F.col("caption_ok") & F.col("pixels_ok"), 1).otherwise(0)))
+            .collect()[0][0]
+        )
+
+    gate(stored.limit(200 * n_executors * cores))  # warm python workers + codegen
+    t0 = time.time()
+    n_ok = gate(stored)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "executors": n_executors,
+        "cores_each": cores,
+        "total_cores": n_executors * cores,
+        "n_images": n_images,
+        "n_verified_ok": n_ok,
+        "wall_sec": round(dt, 3),
+        "images_per_sec": round(n_images / dt, 1),
+    }
+
+
 def main():
     scaling = os.environ.get("SPARK_GRAFT_SCALING")
     if scaling == "shuffle":
@@ -760,6 +857,32 @@ def main():
                     "4n_executors": hi,
                     "scaling_efficiency": round(
                         (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3
+                    ),
+                }
+            )
+        )
+        return
+    if scaling == "payload":
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        # pure-python decode runs ~110 images/s/core on this box: 8000
+        # images puts the N=1 leg at ~70 s wall (same measurement scale
+        # as the flagship criterion pair)
+        n_images = int(os.environ.get("SPARK_GRAFT_PAYLOAD_IMAGES", "8000"))
+        cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "1"))
+        lo = run_payload_cluster(n_lo, n_images, cores=cores)
+        hi = run_payload_cluster(4 * n_lo, n_images, cores=cores)
+        ratio = hi["total_cores"] / lo["total_cores"]
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "payload decode+PSNR-gate images/sec at N vs 4N executors "
+                        "(Python-decode-bound plan, local-cluster)"
+                    ),
+                    "n_executors": lo,
+                    "4n_executors": hi,
+                    "scaling_efficiency": round(
+                        (hi["images_per_sec"] / lo["images_per_sec"]) / ratio, 3
                     ),
                 }
             )
