@@ -217,9 +217,13 @@ def phash_dedup_pairs(
     Buckets by the 4 x 16-bit phash quarters (pigeonhole: exact-quarter
     matching guarantees recall for hamming <= 3; the standard trade at
     corpus scale), verifies with bit_count.  Per-(quarter, bucket)
-    membership is capped at ``pair_cap`` by id order — a degenerate
-    bucket (e.g. all-black thumbnails hashing identically) cannot go
-    quadratic.  Native expressions; no Python.
+    MEMBERSHIP is capped at ``pair_cap`` by id order, so one bucket
+    emits at most pair_cap*(pair_cap-1)/2 pairs — bounded, but
+    quadratic in the cap (the default 10000 allows ~5e7 pairs from one
+    degenerate bucket).  Size pair_cap to the pair budget of the run;
+    for radius-0 (exact perceptual duplicate) clustering use
+    :func:`exact_phash_pairs` instead — it is O(n) and exact.  Native
+    expressions; no Python.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -252,6 +256,33 @@ def phash_dedup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def exact_phash_pairs(df: DataFrame) -> DataFrame:
+    """Exact perceptual-duplicate pairs (hamming == 0) as STAR edges:
+    per identical phash, (min image_id, other member) — O(n) output
+    where the within-bucket pair join is O(n^2/buckets).  For
+    connected-components clustering a star is equivalent to the clique
+    at radius 0 (every member connects to the hub, so the component is
+    identical); pairwise hamming beyond the hub is trivially 0, so no
+    information is lost.  This is the generator a thumbnail-farm
+    corpus needs — one hash shared by 10^6 rows emits 10^6-1 edges,
+    not 5*10^11."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("phash")
+    hub = F.min("image_id").over(w)
+    return (
+        df.select("image_id", "phash")
+        .withColumn("id_a", hub)
+        .where(F.col("id_a") != F.col("image_id"))
+        .select(
+            "id_a",
+            F.col("image_id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
 
 

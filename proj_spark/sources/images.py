@@ -362,6 +362,36 @@ _VERIFY_SCHEMA = StructType(
 )
 
 
+def _payload_verdicts(b: pd.DataFrame, min_psnr: float):
+    """Per-batch decode + invariant check; returns (psnr, caption_ok,
+    pixels_ok) lists aligned with the batch rows."""
+    psnrs: list[float] = []
+    cap_oks: list[bool] = []
+    pix_oks: list[bool] = []
+    # per-image decode is inherently a Python loop, but iterate
+    # raw column arrays (iterrows builds a Series per row)
+    for iid, w, h, data, fmt, caption in zip(
+        b["image_id"].to_numpy(),
+        b["w"].to_numpy(),
+        b["h"].to_numpy(),
+        b["bytes"].to_numpy(),
+        b["fmt"].to_numpy(),
+        b["caption"].to_numpy(),
+    ):
+        idx = int(iid[3:])
+        src = synth_pixels(idx, int(w), int(h))
+        dec = decode_image(data, fmt)
+        p = psnr_db(src, dec)
+        if fmt == "png":
+            pix_ok = bool(np.array_equal(src, dec))
+        else:
+            pix_ok = bool(p >= min_psnr)
+        psnrs.append(float(min(p, 1e9)))
+        cap_oks.append(bool(caption.startswith(f"caption for {iid} at ")))
+        pix_oks.append(pix_ok)
+    return psnrs, cap_oks, pix_oks
+
+
 def verify_payloads(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """Per-row payload invariant check (input_hint contract): decode
     bytes, regenerate source pixels from image_id, PSNR >= 40 dB for
@@ -369,32 +399,55 @@ def verify_payloads(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            # per-image decode is inherently a Python loop, but iterate
-            # raw column arrays (iterrows builds a Series per row)
-            for iid, w, h, data, fmt, caption in zip(
-                b["image_id"].to_numpy(),
-                b["w"].to_numpy(),
-                b["h"].to_numpy(),
-                b["bytes"].to_numpy(),
-                b["fmt"].to_numpy(),
-                b["caption"].to_numpy(),
-            ):
-                idx = int(iid[3:])
-                src = synth_pixels(idx, int(w), int(h))
-                dec = decode_image(data, fmt)
-                p = psnr_db(src, dec)
-                if fmt == "png":
-                    pix_ok = bool(np.array_equal(src, dec))
-                else:
-                    pix_ok = bool(p >= min_psnr)
-                cap_ok = bool(caption.startswith(f"caption for {iid} at "))
-                out.append((iid, float(min(p, 1e9)), cap_ok, pix_ok))
+            psnrs, cap_oks, pix_oks = _payload_verdicts(b, min_psnr)
             yield pd.DataFrame(
-                out, columns=["image_id", "psnr_db", "caption_ok", "pixels_ok"]
+                {
+                    "image_id": b["image_id"].to_numpy(),
+                    "psnr_db": psnrs,
+                    "caption_ok": cap_oks,
+                    "pixels_ok": pix_oks,
+                }
             )
 
     return df.mapInPandas(check, _VERIFY_SCHEMA)
+
+
+def gate_payloads(
+    df: DataFrame, min_psnr: float = 40.0, keep_bytes: bool = False
+) -> DataFrame:
+    """verify_payloads with the input row carried through: ONE
+    mapInPandas pass emits every input column plus the verdict columns
+    (psnr_db, caption_ok, pixels_ok), so an ingest pipeline filters on
+    the verdict without joining the verdicts back to the rows.  That
+    join would be fine in batch but is a stream-stream join in
+    Structured Streaming (stateful, watermark-bound); the fused pass
+    keeps the gate stateless and therefore stream-safe.
+
+    ``keep_bytes=False`` drops the payload from the OUTPUT batches
+    (decode still reads it): a gate that forwards verdicts + metadata
+    downstream shouldn't re-ship the blob through every later shuffle.
+    """
+    out_fields = [f for f in df.schema.fields if keep_bytes or f.name != "bytes"]
+    schema = StructType(
+        out_fields
+        + [
+            StructField("psnr_db", DoubleType()),
+            StructField("caption_ok", BooleanType()),
+            StructField("pixels_ok", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_fields]
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            psnrs, cap_oks, pix_oks = _payload_verdicts(b, min_psnr)
+            out = b[out_cols].copy()
+            out["psnr_db"] = psnrs
+            out["caption_ok"] = cap_oks
+            out["pixels_ok"] = pix_oks
+            yield out
+
+    return df.mapInPandas(check, schema)
 
 
 def generate_points(spark: SparkSession, n: int, partitions: int | None = None,

@@ -140,6 +140,35 @@ def test_phash_dedup_pairs_finds_identical_images(spark):
         assert (f"a{k}", f"b{k}") in pairs
 
 
+def test_exact_phash_pairs_star_equals_clique_components(spark):
+    """Radius-0 star edges give the SAME connected components as the
+    full clique from phash_dedup_pairs(max_hamming=0), with O(n)
+    edges: the funnel's 20k-image clique-pair OOM regression guard."""
+    from proj_spark.operators.components import dedup_groups
+    from proj_spark.operators.multimodal import exact_phash_pairs
+
+    rows = []
+    for k in range(6):  # 6 groups of 5 identical phashes + 10 loners
+        ph = int(np.int64(k * 987654321 + 7))
+        for j in range(5):
+            rows.append(Row(image_id=f"g{k}_{j}", phash=ph))
+    for k in range(10):
+        rows.append(Row(image_id=f"solo{k}", phash=int(np.int64(10**12 + 31 * k))))
+    df = spark.createDataFrame(rows)
+
+    star = exact_phash_pairs(df)
+    assert star.count() == 6 * 4  # hub->member, no clique blowup
+
+    def groups(pairs):
+        out = dedup_groups(
+            df.select("image_id"), pairs, id_col="image_id", a="id_a", b="id_b"
+        )
+        return {r.image_id: r.group_id for r in out.collect()}
+
+    clique = phash_dedup_pairs(df, max_hamming=0)
+    assert groups(star) == groups(clique)
+
+
 class TestAugment:
     def test_flip_involution_and_rot_cycle(self, spark):
         from proj_spark.operators.multimodal import augment_images

@@ -502,3 +502,63 @@ def test_resume_drill_small(tmp_path):
     assert out["pass"] is True
     assert out["uninterrupted_splits"] == out["resumed_splits"]
     assert set(out["resume_recomputed"]) == {"groups", "decon", "split"}
+
+
+def test_stream_image_ingest_exactly_once_resume(spark, tmp_path):
+    """Streaming ingest front door (streaming/ingest.py): two
+    availableNow passes over one checkpoint — the second pass must
+    process ONLY the files that landed after the first (exactly-once),
+    and the gated output must match the batch gate row-for-row."""
+    from proj_spark.sources.images import gate_payloads, generate_images
+    from proj_spark.streaming.ingest import run_image_ingest
+
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_imgs = generate_images(spark, 24, partitions=2).cache()
+    batch_a = all_imgs.where(F.col("image_id") < "img000000000012")
+    batch_b = all_imgs.where(F.col("image_id") >= "img000000000012")
+
+    batch_a.write.mode("append").parquet(src)
+    run_image_ingest(spark, src, sink, ckpt, zoom=8)
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == 12  # synthetic payloads all pass the gate
+
+    # second batch lands; resume from the same checkpoint
+    batch_b.write.mode("append").parquet(src)
+    run_image_ingest(spark, src, sink, ckpt, zoom=8)
+    out = spark.read.parquet(sink)
+    assert out.count() == 24  # batch A not re-processed (no dupes)
+    assert out.select("image_id").distinct().count() == 24
+
+    # verdict parity with the batch gate + derived keys present
+    assert {"lon", "lat", "tile_x", "tile_y", "psnr_db"} <= set(out.columns)
+    assert "bytes" not in out.columns
+    batch_ok = gate_payloads(all_imgs).where(
+        F.col("caption_ok") & F.col("pixels_ok")
+    )
+    got = {r.image_id: r.psnr_db for r in out.select("image_id", "psnr_db").collect()}
+    want = {r.image_id: r.psnr_db for r in batch_ok.select("image_id", "psnr_db").collect()}
+    assert got == want
+
+
+def test_gate_payloads_matches_verify_payloads(spark):
+    from proj_spark.sources.images import (
+        gate_payloads,
+        generate_images,
+        verify_payloads,
+    )
+
+    imgs = generate_images(spark, 16, partitions=2).cache()
+    via_verify = {
+        r.image_id: (round(r.psnr_db, 9), r.caption_ok, r.pixels_ok)
+        for r in verify_payloads(imgs).collect()
+    }
+    gated = gate_payloads(imgs, keep_bytes=True)
+    assert "bytes" in gated.columns
+    via_gate = {
+        r.image_id: (round(r.psnr_db, 9), r.caption_ok, r.pixels_ok)
+        for r in gated.collect()
+    }
+    assert via_verify == via_gate

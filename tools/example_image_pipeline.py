@@ -30,7 +30,7 @@ def run(spark, n_images: int, out_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from proj_spark.operators.components import dedup_groups
-    from proj_spark.operators.multimodal import image_quality, phash_dedup_pairs
+    from proj_spark.operators.multimodal import exact_phash_pairs, image_quality
     from proj_spark.operators.tilesink import tile_thumbnails
     from proj_spark.sources.images import (
         generate_images,
@@ -69,8 +69,12 @@ def run(spark, n_images: int, out_dir: str) -> dict:
     # any hamming radius >= 1 collapses everything into one component
     # (the thumbnail-farm degenerate case the pair_cap guards against).
     # Cluster at hamming 0 (exact perceptual duplicates) so the funnel
-    # stays readable; a diverse production corpus would use 2-6.
-    pairs = phash_dedup_pairs(gated.select("image_id", "phash"), max_hamming=0)
+    # stays readable; a diverse production corpus would use 2-6 via
+    # phash_dedup_pairs.  At radius 0 the star generator is exact and
+    # O(n): the fixture's shared gradient base makes phash groups
+    # thousands strong at 20k+ images, and clique pairs within capped
+    # buckets (pair_cap^2/2 per bucket) OOM'd the 20k run.
+    pairs = exact_phash_pairs(gated.select("image_id", "phash"))
     groups = dedup_groups(
         gated.select("image_id"), pairs, id_col="image_id", a="id_a", b="id_b"
     )
