@@ -122,9 +122,22 @@ def minhash_signatures(
 
     fast mode hashes tokens with xxhash64(token, seed=i); deterministic
     mode uses (A*tid+B) mod P over dictionary ids.
+
+    Fast-path plan shape: explode -> codegen'd xxhash64 projection ->
+    groupBy(min).  min over a multiset equals min over its distinct
+    set, so the fast path SKIPS _doc_tokens' per-(doc, token) distinct
+    — that was a full shuffle of every exploded shingle row purely to
+    drop duplicates an algebraic min ignores; the remaining exchange is
+    the groupBy, whose map-side combine carries ~n_hashes longs per doc
+    regardless of input size.  (A narrow array_min(transform(...))
+    formulation with no shuffle at all was measured 2-5x SLOWER:
+    higher-order lambdas evaluate interpreted per element, outside
+    whole-stage codegen, and pay it 8x per row.)  The deterministic
+    mode keeps the distinct + dictionary join — it exists only for the
+    SQL-replayable oracle gate.
     """
-    toks = _doc_tokens(df, id_col, tokens)
     if deterministic:
+        toks = _doc_tokens(df, id_col, tokens)
         dic = dictionary if dictionary is not None else token_dictionary(df, tokens)
         toks = toks.join(dic, on="token", how="inner")
         hashes = [
@@ -133,10 +146,16 @@ def minhash_signatures(
             )
             for i in range(n_hashes)
         ]
-    else:
-        hashes = [
-            F.xxhash64(F.col("token"), F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)
-        ]
+        hashed = toks.select(id_col, *hashes)
+        aggs = [F.min(f"_h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+        return hashed.groupBy(id_col).agg(*aggs)
+
+    toks = df.select(id_col, F.explode_outer(tokens).alias("token")).where(
+        F.col("token") != ""
+    )
+    hashes = [
+        F.xxhash64(F.col("token"), F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)
+    ]
     hashed = toks.select(id_col, *hashes)
     aggs = [F.min(f"_h{i}").alias(f"mh{i}") for i in range(n_hashes)]
     return hashed.groupBy(id_col).agg(*aggs)
