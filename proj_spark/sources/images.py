@@ -380,12 +380,19 @@ def _payload_verdicts(b: pd.DataFrame, min_psnr: float):
     ):
         idx = int(iid[3:])
         src = synth_pixels(idx, int(w), int(h))
-        dec = decode_image(data, fmt)
-        p = psnr_db(src, dec)
-        if fmt == "png":
-            pix_ok = bool(np.array_equal(src, dec))
-        else:
-            pix_ok = bool(p >= min_psnr)
+        try:
+            dec = decode_image(data, fmt)
+            p = psnr_db(src, dec)
+            if fmt == "png":
+                pix_ok = bool(np.array_equal(src, dec))
+            else:
+                pix_ok = bool(p >= min_psnr)
+        except Exception:
+            # truncated/corrupt payload: the codecs raise on bad
+            # magic/structure (fuzz-hardened); at ingest that is a
+            # REJECT row, not a task failure — one bad blob must not
+            # abort a 10^12-row job
+            p, pix_ok = -1.0, False
         psnrs.append(float(min(p, 1e9)))
         cap_oks.append(bool(caption.startswith(f"caption for {iid} at ")))
         pix_oks.append(pix_ok)

@@ -62,20 +62,58 @@ def run_image_ingest(
     checkpoint_dir: str,
     zoom: int = 11,
     min_psnr: float = 40.0,
+    rejects_dir: str | None = None,
 ) -> None:
     """One availableNow ingest pass: drain whatever landed under
     ``src_dir`` since the last committed offset into the parquet sink,
     exactly once, then stop.  Repeated calls with the same
     ``checkpoint_dir`` resume; a crash between calls loses nothing
     (the sink commit and the source offsets are both checkpointed).
+
+    With ``rejects_dir`` set, rows failing the gate (corrupt payload,
+    PSNR below the bar, caption mismatch) are quarantined there with
+    their verdict columns instead of silently dropped — the audit
+    stream an operated ingest needs.  Two sinks from one stream means
+    foreachBatch; each batch writes to a ``batch=<id>`` subdirectory
+    with overwrite, so a retried batch replaces itself (idempotent)
+    and the pair of sinks stays exactly-once together.  Read either
+    sink as plain parquet — ``batch`` surfaces as a partition column.
     """
     from ..sources.images import IMAGE_SCHEMA
 
     stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(src_dir)
-    out = stream_image_ingest(stream, zoom=zoom, min_psnr=min_psnr)
+    if rejects_dir is None:
+        out = stream_image_ingest(stream, zoom=zoom, min_psnr=min_psnr)
+        (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return
+
+    gated = gate_payloads(stream, min_psnr=min_psnr, keep_bytes=False)
+    ok_cond = F.col("caption_ok") & F.col("pixels_ok")
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        ok = with_centroids(batch.where(ok_cond))
+        (
+            ok.withColumn("tile_x", E.tile_x("lon", F.lit(zoom)))
+            .withColumn("tile_y", E.tile_y("lat", F.lit(zoom)))
+            .drop("caption_ok", "pixels_ok")
+            .write.mode("overwrite")
+            .parquet(f"{sink_dir}/batch={batch_id}")
+        )
+        batch.where(~ok_cond).write.mode("overwrite").parquet(
+            f"{rejects_dir}/batch={batch_id}"
+        )
+        batch.unpersist()
+
     (
-        out.writeStream.format("parquet")
-        .option("path", sink_dir)
+        gated.writeStream.foreachBatch(_handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

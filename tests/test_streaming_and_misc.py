@@ -562,3 +562,41 @@ def test_gate_payloads_matches_verify_payloads(spark):
         for r in gated.collect()
     }
     assert via_verify == via_gate
+
+
+def test_stream_image_ingest_rejects_quarantine(spark, tmp_path):
+    """Corrupt payloads become quarantined reject rows (not task
+    failures), and both sinks stay exactly-once across a resume."""
+    from proj_spark.sources.images import generate_images
+    from proj_spark.streaming.ingest import run_image_ingest
+
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "table")
+    rej = str(tmp_path / "rejects")
+    ckpt = str(tmp_path / "ckpt")
+
+    imgs = generate_images(spark, 12, partitions=2)
+    # corrupt two payloads: truncated blobs the codecs raise on
+    bad = F.col("image_id").isin("img000000000003", "img000000000007")
+    batch_a = imgs.withColumn(
+        "bytes", F.when(bad, F.expr("substring(bytes, 1, 5)")).otherwise(F.col("bytes"))
+    )
+    batch_a.write.mode("append").parquet(src)
+    run_image_ingest(spark, src, sink, ckpt, zoom=8, rejects_dir=rej)
+    assert spark.read.parquet(sink).count() == 10
+    rejects = spark.read.parquet(rej)
+    assert {r.image_id for r in rejects.select("image_id").collect()} == {
+        "img000000000003",
+        "img000000000007",
+    }
+    assert rejects.where(F.col("pixels_ok")).count() == 0
+
+    # more files land; the resumed pass must not re-process batch A
+    generate_images(spark, 20, partitions=2).where(
+        F.col("image_id") >= "img000000000012"
+    ).write.mode("append").parquet(src)
+    run_image_ingest(spark, src, sink, ckpt, zoom=8, rejects_dir=rej)
+    out = spark.read.parquet(sink)
+    assert out.count() == 18  # 10 + 8 new, no dupes
+    assert out.select("image_id").distinct().count() == 18
+    assert spark.read.parquet(rej).count() == 2
