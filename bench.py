@@ -776,7 +776,11 @@ def run_payload_cluster(
             .getOrCreate()
         )
         stage.sparkContext.setLogLevel("ERROR")
-        generate_images(stage, n_images, partitions=4 * CPUS).write.mode(
+        # constant images/file across fixture sizes, so per-task load
+        # (and per-task overhead share) is identical at every scale —
+        # required for weak-scaling pairs to compare like with like
+        parts = max(4, n_images // 64)
+        generate_images(stage, n_images, partitions=parts).write.mode(
             "overwrite"
         ).parquet(cache)
         stage.stop()
