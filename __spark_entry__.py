@@ -1288,6 +1288,54 @@ def _image_dedup_groups_oracle() -> str:
     )
 
 
+def q_phash_star_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-0 perceptual-duplicate STAR edges (operators/multimodal.py
+    exact_phash_pairs): per identical phash, (min image_id -> member).
+    O(n) output where clique pairs are quadratic — the generator the
+    image funnel uses for exact-duplicate clustering (a thumbnail-farm
+    phash shared by 10^6 rows emits 10^6-1 edges, not 5*10^11).  Same
+    adopted-sibling-phash fixture as image_dedup_groups; oracle = the
+    per-phash min-hub join in plain SQL."""
+    from proj_spark.operators.multimodal import exact_phash_pairs
+    from proj_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 400, partitions=4).select("image_id", "phash")
+    idx = F.substring("image_id", 4, 12).cast("long")
+    base = imgs.select(
+        F.col("image_id").alias("base_id"), F.col("phash").alias("base_phash")
+    )
+    keyed = imgs.select(
+        "image_id", F.format_string("img%012d", idx - idx % 2).alias("base_id")
+    )
+    docs = keyed.join(base, "base_id").select(
+        "image_id", F.col("base_phash").alias("phash")
+    )
+    pairs = exact_phash_pairs(docs)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _phash_star_pairs_oracle() -> str:
+    from proj_spark.sources.images import average_phash, synth_pixels
+
+    ph: dict[int, int] = {}
+    vals = []
+    for idx in range(400):
+        b = idx - idx % 2
+        if b not in ph:
+            ph[b] = average_phash(synth_pixels(b, 32, 32))
+        vals.append(f"('img{idx:012d}',{ph[b]})")
+    return (
+        "WITH imgs(image_id, phash) AS (SELECT * FROM (VALUES "
+        + ",".join(vals)
+        + ") t(a, b)),\n"
+        "hubs AS (SELECT phash, min(image_id) AS hub FROM imgs GROUP BY phash)\n"
+        "SELECT h.hub AS id_a, i.image_id AS id_b, CAST(0 AS BIGINT) AS hamming\n"
+        "FROM imgs i JOIN hubs h ON i.phash = h.phash WHERE i.image_id <> h.hub"
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio lane end-to-end: synthesize REAL WAV payloads (RIFF/PCM16,
     sources/audio.py) for customer-keyed seeds, decode them back on
@@ -2665,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
+        "phash_star_pairs": q_phash_star_pairs,
     }
 
 
@@ -3208,4 +3257,5 @@ FROM documents
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),
+        "phash_star_pairs": _phash_star_pairs_oracle(),
     }
