@@ -2594,6 +2594,90 @@ SELECT pk, CAST(floor((z0 + v) * 1e4) AS BIGINT) AS z_e4 FROM interp
 """
 
 
+_EXIF_N = 600
+
+
+def q_exif_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS lane (round 4): geography lifted from INSIDE the
+    payload.  Real camera payloads carry (lat, lon, orientation) in the
+    Exif APP1 GPS IFD; at 10^12-image scale the centroid columns may be
+    absent or untrusted, so the engine parses the header bytes
+    directly (sources/exif.py — header-only walk, never the
+    entropy-coded scan, payload never shuffles).
+
+    Build: ONE base JPEG (synth_pixels(0,16,16), real T.81 codec) +
+    per-row spliced APP1 with GPS = gps_quantize(centroid_of(idx)) and
+    orientation = idx%8+1; extract via the narrow mapInPandas parser;
+    web-mercator tile at zoom 6 from the PARSED coordinates; per-tile
+    rollup.  ``n_coord_mismatch`` counts rows whose parsed coordinate
+    is not BIT-IDENTICAL to the written one — DMS-rational
+    quantization (gps_quantize) makes the parse reproduce the exact
+    same double, so it must be 0 in every tile, which is what lets the
+    oracle replay the FORMULA (no bytes) while the Spark side
+    exercises the real splice+parse.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from proj_spark.functions import expressions as E
+    from proj_spark.sources.exif import (
+        build_app1,
+        extract_exif,
+        gps_quantize,
+        insert_app1,
+    )
+    from proj_spark.sources.images import centroid_of, encode_image, synth_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("exp_lat", T.DoubleType()),
+            T.StructField("exp_lon", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        base = encode_image(synth_pixels(0, 16, 16), "jpeg")
+        for b in batches:
+            rows = []
+            for idx in b["id"].to_numpy():
+                idx = int(idx)
+                lon, lat = centroid_of(0, idx, 0, 0.0, 0.0)
+                qlat, qlon = gps_quantize(lat), gps_quantize(lon)
+                app1 = build_app1(
+                    orientation=idx % 8 + 1,
+                    lat=qlat,
+                    lon=qlon,
+                    dt=f"2026:08:{idx % 28 + 1:02d} 00:00:00",
+                )
+                rows.append(
+                    (f"img{idx:012d}", insert_app1(base, app1), qlat, qlon)
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "exp_lat", "exp_lon"]
+            )
+
+    imgs = spark.range(0, _EXIF_N, 1, 4).mapInPandas(gen, schema)
+    ex = extract_exif(imgs)
+    j = ex.join(imgs.select("image_id", "exp_lat", "exp_lon"), "image_id")
+    mismatch = F.when(
+        (F.col("lat") != F.col("exp_lat")) | (F.col("lon") != F.col("exp_lon")), 1
+    ).otherwise(0)
+    return (
+        j.withColumn("tx", E.tile_x("lon", 6))
+        .withColumn("ty", E.tile_y("lat", 6))
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("orientation") >= 5, 1).otherwise(0)).alias(
+                "n_transposed"
+            ),
+            F.sum(mismatch).cast("long").alias("n_coord_mismatch"),
+        )
+    )
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2642,8 +2726,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact; to make room, ``aea_fwd``/``stere_polar_fwd``/
     ``utm_cheby_fwd`` (r3-driver-green, kernel family amply
     represented in-window by webmerc/utm/lcc/sinu siblings) moved to
-    the tail.  Tail entries stay locally gated via
-    tools/check_oracle.py (green 2026-08-18).
+    the tail.  Late round 4 adds ``exif_gps_tiles`` (geography parsed
+    out of the payload's Exif APP1 GPS IFD — no prior driver artifact,
+    so it takes the window slot of r3-green ``jaccard_consecutive``,
+    whose shingle machinery lsh_pairs re-derives in-window).  Tail
+    entries stay locally gated via tools/check_oracle.py (green
+    2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2692,7 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
-        "jaccard_consecutive": q_jaccard_consecutive,
+        "exif_gps_tiles": q_exif_gps_tiles,
         "video_frames": q_video_frames,
         "ann_lsh": q_ann_lsh,
         "tile_manifest": q_tile_manifest,
@@ -2714,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_tiles": q_event_tiles,
         "sinu_fwd": q_sinu_fwd,
         "phash_star_pairs": q_phash_star_pairs,
+        "jaccard_consecutive": q_jaccard_consecutive,
     }
 
 
@@ -3160,6 +3249,38 @@ def _image_features_oracle() -> str:
     )
 
 
+def _exif_gps_tiles_oracle() -> str:
+    """Formula replay (no bytes): the Spark side proves parse ≡ formula
+    via n_coord_mismatch == 0, so the oracle only needs the quantized
+    centroid -> zoom-6 tile rollup.  Tile math is the identical
+    expression written in python floats (expressions.py:96-119)."""
+    import math
+
+    from proj_spark.sources.exif import gps_quantize
+    from proj_spark.sources.images import centroid_of
+
+    n = 64.0
+    agg: dict[tuple[int, int], list] = {}
+    for idx in range(_EXIF_N):
+        lon, lat = centroid_of(0, idx, 0, 0.0, 0.0)
+        qlat, qlon = gps_quantize(lat), gps_quantize(lon)
+        tx = int(min(max(math.floor((qlon + 180.0) / 360.0 * n), 0), 63))
+        t = math.tan(math.radians(qlat))
+        asinh_t = math.log(t + math.sqrt(t * t + 1.0))
+        ty = int(min(max(math.floor((1.0 - asinh_t / math.pi) / 2.0 * n), 0), 63))
+        a = agg.setdefault((tx, ty), [0, 0])
+        a[0] += 1
+        a[1] += 1 if idx % 8 + 1 >= 5 else 0
+    rows = [
+        f"({tx},{ty},{a[0]},{a[1]},0)" for (tx, ty), a in sorted(agg.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(tx, ty, n, n_transposed, n_coord_mismatch)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),
@@ -3254,6 +3375,7 @@ FROM documents
         "images_payload": _images_payload_oracle(),
         "image_features": _image_features_oracle(),
         "video_frames": _video_frames_oracle(),
+        "exif_gps_tiles": _exif_gps_tiles_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),
