@@ -2678,6 +2678,55 @@ def q_exif_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYR_Z0, _PYR_Z1, _PYR_TP, _PYR_N = 8, 5, 16, 60
+
+
+def _pyramid_base_tiles():
+    """(idx, x, y) for the deterministic 10x6 base-tile grid at z=8 —
+    shared verbatim by the Spark generator and the oracle replay."""
+    for idx in range(_PYR_N):
+        yield idx, 60 + idx % 10, 90 + idx // 10
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style overview pyramid (round 4): 60 deterministic 16px PNG
+    tiles on a 10x6 grid at z=8, reduced level by level to z=5 with the
+    exact-integer 2x2 box filter (operators/pyramid.py), then
+    fingerprinted per tile with an exact pixel-sum checksum.  Each
+    level is one constant-group-size (<=4 children) shuffle; payload
+    decodes/encodes through the REAL PNG codec at every level.  Oracle:
+    single-process replay of the identical pyramid on raw arrays (PNG
+    is lossless, so byte-lane == array-lane)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from proj_spark.operators.pyramid import build_pyramid, pyramid_checksums
+    from proj_spark.sources.images import encode_png, synth_pixels
+
+    base_keys = {idx: (x, y) for idx, x, y in _pyramid_base_tiles()}
+
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for idx in b["id"].to_numpy():
+                idx = int(idx)
+                x, y = base_keys[idx]
+                rows.append((x, y, encode_png(synth_pixels(idx, _PYR_TP, _PYR_TP))))
+            yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    base = spark.range(0, _PYR_N, 1, 4).mapInPandas(gen, schema)
+    pyr = build_pyramid(base, _PYR_Z0, _PYR_Z1, _PYR_TP)
+    return pyramid_checksums(pyr)
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2729,9 +2778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the tail.  Late round 4 adds ``exif_gps_tiles`` (geography parsed
     out of the payload's Exif APP1 GPS IFD — no prior driver artifact,
     so it takes the window slot of r3-green ``jaccard_consecutive``,
-    whose shingle machinery lsh_pairs re-derives in-window).  Tail
-    entries stay locally gated via tools/check_oracle.py (green
-    2026-08-18).
+    whose shingle machinery lsh_pairs re-derives in-window) and
+    ``tile_pyramid`` (COG-style overview build through the real PNG
+    codec — takes the slot of r3-green ``cubeface_rollup``, whose
+    cell-indexing machinery cell_rollup + healpix_cells keep
+    in-window).  Tail entries stay locally gated via
+    tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2754,7 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
-        "cubeface_rollup": q_cubeface_rollup,
+        "tile_pyramid": q_tile_pyramid,
         "knn": q_knn,
         "range_join": q_range_join,
         "pip": q_pip,
@@ -2803,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinu_fwd": q_sinu_fwd,
         "phash_star_pairs": q_phash_star_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
+        "cubeface_rollup": q_cubeface_rollup,
     }
 
 
@@ -3281,6 +3334,37 @@ def _exif_gps_tiles_oracle() -> str:
     )
 
 
+def _tile_pyramid_oracle() -> str:
+    """Single-process pyramid replay on raw arrays (PNG lossless, so
+    the byte lane must reproduce this exactly)."""
+    import numpy as np
+
+    from proj_spark.operators.pyramid import downsample2x
+    from proj_spark.sources.images import synth_pixels
+
+    level = {
+        (x, y): synth_pixels(idx, _PYR_TP, _PYR_TP)
+        for idx, x, y in _pyramid_base_tiles()
+    }
+    rows = [
+        (_PYR_Z0, x, y, int(px.astype(np.int64).sum())) for (x, y), px in level.items()
+    ]
+    tp = _PYR_TP
+    for z in range(_PYR_Z0 - 1, _PYR_Z1 - 1, -1):
+        nxt: dict = {}
+        for (x, y), px in level.items():
+            key = (x >> 1, y >> 1)
+            canvas = nxt.setdefault(key, np.zeros((2 * tp, 2 * tp, 3), np.uint8))
+            qx, qy = x & 1, y & 1
+            canvas[qy * tp : (qy + 1) * tp, qx * tp : (qx + 1) * tp] = px
+        level = {k: downsample2x(c) for k, c in nxt.items()}
+        rows.extend(
+            (z, x, y, int(px.astype(np.int64).sum())) for (x, y), px in level.items()
+        )
+    vals = ",".join(f"({z},{x},{y},{c})" for z, x, y, c in sorted(rows))
+    return "SELECT * FROM (VALUES " + vals + ") AS t(z, x, y, checksum)"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),
@@ -3376,6 +3460,7 @@ FROM documents
         "image_features": _image_features_oracle(),
         "video_frames": _video_frames_oracle(),
         "exif_gps_tiles": _exif_gps_tiles_oracle(),
+        "tile_pyramid": _tile_pyramid_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),
