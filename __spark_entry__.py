@@ -2727,6 +2727,43 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyramid_checksums(pyr)
 
 
+def q_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey Z-order locality (round 4): customer points -> zoom-6
+    tiles -> Bing quadkey (expressions.quadkey — pure codegen concat,
+    no UDF) -> rollup by the zoom-4 ANCESTOR PREFIX (first 4 chars),
+    counting rows and distinct child tiles per prefix.  This is the
+    clustering key the Iceberg seam sorts tile tables by: lexicographic
+    quadkey order is Z-order, so a bbox scan prunes to contiguous row
+    groups.  Oracle: the same bit math written in DuckDB SQL — a real
+    cross-engine oracle, not a replay literal."""
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    t = pts.select(
+        E.tile_x("lon", 6).alias("tx"), E.tile_y("lat", 6).alias("ty")
+    )
+    qk = t.select(E.quadkey("tx", "ty", 6).alias("qk"))
+    return qk.groupBy(F.substring("qk", 1, 4).alias("prefix4")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("qk").alias("n_tiles"),
+    )
+
+
+def _quadkey_rollup_oracle() -> str:
+    digits = " || ".join(
+        f"CAST(((tx >> {6 - i}) & 1) + 2 * ((ty >> {6 - i}) & 1) AS VARCHAR)"
+        for i in range(1, 7)
+    )
+    tile = _TILE_SQL_TMPL.format(z=6, n=1 << 6, D=D, PI=PI_L, src=_CUSTOMER_PTS_SQL)
+    # reuse the tile template's tx/ty expressions via a subquery
+    return f"""
+WITH t AS (SELECT tile_x AS tx, tile_y AS ty, n AS cnt FROM ({tile})),
+q AS (SELECT {digits} AS qk, cnt FROM t)
+SELECT substr(qk, 1, 4) AS prefix4,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       count(DISTINCT qk) AS n_tiles
+FROM q GROUP BY 1
+"""
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2782,8 +2819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tile_pyramid`` (COG-style overview build through the real PNG
     codec — takes the slot of r3-green ``cubeface_rollup``, whose
     cell-indexing machinery cell_rollup + healpix_cells keep
-    in-window).  Tail entries stay locally gated via
-    tools/check_oracle.py (green 2026-08-18).
+    in-window) and ``quadkey_rollup`` (the Z-order clustering key with
+    a pure-SQL cross-engine oracle — takes the slot of r3-green
+    ``repetition``, whose text family keeps seven in-window siblings).
+    Tail entries stay locally gated via tools/check_oracle.py (green
+    2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2827,7 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_budget": q_pack_budget,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
-        "repetition": q_repetition,
+        "quadkey_rollup": q_quadkey_rollup,
         "profile": q_profile,
         "strip_boilerplate": q_strip_boilerplate,
         "salted_join_rollup": q_salted_join_rollup,
@@ -2856,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_star_pairs": q_phash_star_pairs,
         "jaccard_consecutive": q_jaccard_consecutive,
         "cubeface_rollup": q_cubeface_rollup,
+        "repetition": q_repetition,
     }
 
 
@@ -3461,6 +3502,7 @@ FROM documents
         "video_frames": _video_frames_oracle(),
         "exif_gps_tiles": _exif_gps_tiles_oracle(),
         "tile_pyramid": _tile_pyramid_oracle(),
+        "quadkey_rollup": _quadkey_rollup_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),

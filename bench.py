@@ -419,6 +419,59 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     except Exception as exc:  # never fail the bench for the extra lane
         img_lane = {"error": str(exc)[:200]}
 
+    # tile-pyramid lane (round 4, NOT in the suite total): COG-style
+    # overview build through the real PNG codec — decode 4 children /
+    # encode 1 parent per output tile, one constant-group-size shuffle
+    # per level (operators/pyramid.py).
+    pyr_lane: dict[str, float] = {}
+    try:
+        import pandas as _pd
+        from pyspark.sql import types as _T
+
+        from proj_spark.operators.pyramid import build_pyramid
+        from proj_spark.sources.images import encode_png, synth_pixels
+
+        side = int(os.environ.get("SPARK_GRAFT_BENCH_TILE_SIDE", "64"))
+        z_from = max(side - 1, 1).bit_length()  # ids fit: side <= 2^z_from
+        tp = 16
+        pyr_schema = _T.StructType(
+            [
+                _T.StructField("x", _T.LongType()),
+                _T.StructField("y", _T.LongType()),
+                _T.StructField("bytes", _T.BinaryType()),
+            ]
+        )
+
+        def _pyr_gen(batches):
+            for b in batches:
+                rows = [
+                    (
+                        int(i) % side,
+                        int(i) // side,
+                        encode_png(synth_pixels(int(i), tp, tp)),
+                    )
+                    for i in b["id"].to_numpy()
+                ]
+                yield _pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+        spark.range(0, side * side, 1, 4 * cpus).mapInPandas(
+            _pyr_gen, pyr_schema
+        ).write.mode("overwrite").parquet("/tmp/proj_spark_bench/_pyr_base")
+        base_tiles = spark.read.parquet("/tmp/proj_spark_bench/_pyr_base")
+        t0 = time.time()
+        n_total = build_pyramid(base_tiles, z_from, 1, tp).count()
+        dt = time.time() - t0
+        spark.catalog.clearCache()  # drop the per-level persists
+        pyr_lane = {
+            "base_tiles": side * side,
+            "levels": z_from,
+            "overview_tiles_built": n_total - side * side,
+            "build_sec": round(dt, 3),
+            "overview_tiles_per_sec": round((n_total - side * side) / dt, 1),
+        }
+    except Exception as exc:
+        pyr_lane = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
@@ -431,6 +484,7 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "rows_per_sec": round(n_rows / flagship_s, 1),
         "fixture_gen_sec": fixture_s,
         "image_payload_lane": img_lane,
+        "tile_pyramid_lane": pyr_lane,
     }
     if sf1_timings:
         result["sf1_queries"] = sf1_timings

@@ -118,6 +118,45 @@ def tile_y(lat_deg: Column | str, zoom: Column | int) -> Column:
     return F.least(F.greatest(ty, F.lit(0)), (n - 1).cast("long")).cast("long")
 
 
+def quadkey(tx: Column | str, ty: Column | str, zoom: int) -> Column:
+    """Bing-maps quadkey string for a slippy tile (public Bing Maps
+    tile-system algorithm): one base-4 digit per zoom level,
+    d_i = bit_i(tx) + 2*bit_i(ty), most-significant level first.
+
+    The property that matters at 100 TB is the HIERARCHICAL PREFIX:
+    an ancestor tile's quadkey is the child's first k characters, and
+    lexicographic quadkey order is Z-order — sorting/clustering a tile
+    table by quadkey puts spatially-adjacent tiles in adjacent file
+    ranges, so a bbox query prunes to a few contiguous row groups
+    instead of scattering over the whole table.  Pure whole-stage
+    codegen concat (no UDF); fixed ``zoom`` keeps it a flat expression.
+    """
+    if not 1 <= zoom <= 28:
+        raise ValueError(f"zoom must be 1..28, got {zoom}")
+    x, y = _c(tx).cast("long"), _c(ty).cast("long")
+    digits = []
+    for i in range(1, zoom + 1):
+        k = zoom - i
+        d = F.shiftright(x, k).bitwiseAND(F.lit(1)) + (
+            F.shiftright(y, k).bitwiseAND(F.lit(1)) * 2
+        )
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
+
+
+def quadkey_decode(qk: str) -> tuple[int, int, int]:
+    """Inverse of :func:`quadkey` (driver-side helper): quadkey string
+    -> (zoom, tile_x, tile_y)."""
+    tx = ty = 0
+    for ch in qk:
+        d = int(ch)
+        if not 0 <= d <= 3:
+            raise ValueError(f"bad quadkey digit {ch!r}")
+        tx = tx * 2 + (d & 1)
+        ty = ty * 2 + (d >> 1)
+    return len(qk), tx, ty
+
+
 def tile_key(tx: Column, ty: Column, zoom: Column | int) -> Column:
     """Single int64 tile key: (zoom << 58) | (ty << 29) | tx.
 

@@ -355,3 +355,77 @@ def extract_exif(df, bytes_col: str = "bytes", id_col: str = "image_id"):
             )
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema)
+
+
+def upright_images(df, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                   id_col: str = "image_id"):
+    """Normalize every JPEG payload to EXIF orientation 1: decode, undo
+    the orientation flag (:func:`normalize_orientation`), re-encode,
+    and re-splice an APP1 rebuilt from the parsed metadata with
+    orientation reset to 1 (GPS / timestamp / description survive).
+    Payloads with no Exif segment, orientation 1, or a non-JPEG codec
+    (no EXIF channel) pass through byte-identical.
+
+    Same narrow mapInPandas shape as resize_images — payloads never
+    shuffle; w/h swap for the transposed flags 5..8.  Re-encoding is
+    lossy (baseline JPEG) but stays inside the engine's PSNR>=40dB
+    payload contract at the codec's default quality.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from proj_spark.sources.images import decode_image, encode_image
+
+    schema = StructType(
+        [
+            StructField(id_col, StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField(fmt_col, StringType()),
+            StructField("was_rotated", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for iid, raw, fmt in zip(
+                b[id_col].to_numpy(),
+                b[bytes_col].to_numpy(),
+                b[fmt_col].to_numpy(),
+            ):
+                raw = bytes(raw)
+                meta = extract_exif_bytes(raw) if fmt == "jpeg" else None
+                if meta is None or meta["orientation"] == 1:
+                    px = decode_image(raw, fmt)
+                    out.append((iid, raw, px.shape[1], px.shape[0], fmt, False))
+                    continue
+                px = np.ascontiguousarray(
+                    normalize_orientation(decode_image(raw, fmt), meta["orientation"])
+                )
+                data = encode_image(px, fmt)
+                app1 = build_app1(
+                    orientation=1,
+                    lat=meta["lat"],
+                    lon=meta["lon"],
+                    dt=meta["datetime"],
+                    description=meta["description"],
+                )
+                out.append(
+                    (iid, insert_app1(data, app1), px.shape[1], px.shape[0], fmt, True)
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "bytes", "w", "h", fmt_col, "was_rotated"]
+            )
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(run, schema)

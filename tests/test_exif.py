@@ -170,6 +170,45 @@ def test_orientation_rejects_bad_flag():
 # ------------------------------------------------------------- spark
 
 
+def test_upright_images_spark(spark):
+    import pandas as pd
+
+    from proj_spark.sources.exif import upright_images
+    from proj_spark.sources.images import psnr_db
+
+    upright = synth_pixels(11, 24, 16)  # w=24, h=16
+    qlat, qlon = gps_quantize(40.7128), gps_quantize(-74.0060)
+    rows = []
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(orient_pixels(upright, o))
+        j = insert_app1(
+            encode_image(stored, "jpeg"),
+            build_app1(orientation=o, lat=qlat, lon=qlon, dt="2026:08:18 09:00:00"),
+        )
+        rows.append((f"o{o}", j, "jpeg"))
+    # a PNG (no EXIF channel) must pass through byte-identical
+    png = encode_image(upright, "png")
+    rows.append(("png0", png, "png"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+    out = {r["image_id"]: r for r in upright_images(df.repartition(3)).collect()}
+    assert len(out) == 9
+    assert bytes(out["png0"]["bytes"]) == png and not out["png0"]["was_rotated"]
+    for o in range(1, 9):
+        r = out[f"o{o}"]
+        # output is upright: w/h un-transposed, pixels near the original
+        assert (r["w"], r["h"]) == (24, 16), o
+        assert r["was_rotated"] == (o != 1)
+        got = decode_image(bytes(r["bytes"]), "jpeg")
+        assert psnr_db(upright, got) >= 38.0, o  # two lossy passes for o>1
+        meta = extract_exif_bytes(bytes(r["bytes"]))
+        if o == 1:
+            assert meta["orientation"] == 1  # original APP1 untouched
+        else:
+            assert meta["orientation"] == 1
+            assert meta["lat"] == qlat and meta["lon"] == qlon
+            assert meta["datetime"] == "2026:08:18 09:00:00"
+
+
 def test_extract_exif_spark(spark):
     import pandas as pd
 

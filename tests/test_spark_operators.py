@@ -78,6 +78,45 @@ def test_tile_key_roundtrip_disjoint_across_zooms(spark):
     assert t.count() == 900
 
 
+def test_quadkey_prefix_and_zorder(spark):
+    """Quadkey invariants (public Bing tile-system semantics): decode
+    inverts encode; the zoom-k ancestor's quadkey is the first k chars;
+    lexicographic order == interleaved-bit Z-order."""
+    import pytest
+
+    from proj_spark.functions.expressions import quadkey, quadkey_decode
+
+    pts = _synth_points(spark, 400)
+    df = pts.select(
+        E.tile_x("lon", 9).alias("tx"),
+        E.tile_y("lat", 9).alias("ty"),
+        quadkey(E.tile_x("lon", 9), E.tile_y("lat", 9), 9).alias("qk9"),
+        quadkey(E.tile_x("lon", 4), E.tile_y("lat", 4), 4).alias("qk4"),
+    )
+    for r in df.collect():
+        z, tx, ty = quadkey_decode(r.qk9)
+        assert (z, tx, ty) == (9, r.tx, r.ty)
+        # ancestor at zoom 4 is tx>>5, ty>>5 AND the 4-char prefix
+        assert r.qk4 == r.qk9[:4]
+        assert quadkey_decode(r.qk4) == (4, r.tx >> 5, r.ty >> 5)
+    # lexicographic == Z-order: interleave bits (y high) and compare
+    rows = df.select("tx", "ty", "qk9").distinct().collect()
+
+    def zorder(tx, ty):
+        v = 0
+        for i in range(8, -1, -1):
+            v = v * 4 + (((ty >> i) & 1) * 2 + ((tx >> i) & 1))
+        return v
+
+    by_qk = sorted(rows, key=lambda r: r.qk9)
+    by_z = sorted(rows, key=lambda r: zorder(r.tx, r.ty))
+    assert [(r.tx, r.ty) for r in by_qk] == [(r.tx, r.ty) for r in by_z]
+    with pytest.raises(ValueError):
+        quadkey("tx", "ty", 0)
+    with pytest.raises(ValueError):
+        quadkey_decode("0410")
+
+
 # ------------------------------------------------------------- cell index
 def test_cell_parent_contains_child(spark):
     pts = _synth_points(spark, 500)
