@@ -2764,6 +2764,60 @@ FROM q GROUP BY 1
 """
 
 
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption<->embedding alignment filter (round 4, the LAION-style
+    curation stage): documents (captions) join their image embeddings
+    by id; the caption side is featurized by the deterministic
+    hash-projection encoder (operators/align.py — rolling-hash
+    fingerprint -> Lehmer LCG expansion, pure codegen); ordered-fold
+    cosine, floor-quantized per row BEFORE aggregation; per-label
+    rollup of pair count / aligned count / exact score sum.  Oracle:
+    the identical integer+fold math in DuckDB SQL."""
+    from proj_spark.operators.align import alignment_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    out = alignment_stats(docs, emb, group_col="label")
+    return out.select(F.col("label").cast("long").alias("label"), "n", "n_aligned", "sum_cos_e4")
+
+
+def _caption_align_oracle() -> str:
+    from proj_spark.operators.align import ALIGN_A, ALIGN_B, ALIGN_M
+
+    def fold(expr: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(64), i -> {expr})), (acc, x) -> acc + x)"
+        )
+
+    dot = fold("CAST(a[i + 1] AS DOUBLE) * CAST(b[i + 1] AS DOUBLE)")
+    na = "sqrt(" + fold("CAST(a[i + 1] AS DOUBLE) * CAST(a[i + 1] AS DOUBLE)") + ")"
+    nb = "sqrt(" + fold("CAST(b[i + 1] AS DOUBLE) * CAST(b[i + 1] AS DOUBLE)") + ")"
+    return f"""
+WITH fp AS (SELECT * FROM ({_fingerprint_oracle()})),
+tv AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           CAST((fingerprint * {ALIGN_A} + i * {ALIGN_B}) % {ALIGN_M} AS DOUBLE)
+             / {ALIGN_M}.0 * 2.0 - 1.0) AS a
+  FROM fp
+),
+j AS (
+  SELECT CAST(e.label AS BIGINT) AS label, tv.a AS a, e.embedding AS b
+  FROM tv JOIN embeddings e ON tv.doc_id = e.vec_id
+),
+s AS (
+  SELECT label, CAST(floor(({dot} / ({na} * {nb})) * 1e4) AS BIGINT) AS cos_e4
+  FROM j
+)
+SELECT label,
+       count(*) AS n,
+       CAST(sum(CASE WHEN cos_e4 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       CAST(sum(cos_e4) AS BIGINT) AS sum_cos_e4
+FROM s GROUP BY label
+"""
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2819,11 +2873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tile_pyramid`` (COG-style overview build through the real PNG
     codec — takes the slot of r3-green ``cubeface_rollup``, whose
     cell-indexing machinery cell_rollup + healpix_cells keep
-    in-window) and ``quadkey_rollup`` (the Z-order clustering key with
+    in-window), ``quadkey_rollup`` (the Z-order clustering key with
     a pure-SQL cross-engine oracle — takes the slot of r3-green
-    ``repetition``, whose text family keeps seven in-window siblings).
-    Tail entries stay locally gated via tools/check_oracle.py (green
-    2026-08-18).
+    ``repetition``, whose text family keeps seven in-window siblings),
+    and ``caption_align`` (LAION-style caption<->embedding alignment —
+    takes the slot of r3-green ``fingerprint``, whose rolling-hash
+    machinery caption_align re-derives in-window).  Tail entries stay
+    locally gated via tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2855,7 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "caption_align": q_caption_align,
         "lsh_pairs": q_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
@@ -2897,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_consecutive": q_jaccard_consecutive,
         "cubeface_rollup": q_cubeface_rollup,
         "repetition": q_repetition,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -3503,6 +3560,7 @@ FROM documents
         "exif_gps_tiles": _exif_gps_tiles_oracle(),
         "tile_pyramid": _tile_pyramid_oracle(),
         "quadkey_rollup": _quadkey_rollup_oracle(),
+        "caption_align": _caption_align_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),
