@@ -309,7 +309,14 @@ def normalize_orientation(px, orientation: int):
 
 def extract_exif(df, bytes_col: str = "bytes", id_col: str = "image_id"):
     """(id, bytes) -> (id, orientation, datetime, lat, lon, has_gps) via
-    a narrow header-only mapInPandas stage (payload never shuffles)."""
+    a narrow header-only mapInPandas stage (payload never shuffles).
+
+    Lenient per row: payloads that are not JPEG (or whose header walk /
+    TIFF parse fails) yield the defaults (orientation 1, no GPS) rather
+    than failing the task — a 10^12-row ingest must not die on one odd
+    payload (same policy as the streaming ingest quarantine).  The
+    byte-level :func:`extract_exif_bytes` stays strict for callers that
+    want the error."""
     import pandas as pd
     from pyspark.sql.types import (
         BooleanType,
@@ -335,7 +342,10 @@ def extract_exif(df, bytes_col: str = "bytes", id_col: str = "image_id"):
         for b in batches:
             out = []
             for iid, raw in zip(b[id_col].to_numpy(), b[bytes_col].to_numpy()):
-                meta = extract_exif_bytes(bytes(raw))
+                try:
+                    meta = extract_exif_bytes(bytes(raw))
+                except ValueError:
+                    meta = None
                 if meta is None:
                     out.append((iid, 1, None, None, None, False))
                 else:

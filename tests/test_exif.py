@@ -217,7 +217,10 @@ def test_extract_exif_spark(spark):
     expected = {}
     for i in range(40):
         iid = f"im{i:04d}"
-        if i % 5 == 4:  # every 5th payload carries NO exif
+        if i % 10 == 9:  # non-JPEG payload: lenient default, no task kill
+            rows.append((iid, b"\x89PNG not a jpeg"))
+            expected[iid] = None
+        elif i % 5 == 4:  # every 5th payload carries NO exif
             rows.append((iid, base))
             expected[iid] = None
         else:

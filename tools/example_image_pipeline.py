@@ -7,7 +7,10 @@ lane's operators the way a 10^12-row ingest run would:
           -> quality gate (blur variance / entropy / contrast floors)
           -> phash near-dup pairs -> connected components
           -> canonical-image selection
+          -> EXIF splice (camera-style orientation+GPS in the bytes)
+             -> upright normalization (sources/exif.py, round 4)
           -> per-tile WebDataset thumbnail export (+ manifest)
+          -> COG overview pyramid over the occupied tiles (round 4)
 
 Every stage is the scale-shaped operator (banded pair generation,
 id-only shuffles, payload attached last), not a toy.
@@ -83,11 +86,131 @@ def run(spark, n_images: int, out_dir: str) -> dict:
     )
     funnel["canonical"] = canonical.count()
 
+    # 3.5 EXIF lane (round 4): splice camera-style EXIF (orientation
+    # cycling 1..8, GPS = the derived centroid) into every JPEG
+    # payload — the shape uploads actually arrive in — then normalize
+    # to orientation 1.  Narrow mapInPandas both ways; payload never
+    # shuffles.  PNG rows (no EXIF channel) pass through byte-equal.
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    import numpy as _np
+
+    from proj_spark.sources.exif import (
+        build_app1,
+        extract_exif,
+        gps_quantize,
+        insert_app1,
+        orient_pixels,
+        upright_images,
+    )
+    from proj_spark.sources.images import decode_image, encode_image
+
+    _splice_schema = _T.StructType(
+        [
+            _T.StructField("image_id", _T.StringType()),
+            _T.StructField("bytes", _T.BinaryType()),
+            _T.StructField("fmt", _T.StringType()),
+        ]
+    )
+
+    def _splice(batches):
+        for b in batches:
+            rows = []
+            for iid, raw, fmt, lon, lat in zip(
+                b["image_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+                b["lon"].to_numpy(),
+                b["lat"].to_numpy(),
+            ):
+                raw = bytes(raw)
+                if fmt == "jpeg":
+                    # store the pixels the way a camera with this flag
+                    # would (rotated), then flag it in APP1
+                    o = int(iid[3:]) % 8 + 1
+                    stored = _np.ascontiguousarray(
+                        orient_pixels(decode_image(raw, fmt), o)
+                    )
+                    raw = insert_app1(
+                        encode_image(stored, fmt),
+                        build_app1(
+                            orientation=o,
+                            lat=gps_quantize(float(lat)),
+                            lon=gps_quantize(float(lon)),
+                        ),
+                    )
+                rows.append((iid, raw, fmt))
+            yield _pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    spliced = canonical.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
+        _splice, _splice_schema
+    )
+    funnel["exif_gps_present"] = (
+        extract_exif(spliced).where(F.col("has_gps")).count()
+    )
+    up = upright_images(spliced)
+    funnel["exif_uprighted"] = up.where(F.col("was_rotated")).count()
+    # re-attach the columns the sink needs (payload now upright)
+    canonical = up.select("image_id", "bytes", "fmt").join(
+        canonical.select("image_id", "w", "h", "caption", "phash", "lon", "lat"),
+        "image_id",
+    )
+
     # 4. per-tile thumbnail export + manifest
     manifest = tile_thumbnails(canonical, out_dir, zoom=6, thumb=8).cache()
     funnel["tiles_written"] = manifest.count()
     exported = manifest.agg(F.sum("n")).collect()[0][0]
     funnel["thumbnails_exported"] = int(exported or 0)
+
+    # 5. COG overview pyramid (round 4) over the occupied tiles: one
+    # 16px PNG raster per zoom-6 tile (deterministic first canonical
+    # image by id — rank+row_number, never first()), reduced to zoom 3
+    # with the exact-integer box filter.  Constant-group-size shuffles.
+    from pyspark.sql import Window
+
+    from proj_spark.functions import expressions as E
+    from proj_spark.operators.pyramid import build_pyramid
+    from proj_spark.sources.images import encode_png
+
+    first = (
+        canonical.withColumn("tx", E.tile_x("lon", 6))
+        .withColumn("ty", E.tile_y("lat", 6))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("tx", "ty").orderBy("image_id")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("tx", "ty", "bytes", "fmt")
+    )
+
+    _raster_schema = _T.StructType(
+        [
+            _T.StructField("x", _T.LongType()),
+            _T.StructField("y", _T.LongType()),
+            _T.StructField("bytes", _T.BinaryType()),
+        ]
+    )
+
+    def _raster(batches):
+        for b in batches:
+            rows = []
+            for x, y, raw, fmt in zip(
+                b["tx"].to_numpy(),
+                b["ty"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["fmt"].to_numpy(),
+            ):
+                px = decode_image(bytes(raw), fmt)
+                yi = (_np.arange(16) * px.shape[0]) // 16
+                xi = (_np.arange(16) * px.shape[1]) // 16
+                rows.append((int(x), int(y), encode_png(px[_np.ix_(yi, xi)])))
+            yield _pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    tiles16 = first.mapInPandas(_raster, _raster_schema)
+    funnel["pyramid_tiles"] = build_pyramid(tiles16, 6, 3, 16).count()
 
     # invariants: monotone funnel; export count == canonical count;
     # shards exist on disk for every manifest row
@@ -98,6 +221,10 @@ def run(spark, n_images: int, out_dir: str) -> dict:
         >= funnel["canonical"]
         == funnel["thumbnails_exported"]
     ), funnel
+    # the pyramid holds every occupied base tile plus its overviews
+    assert funnel["pyramid_tiles"] >= funnel["tiles_written"], funnel
+    # every JPEG got EXIF GPS; 7 of 8 orientation flags need a rotation
+    assert funnel["exif_uprighted"] <= funnel["exif_gps_present"], funnel
     for r in manifest.collect():
         assert any(
             f.endswith(".tar") for f in os.listdir(r.shard_dir)
