@@ -196,3 +196,54 @@ def test_range_join_big_side_never_shuffles(spark):
     assert "BroadcastExchange" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quadkey_is_pure_codegen(spark, images):
+    """quadkey must compile to expressions only — no Python evaluation
+    node anywhere in the plan (the claim in expressions.py:quadkey)."""
+    df = images.select(
+        E.quadkey(E.tile_x("lon", 9), E.tile_y("lat", 9), 9).alias("qk")
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pyramid_level_single_exchange(spark):
+    """One reduce_level step = exactly ONE hash-partitioning exchange
+    (the parent-keyed groupBy); the payload crosses it once."""
+    import pandas as pd
+
+    from proj_spark.operators.pyramid import reduce_level
+    from proj_spark.sources.images import encode_png, synth_pixels
+
+    rows = [(i % 4, i // 4, encode_png(synth_pixels(i, 8, 8))) for i in range(16)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "y", "bytes"]))
+    plan = _plan(reduce_level(tiles, 8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_caption_align_featurizer_is_codegen_and_single_join(spark):
+    """The text featurizer must stay JVM-side (no Python eval), and the
+    whole alignment plan needs exactly one join."""
+    import pandas as pd
+
+    from proj_spark.operators.align import alignment_stats, text_pseudo_embedding
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"caption {i} text") for i in range(50)],
+            columns=["doc_id", "text"],
+        )
+    )
+    plan_tv = _plan(text_pseudo_embedding(docs))
+    assert "BatchEvalPython" not in plan_tv and "ArrowEvalPython" not in plan_tv, plan_tv
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(i + j) for j in range(64)], i % 3) for i in range(50)],
+            columns=["vec_id", "embedding", "label"],
+        )
+    )
+    plan = _plan(alignment_stats(docs, emb, group_col="label"))
+    n_joins = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
