@@ -36,9 +36,15 @@ def pack_by_token_budget(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     hash_idx: int = 0,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Add ``pack_id`` (long) and ``pack_pos`` (the document's running
-    token offset within its pack) to ``df``."""
+    token offset within its pack) to ``df``.
+
+    ``tie_col``: optional extra ordering column after (hash, id) — pass
+    it when ``id_col`` is itself a derived hash that may collide (e.g.
+    xxhash64 of a string key), so the canonical order stays total and
+    the assignment deterministic."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     a, b = MINHASH_A[hash_idx % 8], MINHASH_B[hash_idx % 8]
@@ -46,7 +52,10 @@ def pack_by_token_budget(
     h = F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
     bucket = F.pmod(h, F.lit(n_buckets))
     out = df.withColumn("_h", h).withColumn("_bkt", bucket)
-    w = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    order = [F.col("_h").asc(), F.col(id_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy("_bkt").orderBy(*order)
     before = F.coalesce(
         F.sum(n_tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

@@ -101,6 +101,93 @@ def write_webdataset_shards(
     return int(sum(counts))
 
 
+def write_webdataset_shards_balanced(
+    df: DataFrame,
+    out_dir: str,
+    target_bytes: int,
+    prefix: str = "shard",
+    key_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    n_buckets: int = 64,
+) -> int:
+    """SIZE-balanced WebDataset export: every shard holds ~target_bytes
+    of payload regardless of how skewed individual row sizes are.
+
+    Payload sizes in a real corpus span orders of magnitude (a 12 MB
+    photo next to a 40 kB thumbnail), so fixed rows-per-shard gives
+    shards whose sizes vary just as wildly — training-loader stragglers
+    and unbalanced object-store requests.  This variant assigns each
+    row a shard with the deterministic greedy byte-budget packer
+    (operators/pack.py — canonical hash order, stable under ANY input
+    partitioning: the checkpoint-resume requirement), then shuffles BY
+    shard id so each task writes whole shards.  A shard may overflow by
+    at most one row (greedy-with-overflow, same rule as token packing).
+
+    Shard files are named from the shard id (``{prefix}-{pack:012x}
+    .tar``), so a retried task rewrites exactly its own shards
+    (idempotent, .tmp + os.replace like the row-count writer).
+    Returns the number of shards written.
+    """
+    from proj_spark.operators.pack import pack_by_token_budget
+
+    os.makedirs(out_dir, exist_ok=True)
+    sized = df.select(key_col, bytes_col, fmt_col, caption_col).withColumn(
+        "_sz", F.octet_length(bytes_col) + F.octet_length(caption_col)
+    )
+    # the packer needs a long id; xxhash64 of the string key is
+    # deterministic, and tie_col keeps the order total under collisions
+    keyed = sized.withColumn("_k", F.xxhash64(F.col(key_col)))
+    packed = pack_by_token_budget(
+        keyed,
+        target_bytes,
+        n_tokens_col="_sz",
+        id_col="_k",
+        n_buckets=n_buckets,
+        tie_col=key_col,
+    )
+    ordered = packed.repartition(F.col("pack_id")).sortWithinPartitions(
+        "pack_id", key_col
+    )
+
+    def _write(it) -> Iterator[int]:
+        n_shards = 0
+        tar = None
+        tmp = final = None
+        cur = None
+
+        def _close():
+            nonlocal n_shards, tar
+            tar.close()
+            os.replace(tmp, final)
+            n_shards += 1
+            tar = None
+
+        for row in it:
+            if row["pack_id"] != cur:
+                if tar is not None:
+                    _close()
+                cur = row["pack_id"]
+                final = os.path.join(out_dir, f"{prefix}-{cur:012x}.tar")
+                tmp = final + ".tmp"
+                tar = tarfile.open(tmp, "w")
+            for name, data in (
+                (f"{row[key_col]}.{row[fmt_col]}", bytes(row[bytes_col])),
+                (f"{row[key_col]}.txt", str(row[caption_col]).encode("utf-8")),
+            ):
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                info.mtime = 0
+                tar.addfile(info, io.BytesIO(data))
+        if tar is not None:
+            _close()
+        yield n_shards
+
+    counts = ordered.rdd.mapPartitions(_write).collect()
+    return int(sum(counts))
+
+
 def read_webdataset_shards(
     spark: SparkSession, path_glob: str
 ) -> DataFrame:

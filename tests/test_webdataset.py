@@ -50,3 +50,60 @@ def test_shard_bytes_are_deterministic(spark, tmp_path):
     fb = sorted(glob.glob(os.path.join(b, "*.tar")))
     assert len(fa) == len(fb) == 1
     assert open(fa[0], "rb").read() == open(fb[0], "rb").read()
+
+
+def test_balanced_shards_bound_and_deterministic(spark, tmp_path):
+    """Size-balanced export: per-shard payload stays within
+    target + one max row (greedy-with-overflow), the assignment is
+    partitioning-invariant, and the roundtrip is exact — on a corpus
+    whose row sizes are deliberately skewed."""
+    import pandas as pd
+
+    from proj_spark.sources.webdataset import write_webdataset_shards_balanced
+
+    rows = []
+    for i in range(60):
+        size = 40_000 if i % 10 == 0 else 1_000  # 40x size skew
+        rows.append((f"im{i:04d}", bytes([i % 251]) * size, "png", f"cap {i}"))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "caption"])
+    df = spark.createDataFrame(pdf)
+
+    target = 50_000
+    out_a = str(tmp_path / "a")
+    n_a = write_webdataset_shards_balanced(
+        df.repartition(2), out_a, target_bytes=target, n_buckets=4
+    )
+    paths = sorted(glob.glob(os.path.join(out_a, "shard-*.tar")))
+    assert len(paths) == n_a and n_a >= 2
+    max_row = 40_000 + len("cap 0") + 2
+    seen = set()
+    for p in paths:
+        with tarfile.open(p) as t:
+            members = t.getmembers()
+            payload = sum(m.size for m in members if not m.name.endswith(".txt"))
+            caps = sum(m.size for m in members if m.name.endswith(".txt"))
+            assert payload + caps < target + max_row, (p, payload + caps)
+            seen.update(
+                os.path.splitext(m.name)[0] for m in members if m.name.endswith(".txt")
+            )
+    assert len(seen) == 60
+    # same input under different partitioning -> identical shard map
+    out_b = str(tmp_path / "b")
+    n_b = write_webdataset_shards_balanced(
+        df.repartition(7), out_b, target_bytes=target, n_buckets=4
+    )
+    assert n_b == n_a
+    names_a = sorted(os.path.basename(p) for p in paths)
+    names_b = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out_b, "shard-*.tar"))
+    )
+    assert names_a == names_b
+    for name in names_a:
+        with tarfile.open(os.path.join(out_a, name)) as ta, tarfile.open(
+            os.path.join(out_b, name)
+        ) as tb:
+            assert ta.getnames() == tb.getnames()
+    # roundtrip
+    back = read_webdataset_shards(spark, out_a)
+    got = {r.image_id: bytes(r.bytes) for r in back.collect()}
+    assert got == {f"im{i:04d}": bytes(rows[i][1]) for i in range(60)}
