@@ -2818,6 +2818,48 @@ FROM s GROUP BY label
 """
 
 
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cells (round 4): customer points -> precision-6 geohash
+    (expressions.geohash — closed-form quantize+interleave+base32, all
+    codegen, matches the public Niemeyer algorithm: LA='9q5ctr',
+    London='gcpvj0') -> rollup by the 3-char containing-cell prefix.
+    Oracle: the identical integer arithmetic in DuckDB SQL."""
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    g = pts.select(E.geohash("lon", "lat", 6).alias("gh"))
+    return g.groupBy(F.substring("gh", 1, 3).alias("prefix3")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("gh").alias("n_cells"),
+    )
+
+
+def _geohash_rollup_oracle() -> str:
+    bits, nlon, nlat = 30, 15, 15  # precision 6
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', CAST(((iv >> {5 * (6 - 1 - j)}) & 31) + 1 AS INT), 1)"
+        for j in range(6)
+    )
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL}),
+q AS (
+  SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * {1 << nlon}.0), 0), {(1 << nlon) - 1}) AS BIGINT) AS lonq,
+         CAST(least(greatest(floor((lat + 90.0) / 180.0 * {1 << nlat}.0), 0), {(1 << nlat) - 1}) AS BIGINT) AS latq
+  FROM pts
+),
+i AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range({bits}), k -> CASE WHEN k % 2 = 0
+             THEN (lonq >> CAST({nlon - 1} - k // 2 AS INT)) & 1
+             ELSE (latq >> CAST({nlat - 1} - (k - 1) // 2 AS INT)) & 1 END)),
+         (acc, b) -> acc * 2 + b) AS iv
+  FROM q
+),
+g AS (SELECT {chars} AS gh FROM i)
+SELECT substr(gh, 1, 3) AS prefix3, count(*) AS n, count(DISTINCT gh) AS n_cells
+FROM g GROUP BY 1
+"""
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2876,10 +2918,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window), ``quadkey_rollup`` (the Z-order clustering key with
     a pure-SQL cross-engine oracle — takes the slot of r3-green
     ``repetition``, whose text family keeps seven in-window siblings),
-    and ``caption_align`` (LAION-style caption<->embedding alignment —
+    ``caption_align`` (LAION-style caption<->embedding alignment —
     takes the slot of r3-green ``fingerprint``, whose rolling-hash
-    machinery caption_align re-derives in-window).  Tail entries stay
-    locally gated via tools/check_oracle.py (green 2026-08-18).
+    machinery caption_align re-derives in-window), and
+    ``geohash_rollup`` (the second public geocode, pure-SQL oracle —
+    takes the slot of r3-green ``strip_boilerplate``, whose
+    repeated-lines machinery sibling ``boilerplate`` re-derives in the
+    tail).  Tail entries stay locally gated via tools/check_oracle.py
+    (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2925,7 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "quadkey_rollup": q_quadkey_rollup,
         "profile": q_profile,
-        "strip_boilerplate": q_strip_boilerplate,
+        "geohash_rollup": q_geohash_rollup,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "exif_gps_tiles": q_exif_gps_tiles,
@@ -2954,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cubeface_rollup": q_cubeface_rollup,
         "repetition": q_repetition,
         "fingerprint": q_fingerprint,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -3561,6 +3608,7 @@ FROM documents
         "tile_pyramid": _tile_pyramid_oracle(),
         "quadkey_rollup": _quadkey_rollup_oracle(),
         "caption_align": _caption_align_oracle(),
+        "geohash_rollup": _geohash_rollup_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),

@@ -144,6 +144,92 @@ def quadkey(tx: Column | str, ty: Column | str, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon_deg: Column | str, lat_deg: Column | str, precision: int = 7) -> Column:
+    """Standard geohash string (public Niemeyer algorithm / base32
+    bisection): ``precision`` chars = 5p bits, longitude taking the
+    even bit positions from the MSB (so ceil(5p/2) lon bits,
+    floor(5p/2) lat bits).
+
+    Closed form instead of the textbook bisection loop: quantize each
+    axis to its bit budget, interleave the two integers MSB-first into
+    one long with an ``aggregate`` fold over the bit positions, then
+    slice base-32 digits out of it — all whole-stage codegen, no UDF,
+    and the identical arithmetic runs in ANSI SQL for the oracle.
+    Like quadkey, a geohash PREFIX is a containing cell, so sorting by
+    it clusters spatially (with geohash's well-known Z-order seams).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be 1..12, got {precision}")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    lonq = F.least(
+        F.greatest(
+            F.floor((_c(lon_deg) + 180.0) / 360.0 * float(1 << nlon)), F.lit(0)
+        ),
+        F.lit((1 << nlon) - 1),
+    ).cast("long")
+    latq = F.least(
+        F.greatest(
+            F.floor((_c(lat_deg) + 90.0) / 180.0 * float(1 << nlat)), F.lit(0)
+        ),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    # MSB-first interleave: even positions take lon bits high-to-low.
+    # shiftright with a COLUMN shift needs the SQL function directly
+    # (the python wrapper only takes a literal int shift)
+    ks = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_at = F.transform(
+        ks,
+        lambda k: F.when(
+            k % 2 == 0,
+            F.call_function(
+                "shiftright", lonq, (F.lit(nlon - 1) - k / 2).cast("int")
+            ).bitwiseAND(F.lit(1)),
+        ).otherwise(
+            F.call_function(
+                "shiftright", latq, (F.lit(nlat - 1) - (k - 1) / 2).cast("int")
+            ).bitwiseAND(F.lit(1))
+        ),
+    )
+    interleaved = F.aggregate(
+        bit_at, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH_B32),
+            (
+                F.shiftright(interleaved, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_decode(gh: str) -> tuple[float, float, float, float]:
+    """Inverse (driver-side helper): geohash -> (lon_lo, lat_lo,
+    lon_hi, lat_hi) bounding box of the cell."""
+    bits_list = []
+    for ch in gh:
+        d = _GEOHASH_B32.index(ch)
+        bits_list.extend((d >> k) & 1 for k in range(4, -1, -1))
+    lon_lo, lon_hi, lat_lo, lat_hi = -180.0, 180.0, -90.0, 90.0
+    for i, b in enumerate(bits_list):
+        if i % 2 == 0:
+            mid = (lon_lo + lon_hi) / 2
+            lon_lo, lon_hi = (mid, lon_hi) if b else (lon_lo, mid)
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            lat_lo, lat_hi = (mid, lat_hi) if b else (lat_lo, mid)
+    return lon_lo, lat_lo, lon_hi, lat_hi
+
+
 def quadkey_decode(qk: str) -> tuple[int, int, int]:
     """Inverse of :func:`quadkey` (driver-side helper): quadkey string
     -> (zoom, tile_x, tile_y)."""

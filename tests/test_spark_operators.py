@@ -117,6 +117,50 @@ def test_quadkey_prefix_and_zorder(spark):
         quadkey_decode("0410")
 
 
+def test_geohash_known_values_and_bbox(spark):
+    """Known public geohash vectors (Niemeyer algorithm), bbox
+    containment via the decoder, prefix = containing cell, and the
+    pure-codegen claim."""
+    import pandas as pd
+    import pytest
+
+    from proj_spark.functions.expressions import geohash, geohash_decode
+
+    known = [
+        (-118.2437, 34.0522, "9q5ctr1"),  # Los Angeles
+        (-0.1278, 51.5074, "gcpvj0d"),  # London
+        (0.0, 0.0, "s000000"),
+        (-179.9999, -89.9999, "0000000"),
+        (179.9999, 89.9999, "zzzzzzz"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([(lo, la) for lo, la, _ in known], columns=["lon", "lat"])
+    )
+    out = df.select(
+        "lon",
+        "lat",
+        geohash("lon", "lat", 7).alias("g7"),
+        geohash("lon", "lat", 4).alias("g4"),
+    ).collect()
+    for r, (_, _, exp) in zip(out, known):
+        assert r.g7 == exp, (r, exp)
+        assert r.g4 == exp[:4]  # prefix property
+        lon_lo, lat_lo, lon_hi, lat_hi = geohash_decode(r.g7)
+        assert lon_lo <= r.lon <= lon_hi and lat_lo <= r.lat <= lat_hi
+    with pytest.raises(ValueError):
+        geohash("lon", "lat", 0)
+    with pytest.raises(ValueError):
+        geohash("lon", "lat", 13)
+    # pure expression: no python eval node in the plan
+    plan = (
+        df.select(geohash("lon", "lat", 6))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 # ------------------------------------------------------------- cell index
 def test_cell_parent_contains_child(spark):
     pts = _synth_points(spark, 500)
