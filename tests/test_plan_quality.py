@@ -247,3 +247,31 @@ def test_caption_align_featurizer_is_codegen_and_single_join(spark):
     plan = _plan(alignment_stats(docs, emb, group_col="label"))
     n_joins = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert n_joins == 1, plan
+
+
+def test_quadkey_prefix_partitioning_prunes_bbox_scans(spark, images, tmp_path_factory):
+    """The locality payoff: a tile table laid out by quadkey prefix
+    lets a bbox query prune at the SCAN (partition filters), reading
+    only the spatially-relevant slice — the 100 TB reason the
+    clustering key exists."""
+    out = str(tmp_path_factory.mktemp("qkpart") / "tiles")
+    t = images.select(
+        "image_id",
+        E.tile_x("lon", 9).alias("tx"),
+        E.tile_y("lat", 9).alias("ty"),
+    ).withColumn("qk", E.quadkey("tx", "ty", 9))
+    t.withColumn("qk2", F.substring("qk", 1, 2)).write.partitionBy("qk2").parquet(out)
+    back = spark.read.parquet(out)
+    # bbox = one zoom-2 ancestor cell == one qk2 prefix
+    prefix = t.select(F.substring("qk", 1, 2).alias("p")).first()["p"]
+    q = back.where(F.col("qk2") == prefix)
+    plan = _plan(q)
+    assert "PartitionFilters: [" in plan and "qk2" in plan, plan
+    # the pruned scan reads strictly fewer files than the full table
+    import glob as _glob
+    import os as _os
+
+    n_all = len(_glob.glob(_os.path.join(out, "qk2=*")))
+    assert n_all >= 2  # CONUS spans several zoom-2 cells
+    rows = q.count()
+    assert 0 < rows < back.count()
