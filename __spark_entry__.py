@@ -2860,6 +2860,61 @@ FROM g GROUP BY 1
 """
 
 
+_HIL_Z = 8
+
+
+def q_hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (round 4): customer points ->
+    zoom-8 tiles -> Hilbert index (expressions.with_hilbert_key —
+    seam-free locality, the multi-dimensional sort key modern table
+    formats cluster by) -> rollup by the 16-cell Hilbert BLOCK
+    (hkey >> 4): each block is one contiguous spatial blob, the range-
+    scan unit.  Oracle: the identical rotate-and-accumulate levels
+    unrolled as chained CTEs in DuckDB SQL."""
+    from proj_spark.functions.expressions import with_hilbert_key
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    t = pts.select(
+        E.tile_x("lon", _HIL_Z).alias("tx"), E.tile_y("lat", _HIL_Z).alias("ty")
+    )
+    h = with_hilbert_key(t, "tx", "ty", _HIL_Z)
+    return h.groupBy(F.shiftright(F.col("hkey"), 4).alias("block")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("hkey").alias("n_cells"),
+    )
+
+
+def _hilbert_rollup_oracle() -> str:
+    tile = _TILE_SQL_TMPL.format(
+        z=_HIL_Z, n=1 << _HIL_Z, D=D, PI=PI_L, src=_CUSTOMER_PTS_SQL
+    )
+    ctes = [
+        f"l0 AS (SELECT tile_x AS x, tile_y AS y, CAST(0 AS BIGINT) AS d, n AS cnt FROM ({tile}))"
+    ]
+    lvl = 0
+    for k in range(_HIL_Z - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        ctes.append(
+            f"l{lvl + 1} AS (SELECT "
+            f"CASE WHEN {ry} = 0 THEN {flip_y} ELSE x END AS x, "
+            f"CASE WHEN {ry} = 0 THEN {flip_x} ELSE y END AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d, cnt FROM l{lvl})"
+        )
+        lvl += 1
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT d >> 4 AS block,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       count(DISTINCT d) AS n_cells
+FROM l{lvl} GROUP BY 1
+"""
+    )
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2924,8 +2979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``geohash_rollup`` (the second public geocode, pure-SQL oracle —
     takes the slot of r3-green ``strip_boilerplate``, whose
     repeated-lines machinery sibling ``boilerplate`` re-derives in the
-    tail).  Tail entries stay locally gated via tools/check_oracle.py
-    (green 2026-08-18).
+    tail) and ``hilbert_rollup`` (the seam-free clustering key, oracle
+    = unrolled CTEs — takes the slot of r3-green ``helmert_ecef``,
+    whose Helmert stage the in-window gridshift_roundtrip/fused
+    pipelines re-exercise).  Tail entries stay locally gated via
+    tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -2944,7 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "lcc_fwd": q_lcc_fwd,
-        "helmert_ecef": q_helmert_ecef,
+        "hilbert_rollup": q_hilbert_rollup,
         "image_quality": q_image_quality,
         "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
@@ -3001,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "strip_boilerplate": q_strip_boilerplate,
+        "helmert_ecef": q_helmert_ecef,
     }
 
 
@@ -3609,6 +3668,7 @@ FROM documents
         "quadkey_rollup": _quadkey_rollup_oracle(),
         "caption_align": _caption_align_oracle(),
         "geohash_rollup": _geohash_rollup_oracle(),
+        "hilbert_rollup": _hilbert_rollup_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),

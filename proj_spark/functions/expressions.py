@@ -144,6 +144,81 @@ def quadkey(tx: Column | str, ty: Column | str, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+def with_hilbert_key(
+    df,
+    tx_col: str,
+    ty_col: str,
+    zoom: int,
+    out_col: str = "hkey",
+):
+    """Append the Hilbert-curve index of tile (tx, ty) at ``zoom``
+    (cells 0..4^zoom-1) — the seam-free locality key: unlike Z-order
+    (quadkey/geohash), consecutive Hilbert keys are ALWAYS spatially
+    adjacent cells, so range scans over a Hilbert-sorted table touch
+    one contiguous blob with no diagonal jumps (the clustering layout
+    modern table formats use for multi-dimensional sort keys).
+
+    Standard public xy->d algorithm (Hamilton's / the classic
+    rotate-and-accumulate loop), UNROLLED over the zoom levels as
+    chained column projections: each level materializes named columns,
+    keeping the expression tree linear in ``zoom`` (a single nested
+    expression would grow exponentially — each level references the
+    previous x/y several times).  Pure codegen, no UDF; the DuckDB
+    oracle unrolls the identical levels as chained CTEs.
+    """
+    if not 1 <= zoom <= 28:
+        raise ValueError(f"zoom must be 1..28, got {zoom}")
+    cur = df.withColumn("_hx", _c(tx_col).cast("long")).withColumn(
+        "_hy", _c(ty_col).cast("long")
+    ).withColumn(out_col, F.lit(0).cast("long"))
+    for k in range(zoom - 1, -1, -1):
+        s = 1 << k
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0).cast("long")
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0).cast("long")
+        cur = cur.withColumn("_rx", rx).withColumn("_ry", ry)
+        d2 = F.col(out_col) + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry"))
+        )
+        # rotate the quadrant frame when ry == 0 (flip if rx == 1, then
+        # swap axes) — the invariant that removes Z-order's seams
+        flip_x = F.when(
+            F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+        ).otherwise(F.col("_hx"))
+        flip_y = F.when(
+            F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+        ).otherwise(F.col("_hy"))
+        nx = F.when(F.col("_ry") == 0, flip_y).otherwise(F.col("_hx"))
+        ny = F.when(F.col("_ry") == 0, flip_x).otherwise(F.col("_hy"))
+        cur = (
+            cur.withColumn(out_col, d2)
+            .withColumn("_nx", nx)
+            .withColumn("_ny", ny)
+            .drop("_hx", "_hy", "_rx", "_ry")
+            .withColumnRenamed("_nx", "_hx")
+            .withColumnRenamed("_ny", "_hy")
+        )
+    return cur.drop("_hx", "_hy")
+
+
+def hilbert_decode(d: int, zoom: int) -> tuple[int, int]:
+    """Inverse (driver-side helper): Hilbert index -> (tx, ty)."""
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << zoom):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
 _GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -117,6 +117,38 @@ def test_quadkey_prefix_and_zorder(spark):
         quadkey_decode("0410")
 
 
+def test_hilbert_key_is_seamfree_space_filling(spark):
+    """with_hilbert_key over the FULL zoom-4 grid: the keys are a
+    permutation of 0..255, consecutive keys are ALWAYS spatially
+    adjacent (the seam-free property Z-order lacks), the driver-side
+    decoder inverts, and the plan is pure codegen."""
+    import pandas as pd
+    import pytest
+
+    from proj_spark.functions.expressions import hilbert_decode, with_hilbert_key
+
+    z = 4
+    n = 1 << z
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(x, y) for x in range(n) for y in range(n)], columns=["tx", "ty"]
+        )
+    )
+    out = with_hilbert_key(df, "tx", "ty", z)
+    got = {(r.tx, r.ty): r.hkey for r in out.collect()}
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {v: k for k, v in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])
+    for (x, y), d in got.items():
+        assert hilbert_decode(d, z) == (x, y)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    with pytest.raises(ValueError):
+        with_hilbert_key(df, "tx", "ty", 0)
+
+
 def test_geohash_known_values_and_bbox(spark):
     """Known public geohash vectors (Niemeyer algorithm), bbox
     containment via the decoder, prefix = containing cell, and the
