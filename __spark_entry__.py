@@ -21,6 +21,7 @@ bit-identical in Spark and DuckDB).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2915,6 +2916,65 @@ FROM l{lvl} GROUP BY 1
     )
 
 
+_RAST_Z, _RAST_K = 8, 4
+
+
+def q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster rasterization (round 4): burn the 12 fixture
+    polygons into zoom-8 per-tile coverage fractions by 4x4
+    supersampled even-odd ray casting (operators/rasterize.py) — the
+    'rasterize the AOI' stage before masking imagery tiles.  Oracle:
+    the identical candidate-explode -> crossing-join -> parity ->
+    coverage SQL in DuckDB."""
+    from proj_spark.operators.rasterize import rasterize_coverage
+
+    return rasterize_coverage(spark, _fixture_polygons(), _RAST_Z, _RAST_K)
+
+
+def _polygon_raster_oracle() -> str:
+    from proj_spark.operators.rasterize import _tile_range
+
+    k, z = _RAST_K, _RAST_Z
+    n = 1 << z
+    cand_rows = []
+    edge_rows = []
+    for seq, (pid, ring) in enumerate(_fixture_polygons()):
+        x0, x1, y0, y1 = _tile_range(ring, z)
+        cand_rows.append(f"({seq}, '{pid}', {x0}, {x1}, {y0}, {y1})")
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            edge_rows.append(f"({seq}, {ax!r}, {ay!r}, {bx!r}, {by!r})")
+    return f"""
+WITH cand(poly_seq, poly_id, x0, x1, y0, y1) AS (VALUES {",".join(cand_rows)}),
+edges(e_seq, ex1, ey1, ex2, ey2) AS (VALUES {",".join(edge_rows)}),
+tiles AS (
+  SELECT poly_seq, poly_id, tx.tile_x, ty.tile_y
+  FROM cand,
+       unnest(generate_series(x0, x1)) AS tx(tile_x),
+       unnest(generate_series(y0, y1)) AS ty(tile_y)
+),
+samples AS (
+  SELECT poly_seq, poly_id, tile_x, tile_y, s.si,
+         ((CAST(tile_x AS DOUBLE) + (CAST(s.si % {k} AS DOUBLE) + 0.5) / {float(k)!r}) / {float(n)!r}) * 360.0 - 180.0 AS s_lon,
+         degrees(atan((exp({math.pi!r} * (1.0 - 2.0 * ((CAST(tile_y AS DOUBLE) + (floor(CAST(s.si AS DOUBLE) / {k}) + 0.5) / {float(k)!r}) / {float(n)!r})))
+                     - exp(-({math.pi!r} * (1.0 - 2.0 * ((CAST(tile_y AS DOUBLE) + (floor(CAST(s.si AS DOUBLE) / {k}) + 0.5) / {float(k)!r}) / {float(n)!r}))))) / 2.0)) AS s_lat
+  FROM tiles, unnest(generate_series(0, {k * k - 1})) AS s(si)
+),
+inside AS (
+  SELECT poly_seq, poly_id, tile_x, tile_y, si, count(*) AS nc
+  FROM samples s JOIN edges e
+    ON s.poly_seq = e.e_seq
+   AND ((e.ey1 > s.s_lat) != (e.ey2 > s.s_lat))
+   AND s.s_lon < (e.ex2 - e.ex1) * (s.s_lat - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING count(*) % 2 = 1
+)
+SELECT poly_id, tile_x, tile_y,
+       count(*) AS n_inside,
+       CAST(floor(count(*) * 10000.0 / {float(k * k)!r}) AS BIGINT) AS coverage_e4
+FROM inside GROUP BY 1, 2, 3
+"""
+
+
 # ================================================================ exports
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CRS pipeline (datum gridshift + Helmert + merc)
@@ -2982,8 +3042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail) and ``hilbert_rollup`` (the seam-free clustering key, oracle
     = unrolled CTEs — takes the slot of r3-green ``helmert_ecef``,
     whose Helmert stage the in-window gridshift_roundtrip/fused
-    pipelines re-exercise).  Tail entries stay locally gated via
-    tools/check_oracle.py (green 2026-08-18).
+    pipelines re-exercise), and ``polygon_raster`` (vector->raster
+    coverage burn — takes the slot of r3-green ``lcc_fwd``, whose lcc
+    kernel the in-window ``factors`` analytic overlay re-exercises).
+    Tail entries stay locally gated via tools/check_oracle.py (green
+    2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -3001,7 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_multizoom": q_tile_multizoom,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
-        "lcc_fwd": q_lcc_fwd,
+        "polygon_raster": q_polygon_raster,
         "hilbert_rollup": q_hilbert_rollup,
         "image_quality": q_image_quality,
         "image_dedup_groups": q_image_dedup_groups,
@@ -3060,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "strip_boilerplate": q_strip_boilerplate,
         "helmert_ecef": q_helmert_ecef,
+        "lcc_fwd": q_lcc_fwd,
     }
 
 
@@ -3669,6 +3733,7 @@ FROM documents
         "caption_align": _caption_align_oracle(),
         "geohash_rollup": _geohash_rollup_oracle(),
         "hilbert_rollup": _hilbert_rollup_oracle(),
+        "polygon_raster": _polygon_raster_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),

@@ -1,0 +1,144 @@
+"""Vector -> raster: burn polygons into per-tile coverage masks.
+
+The inverse of the raster-tile<->vector assignment join: given polygon
+rings, produce for every web-mercator tile the polygon touches the
+fraction of the tile inside the polygon (a sparse coverage raster) —
+the standard "rasterize the AOI" stage before masking imagery tiles or
+weighting per-tile statistics.
+
+Method: supersampling.  Each candidate tile (enumerated from the
+polygon's bbox — pure `sequence`/`explode`, no driver loop over tiles)
+is sampled at k x k sub-cell centers; a sample is inside by the same
+even-odd ray-cast rule as operators/spatial_join (crossing-count
+parity against the edge list); coverage = inside / k^2.  Everything is
+relational: candidate explode -> broadcast theta-join against the edge
+table -> parity aggregate -> coverage rollup, so Catalyst handles the
+distribution and the DuckDB oracle replays the identical SQL shape.
+
+100 TB shape: polygons are the SMALL side (broadcast edges); the tile
+x sample fan-out is bounded by bbox area x k^2 per polygon and
+partitions by polygon — no shuffle of anything larger than
+(poly, tile, sample) ids.  Samples with zero crossings never survive
+the inner join, which is correct: zero crossings = outside.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Ring = Sequence[Tuple[float, float]]
+
+
+def _tile_range(ring: Ring, zoom: int) -> tuple[int, int, int, int]:
+    n = 1 << zoom
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+
+    def tx(lon: float) -> int:
+        return min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+
+    def ty(lat: float) -> int:
+        t = math.tan(math.radians(lat))
+        v = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0 * n
+        return min(max(int(math.floor(v)), 0), n - 1)
+
+    # ty grows southward: max lat -> min ty
+    return tx(min(lons)), tx(max(lons)), ty(max(lats)), ty(min(lats))
+
+
+def rasterize_coverage(
+    spark: SparkSession,
+    polys: Sequence[Tuple[str, Ring]],
+    zoom: int,
+    supersample: int = 4,
+) -> DataFrame:
+    """-> (poly_id, tile_x, tile_y, n_inside, coverage_e4): sparse
+    coverage raster of each polygon at ``zoom``; ``coverage_e4`` is
+    floor(1e4 * n_inside / supersample^2) — exact integer, partition-
+    invariant.  Tiles with no inside sample are omitted."""
+    if not 1 <= zoom <= 28:
+        raise ValueError(f"zoom must be 1..28, got {zoom}")
+    if supersample < 1:
+        raise ValueError("supersample must be >= 1")
+    k = supersample
+    n = float(1 << zoom)
+
+    cand_rows = []
+    edge_rows = []
+    for seq, (pid, ring) in enumerate(polys):
+        x0, x1, y0, y1 = _tile_range(ring, zoom)
+        cand_rows.append((seq, pid, x0, x1, y0, y1))
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            edge_rows.append((seq, float(ax), float(ay), float(bx), float(by)))
+
+    cand = spark.createDataFrame(
+        cand_rows, "poly_seq int, poly_id string, x0 long, x1 long, y0 long, y1 long"
+    )
+    edges = spark.createDataFrame(
+        edge_rows, "e_seq int, ex1 double, ey1 double, ex2 double, ey2 double"
+    )
+
+    tiles = cand.select(
+        "poly_seq",
+        "poly_id",
+        F.explode(F.sequence(F.col("x0"), F.col("x1"))).alias("tile_x"),
+        "y0",
+        "y1",
+    ).select(
+        "poly_seq",
+        "poly_id",
+        "tile_x",
+        F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("tile_y"),
+    )
+    samples = tiles.select(
+        "poly_seq",
+        "poly_id",
+        "tile_x",
+        "tile_y",
+        F.explode(F.sequence(F.lit(0), F.lit(k * k - 1))).alias("si"),
+    )
+    # sub-cell-center sample coordinates; the web-mercator inverse is
+    # written with explicit exp() so the DuckDB oracle can reproduce
+    # the arithmetic token-for-token
+    fx = (F.col("tile_x").cast("double") + (F.col("si") % k + 0.5) / float(k)) / n
+    fy = (
+        F.col("tile_y").cast("double")
+        + (F.floor(F.col("si") / k).cast("double") + 0.5) / float(k)
+    ) / n
+    lon = fx * 360.0 - 180.0
+    tcol = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * fy)
+    sinh = (F.exp(tcol) - F.exp(-tcol)) / 2.0
+    lat = F.degrees(F.atan(sinh))
+    samples = samples.withColumn("s_lon", lon).withColumn("s_lat", lat)
+
+    crossing = (
+        ((F.col("ey1") > F.col("s_lat")) != (F.col("ey2") > F.col("s_lat")))
+        & (
+            F.col("s_lon")
+            < (F.col("ex2") - F.col("ex1"))
+            * (F.col("s_lat") - F.col("ey1"))
+            / (F.col("ey2") - F.col("ey1"))
+            + F.col("ex1")
+        )
+    )
+    joined = samples.join(
+        F.broadcast(edges),
+        (F.col("poly_seq") == F.col("e_seq")) & crossing,
+        "inner",
+    )
+    inside = (
+        joined.groupBy("poly_seq", "poly_id", "tile_x", "tile_y", "si")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") % 2 == 1)
+    )
+    return (
+        inside.groupBy("poly_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+        .withColumn(
+            "coverage_e4",
+            F.floor(F.col("n_inside") * 10000.0 / float(k * k)).cast("long"),
+        )
+    )

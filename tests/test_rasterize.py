@@ -1,0 +1,80 @@
+"""Vector->raster coverage (operators/rasterize.py): exact agreement
+with a scalar python replay, interior saturation, bounds, validation.
+"""
+import math
+
+import pytest
+
+from proj_spark.operators.rasterize import _tile_range, rasterize_coverage
+
+SQUARE = [(-100.0, 35.0), (-95.0, 35.0), (-95.0, 40.0), (-100.0, 40.0), (-100.0, 35.0)]
+
+
+def _inside(lon, lat, ring):
+    nc = 0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            nc += 1
+    return nc % 2 == 1
+
+
+def _replay(ring, zoom, k):
+    n = 1 << zoom
+    x0, x1, y0, y1 = _tile_range(ring, zoom)
+    out = {}
+    for tx in range(x0, x1 + 1):
+        for ty in range(y0, y1 + 1):
+            cnt = 0
+            for si in range(k * k):
+                fx = (tx + (si % k + 0.5) / k) / n
+                fy = (ty + (si // k + 0.5) / k) / n
+                lon = fx * 360.0 - 180.0
+                t = math.pi * (1.0 - 2.0 * fy)
+                lat = math.degrees(math.atan((math.exp(t) - math.exp(-t)) / 2.0))
+                if _inside(lon, lat, ring):
+                    cnt += 1
+            if cnt:
+                out[(tx, ty)] = cnt
+    return out
+
+
+def test_matches_scalar_replay_and_saturates_interior(spark):
+    zoom, k = 7, 4
+    got = {
+        (r.tile_x, r.tile_y): (r.n_inside, r.coverage_e4)
+        for r in rasterize_coverage(spark, [("sq", SQUARE)], zoom, k).collect()
+    }
+    exp = _replay(SQUARE, zoom, k)
+    assert {t: v[0] for t, v in got.items()} == exp
+    # the 5x5-degree square at zoom 7 (2.8 deg tiles) fully contains at
+    # least one tile -> some tile saturates at coverage 10000; edges are
+    # partial -> some tile is strictly between
+    covs = sorted(v[1] for v in got.values())
+    assert covs[-1] == 10000
+    assert any(0 < c < 10000 for c in covs)
+    assert all(0 < c <= 10000 for c in covs)
+
+
+def test_supersample_one_is_center_pip(spark):
+    zoom = 7
+    got = {
+        (r.tile_x, r.tile_y): r.coverage_e4
+        for r in rasterize_coverage(spark, [("sq", SQUARE)], zoom, 1).collect()
+    }
+    assert got  # non-empty
+    assert set(got.values()) == {10000}  # k=1: inside tiles are all-or-nothing
+    assert {t: 1 for t in got} == _replay(SQUARE, zoom, 1)
+
+
+def test_multiple_polygons_keep_ids(spark):
+    other = [(p[0] + 12.0, p[1]) for p in SQUARE]
+    out = rasterize_coverage(spark, [("a", SQUARE), ("b", other)], 7, 2).collect()
+    ids = {r.poly_id for r in out}
+    assert ids == {"a", "b"}
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        rasterize_coverage(spark, [("sq", SQUARE)], 0, 4)
+    with pytest.raises(ValueError):
+        rasterize_coverage(spark, [("sq", SQUARE)], 7, 0)
