@@ -68,3 +68,31 @@ def test_write_table_rejects_bad_mode(spark, tmp_path):
     df = spark.range(1)
     with pytest.raises(ValueError, match="mode"):
         write_table(df, "some_catalog_table", mode="errorifexists")
+
+
+def test_write_table_sort_by_clusters_rows(spark, tmp_path):
+    """sort_by lays rows out in key order within each bucket file —
+    the Hilbert/quadkey clustering hook."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proj_spark.functions.expressions import with_hilbert_key
+    from proj_spark.sources.tables import load_table, write_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, i % 16, (i * 7) % 16) for i in range(400)],
+            columns=["pk", "tx", "ty"],
+        )
+    )
+    keyed = with_hilbert_key(df, "tx", "ty", 4)
+    out = str(tmp_path / "clustered")
+    write_table(keyed, out, bucket_by=(4, "pk"), sort_by=["hkey"])
+    back = load_table(spark, out).withColumn("_f", F.input_file_name())
+    rows = back.select("_f", "hkey").collect()
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["_f"], []).append(r["hkey"])
+    assert len(rows) == 400 and len(by_file) >= 2
+    for f, ks in by_file.items():
+        assert ks == sorted(ks), f  # parquet preserves row order per file
