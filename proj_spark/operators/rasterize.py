@@ -49,21 +49,19 @@ def _tile_range(ring: Ring, zoom: int) -> tuple[int, int, int, int]:
     return tx(min(lons)), tx(max(lons)), ty(max(lats)), ty(min(lats))
 
 
-def rasterize_coverage(
+def _inside_samples(
     spark: SparkSession,
     polys: Sequence[Tuple[str, Ring]],
     zoom: int,
-    supersample: int = 4,
+    k: int,
 ) -> DataFrame:
-    """-> (poly_id, tile_x, tile_y, n_inside, coverage_e4): sparse
-    coverage raster of each polygon at ``zoom``; ``coverage_e4`` is
-    floor(1e4 * n_inside / supersample^2) — exact integer, partition-
-    invariant.  Tiles with no inside sample are omitted."""
+    """(poly_seq, poly_id, tile_x, tile_y, si) for every k x k
+    sub-cell-center sample that falls INSIDE its polygon — the shared
+    core of coverage fractions and pixel masks."""
     if not 1 <= zoom <= 28:
         raise ValueError(f"zoom must be 1..28, got {zoom}")
-    if supersample < 1:
+    if k < 1:
         raise ValueError("supersample must be >= 1")
-    k = supersample
     n = float(1 << zoom)
 
     cand_rows = []
@@ -129,11 +127,26 @@ def rasterize_coverage(
         (F.col("poly_seq") == F.col("e_seq")) & crossing,
         "inner",
     )
-    inside = (
+    return (
         joined.groupBy("poly_seq", "poly_id", "tile_x", "tile_y", "si")
         .agg(F.count(F.lit(1)).alias("nc"))
         .where(F.col("nc") % 2 == 1)
+        .select("poly_seq", "poly_id", "tile_x", "tile_y", "si")
     )
+
+
+def rasterize_coverage(
+    spark: SparkSession,
+    polys: Sequence[Tuple[str, Ring]],
+    zoom: int,
+    supersample: int = 4,
+) -> DataFrame:
+    """-> (poly_id, tile_x, tile_y, n_inside, coverage_e4): sparse
+    coverage raster of each polygon at ``zoom``; ``coverage_e4`` is
+    floor(1e4 * n_inside / supersample^2) — exact integer, partition-
+    invariant.  Tiles with no inside sample are omitted."""
+    k = supersample
+    inside = _inside_samples(spark, polys, zoom, k)
     return (
         inside.groupBy("poly_id", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_inside"))
@@ -142,3 +155,119 @@ def rasterize_coverage(
             F.floor(F.col("n_inside") * 10000.0 / float(k * k)).cast("long"),
         )
     )
+
+
+def rasterize_masks(
+    spark: SparkSession,
+    polys: Sequence[Tuple[str, Ring]],
+    zoom: int,
+    tile_px: int,
+) -> DataFrame:
+    """Per-tile PIXEL masks: -> (poly_id, tile_x, tile_y, n_inside,
+    mask binary) where ``mask`` packs tile_px*tile_px bits row-major
+    (numpy packbits order, bit (row*tile_px + col) = pixel center
+    inside the polygon).  Supersampling at k=tile_px makes the sample
+    grid coincide with pixel centers, so the mask applies directly to
+    a tile raster of the same size (see :func:`apply_masks`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    inside = _inside_samples(spark, polys, zoom, tile_px)
+    grouped = inside.groupBy("poly_id", "tile_x", "tile_y").agg(
+        F.collect_list("si").alias("_sis")
+    )
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField("tile_x", LongType()),
+            StructField("tile_y", LongType()),
+            StructField("n_inside", LongType()),
+            StructField("mask", BinaryType()),
+        ]
+    )
+    npx = tile_px * tile_px
+
+    def pack(batches):
+        for b in batches:
+            out = []
+            for pid, tx, ty, sis in zip(
+                b["poly_id"].to_numpy(),
+                b["tile_x"].to_numpy(),
+                b["tile_y"].to_numpy(),
+                b["_sis"].to_numpy(),
+            ):
+                bits = np.zeros(npx, np.uint8)
+                bits[np.asarray(sis, dtype=np.int64)] = 1
+                out.append(
+                    (pid, int(tx), int(ty), int(len(sis)), np.packbits(bits).tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=["poly_id", "tile_x", "tile_y", "n_inside", "mask"]
+            )
+
+    return grouped.mapInPandas(pack, schema)
+
+
+def apply_masks(
+    tiles: DataFrame,
+    masks: DataFrame,
+    tile_px: int,
+    fmt: str = "png",
+) -> DataFrame:
+    """Zero out every pixel outside the AOI: join tile rasters
+    (x, y, bytes) with :func:`rasterize_masks` output on the tile id,
+    decode, multiply by the unpacked bitmask, re-encode.  Tiles with
+    no mask row are dropped — they are entirely outside the AOI (the
+    masking stage is also the spatial filter).  Payload crosses
+    exactly one exchange (the id join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from proj_spark.sources.images import decode_image, encode_image
+
+    j = tiles.join(
+        masks.select("poly_id", "tile_x", "tile_y", "mask"),
+        (tiles["x"] == masks["tile_x"]) & (tiles["y"] == masks["tile_y"]),
+        "inner",
+    ).select("poly_id", "x", "y", "bytes", "mask")
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+    npx = tile_px * tile_px
+
+    def run(batches):
+        for b in batches:
+            out = []
+            for pid, x, y, raw, m in zip(
+                b["poly_id"].to_numpy(),
+                b["x"].to_numpy(),
+                b["y"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["mask"].to_numpy(),
+            ):
+                px = decode_image(bytes(raw), fmt)
+                bits = np.unpackbits(np.frombuffer(bytes(m), np.uint8))[:npx]
+                masked = px * bits.reshape(tile_px, tile_px, 1)
+                out.append((pid, int(x), int(y), encode_image(masked.astype(np.uint8), fmt)))
+            yield pd.DataFrame(out, columns=["poly_id", "x", "y", "bytes"])
+
+    return j.mapInPandas(run, schema)

@@ -78,3 +78,39 @@ def test_validation(spark):
         rasterize_coverage(spark, [("sq", SQUARE)], 0, 4)
     with pytest.raises(ValueError):
         rasterize_coverage(spark, [("sq", SQUARE)], 7, 0)
+
+
+def test_masks_match_coverage_and_apply(spark):
+    """rasterize_masks popcounts equal rasterize_coverage counts at the
+    same sampling; apply_masks zeroes exactly the outside pixels and
+    drops tiles with no mask."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.rasterize import apply_masks, rasterize_masks
+    from proj_spark.sources.images import decode_png, encode_png
+
+    zoom, tp = 7, 8
+    masks = rasterize_masks(spark, [("sq", SQUARE)], zoom, tp)
+    mrows = {
+        (r.tile_x, r.tile_y): (r.n_inside, bytes(r.mask)) for r in masks.collect()
+    }
+    cov = {
+        (r.tile_x, r.tile_y): r.n_inside
+        for r in rasterize_coverage(spark, [("sq", SQUARE)], zoom, tp).collect()
+    }
+    assert {t: v[0] for t, v in mrows.items()} == cov
+    for t, (n, m) in mrows.items():
+        bits = np.unpackbits(np.frombuffer(m, np.uint8))[: tp * tp]
+        assert int(bits.sum()) == n
+    # tile rasters: constant 200 everywhere; one extra tile far outside
+    tiles_rows = [(tx, ty, encode_png(np.full((tp, tp, 3), 200, np.uint8)))
+                  for tx, ty in mrows] + [(0, 0, encode_png(np.full((tp, tp, 3), 200, np.uint8)))]
+    tiles = spark.createDataFrame(pd.DataFrame(tiles_rows, columns=["x", "y", "bytes"]))
+    out = {(r.x, r.y): bytes(r.bytes) for r in apply_masks(tiles, masks, tp).collect()}
+    assert set(out) == set(mrows)  # the outside tile (0,0) was dropped
+    for t, raw in out.items():
+        px = decode_png(raw)
+        bits = np.unpackbits(np.frombuffer(mrows[t][1], np.uint8))[: tp * tp].reshape(tp, tp)
+        assert np.array_equal(px[:, :, 0] != 0, bits == 1)
+        assert np.all(px[bits == 1] == 200)
