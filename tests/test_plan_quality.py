@@ -275,3 +275,17 @@ def test_quadkey_prefix_partitioning_prunes_bbox_scans(spark, images, tmp_path_f
     assert n_all >= 2  # CONUS spans several zoom-2 cells
     rows = q.count()
     assert 0 < rows < back.count()
+
+
+def test_rasterize_edges_join_is_broadcast(spark):
+    """The polygon edge table is the small side: the crossing
+    theta-join must broadcast it — the sample fan-out side never
+    hash-partitions for the join."""
+    from proj_spark.operators.rasterize import rasterize_coverage
+
+    ring = [(-100.0, 35.0), (-95.0, 35.0), (-95.0, 40.0), (-100.0, 40.0), (-100.0, 35.0)]
+    out = rasterize_coverage(spark, [("sq", ring)], 7, 4)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
