@@ -2931,10 +2931,14 @@ def q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_coverage(spark, _fixture_polygons(), _RAST_Z, _RAST_K)
 
 
-def _polygon_raster_oracle() -> str:
+def _rast_inside_cte(k: int, z: int) -> str:
+    """WITH-clause body (cand/edges/tiles/samples/inside) shared by the
+    rasterize-coverage and zonal-stats oracles: ``inside`` holds one
+    row per k x k sub-cell sample whose center passes the even-odd
+    ray cast — the token-for-token SQL replay of
+    operators/rasterize._inside_samples."""
     from proj_spark.operators.rasterize import _tile_range
 
-    k, z = _RAST_K, _RAST_Z
     n = 1 << z
     cand_rows = []
     edge_rows = []
@@ -2943,8 +2947,7 @@ def _polygon_raster_oracle() -> str:
         cand_rows.append(f"({seq}, '{pid}', {x0}, {x1}, {y0}, {y1})")
         for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
             edge_rows.append(f"({seq}, {ax!r}, {ay!r}, {bx!r}, {by!r})")
-    return f"""
-WITH cand(poly_seq, poly_id, x0, x1, y0, y1) AS (VALUES {",".join(cand_rows)}),
+    return f"""cand(poly_seq, poly_id, x0, x1, y0, y1) AS (VALUES {",".join(cand_rows)}),
 edges(e_seq, ex1, ey1, ex2, ey2) AS (VALUES {",".join(edge_rows)}),
 tiles AS (
   SELECT poly_seq, poly_id, tx.tile_x, ty.tile_y
@@ -2967,11 +2970,89 @@ inside AS (
    AND s.s_lon < (e.ex2 - e.ex1) * (s.s_lat - e.ey1) / (e.ey2 - e.ey1) + e.ex1
   GROUP BY 1, 2, 3, 4, 5
   HAVING count(*) % 2 = 1
-)
+)"""
+
+
+def _polygon_raster_oracle() -> str:
+    k = _RAST_K
+    return f"""
+WITH {_rast_inside_cte(k, _RAST_Z)}
 SELECT poly_id, tile_x, tile_y,
        count(*) AS n_inside,
        CAST(floor(count(*) * 10000.0 / {float(k * k)!r}) AS BIGINT) AS coverage_e4
 FROM inside GROUP BY 1, 2, 3
+"""
+
+
+# (zoom, tile_px) for the zonal-statistics lane; the three channel
+# offsets make the synthetic pixel an SQL-replayable integer hash of
+# (tile_x, tile_y, pixel_index, channel)
+_ZONAL_Z, _ZONAL_TP = 8, 16
+_ZPX = (73856093, 19349663, 83492791, 40503)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster<->vector aggregate): burn the fixture
+    polygons into per-tile pixel masks (rasterize_masks at
+    k = tile_px, so sample index == pixel index), synthesize the
+    deterministic tile rasters on the EXECUTORS (lossless PNG of an
+    integer hash pixel), then decode + mask + aggregate per zone with
+    map-side partials (operators/rasterize.zonal_stats).  Oracle: the
+    identical sample CTE at k=16 with the pixel hash applied in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.rasterize import rasterize_masks, zonal_stats
+
+    tp = _ZONAL_TP
+    masks = rasterize_masks(spark, _fixture_polygons(), _ZONAL_Z, tp)
+    tile_ids = masks.select(
+        F.col("tile_x").alias("x"), F.col("tile_y").alias("y")
+    ).distinct()
+    ax, ay, asi, ac = _ZPX
+
+    def synth(batches):
+        from proj_spark.sources.images import encode_png
+
+        si = np.arange(tp * tp, dtype=np.int64)[:, None]
+        ch = np.arange(3, dtype=np.int64)[None, :]
+        for b in batches:
+            rows = []
+            for x, y in zip(b["x"].to_numpy(), b["y"].to_numpy()):
+                v = (int(x) * ax + int(y) * ay + si * asi + ch * ac) % 256
+                rows.append(
+                    (int(x), int(y), encode_png(v.reshape(tp, tp, 3).astype(np.uint8)))
+                )
+            yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    tiles = tile_ids.mapInPandas(synth, "x long, y long, bytes binary")
+    return zonal_stats(tiles, masks, tp).select(
+        "poly_id", "n_tiles", "n_pix", "sum_r", "sum_g", "sum_b",
+        "min_luma", "max_luma",
+    )
+
+
+def _zonal_stats_oracle() -> str:
+    ax, ay, asi, ac = _ZPX
+    base = f"(tile_x * {ax} + tile_y * {ay} + si * {asi})"
+    return f"""
+WITH {_rast_inside_cte(_ZONAL_TP, _ZONAL_Z)},
+px AS (
+  SELECT poly_id, tile_x, tile_y, si,
+         {base} % 256 AS r,
+         ({base} + {ac}) % 256 AS g,
+         ({base} + {2 * ac}) % 256 AS b
+  FROM inside
+)
+SELECT poly_id,
+       CAST(count(DISTINCT tile_x * 4294967296 + tile_y) AS BIGINT) AS n_tiles,
+       count(*) AS n_pix,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(min(r + g + b) AS BIGINT) AS min_luma,
+       CAST(max(r + g + b) AS BIGINT) AS max_luma
+FROM px GROUP BY poly_id
 """
 
 
@@ -3045,8 +3126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipelines re-exercise), and ``polygon_raster`` (vector->raster
     coverage burn — takes the slot of r3-green ``lcc_fwd``, whose lcc
     kernel the in-window ``factors`` analytic overlay re-exercises).
-    Tail entries stay locally gated via tools/check_oracle.py (green
-    2026-08-18).
+    Final round-4 session adds ``zonal_stats`` (per-zone pixel
+    aggregates over masked raster tiles, map-side partials through the
+    real PNG codec — takes the slot of r3-green ``webmerc_fwd``, whose
+    spherical-mercator kernel the in-window fused pipelines and tile
+    rollups re-exercise).  Tail entries stay locally gated via
+    tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -3062,9 +3147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         # --- r3-green entries, 40 to fill the 50-entry checked window
         "tile_multizoom": q_tile_multizoom,
-        "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "polygon_raster": q_polygon_raster,
+        "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "image_quality": q_image_quality,
         "image_dedup_groups": q_image_dedup_groups,
@@ -3102,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "gridshift_roundtrip": q_gridshift_roundtrip,
         # --- tail: r3-driver-green AND redundant with an in-window sibling
+        "webmerc_fwd": q_webmerc_fwd,
         "aea_fwd": q_aea_fwd,
         "stere_polar_fwd": q_stere_polar_fwd,
         "utm_cheby_fwd": q_utm_cheby_fwd,
@@ -3734,6 +3820,7 @@ FROM documents
         "geohash_rollup": _geohash_rollup_oracle(),
         "hilbert_rollup": _hilbert_rollup_oracle(),
         "polygon_raster": _polygon_raster_oracle(),
+        "zonal_stats": _zonal_stats_oracle(),
         "image_quality": _image_quality_oracle(),
         "image_dedup_groups": _image_dedup_groups_oracle(),
         "tile_manifest": _tile_manifest_oracle(),

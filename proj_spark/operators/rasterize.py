@@ -215,6 +215,93 @@ def rasterize_masks(
     return grouped.mapInPandas(pack, schema)
 
 
+def zonal_stats(
+    tiles: DataFrame,
+    masks: DataFrame,
+    tile_px: int,
+    fmt: str = "png",
+) -> DataFrame:
+    """Zonal statistics — per-polygon-zone pixel aggregates over
+    georeferenced raster tiles: join tile rasters (x, y, bytes) with
+    :func:`rasterize_masks` output, decode each tile ONCE, restrict to
+    the pixels whose centers fall inside the zone, and aggregate.
+
+    -> (poly_id, n_tiles, n_pix, sum_r, sum_g, sum_b, min_luma,
+    max_luma) with ``luma = r + g + b`` (integer, exact) so every
+    statistic is partition-invariant.
+
+    100 TB shape: the pixel reduction happens INSIDE the decode pass
+    (mapInPandas emits one partial row per (batch, zone) — map-side
+    combine), so the only exchange after the tile-id join carries
+    O(batches x zones) partial rows, never pixels.  The final
+    ``groupBy(poly_id)`` is algebraic (sum/min/max of partials).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from proj_spark.sources.images import decode_image
+
+    j = tiles.join(
+        masks.select("poly_id", "tile_x", "tile_y", "mask"),
+        (tiles["x"] == masks["tile_x"]) & (tiles["y"] == masks["tile_y"]),
+        "inner",
+    ).select("poly_id", "bytes", "mask")
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField("n_tiles", LongType()),
+            StructField("n_pix", LongType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+            StructField("min_luma", LongType()),
+            StructField("max_luma", LongType()),
+        ]
+    )
+    npx = tile_px * tile_px
+    cols = list(schema.fieldNames())
+
+    def partials(batches):
+        for b in batches:
+            acc: dict = {}
+            for pid, raw, m in zip(
+                b["poly_id"].to_numpy(),
+                b["bytes"].to_numpy(),
+                b["mask"].to_numpy(),
+            ):
+                px = decode_image(bytes(raw), fmt).astype(np.int64)
+                bits = np.unpackbits(np.frombuffer(bytes(m), np.uint8))[:npx]
+                flat = px.reshape(npx, 3)[bits.astype(bool)]
+                if flat.shape[0] == 0:  # mask rows always have n_inside >= 1
+                    continue
+                luma = flat.sum(axis=1)
+                a = acc.get(pid)
+                if a is None:
+                    a = acc[pid] = [0, 0, 0, 0, 0, int(luma.min()), int(luma.max())]
+                a[0] += 1
+                a[1] += int(flat.shape[0])
+                a[2] += int(flat[:, 0].sum())
+                a[3] += int(flat[:, 1].sum())
+                a[4] += int(flat[:, 2].sum())
+                a[5] = min(a[5], int(luma.min()))
+                a[6] = max(a[6], int(luma.max()))
+            yield pd.DataFrame(
+                [(pid, *vals) for pid, vals in acc.items()], columns=cols
+            )
+
+    part = j.mapInPandas(partials, schema)
+    return part.groupBy("poly_id").agg(
+        F.sum("n_tiles").alias("n_tiles"),
+        F.sum("n_pix").alias("n_pix"),
+        F.sum("sum_r").alias("sum_r"),
+        F.sum("sum_g").alias("sum_g"),
+        F.sum("sum_b").alias("sum_b"),
+        F.min("min_luma").alias("min_luma"),
+        F.max("max_luma").alias("max_luma"),
+    )
+
+
 def apply_masks(
     tiles: DataFrame,
     masks: DataFrame,

@@ -80,6 +80,62 @@ def test_validation(spark):
         rasterize_coverage(spark, [("sq", SQUARE)], 7, 0)
 
 
+def test_zonal_stats_matches_replay_and_is_partition_invariant(spark):
+    """zonal_stats equals an exact numpy replay (decode + mask +
+    aggregate per zone) and is invariant under repartitioning — the
+    map-side partials are algebraic."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.rasterize import rasterize_masks, zonal_stats
+    from proj_spark.sources.images import encode_png
+
+    zoom, tp = 7, 8
+    other = [(p[0] + 12.0, p[1]) for p in SQUARE]
+    polys = [("a", SQUARE), ("b", other)]
+    masks = rasterize_masks(spark, polys, zoom, tp)
+    mrows = [
+        (r.poly_id, r.tile_x, r.tile_y, bytes(r.mask)) for r in masks.collect()
+    ]
+
+    def pix(tx, ty):
+        si = np.arange(tp * tp, dtype=np.int64)[:, None]
+        ch = np.arange(3, dtype=np.int64)[None, :]
+        return ((tx * 31 + ty * 17 + si * 7 + ch * 5) % 256).astype(np.uint8)
+
+    tile_ids = sorted({(tx, ty) for _, tx, ty, _ in mrows})
+    tiles_rows = [
+        (tx, ty, encode_png(pix(tx, ty).reshape(tp, tp, 3))) for tx, ty in tile_ids
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(tiles_rows, columns=["x", "y", "bytes"])
+    )
+
+    exp = {}
+    for pid, tx, ty, m in mrows:
+        bits = np.unpackbits(np.frombuffer(m, np.uint8))[: tp * tp].astype(bool)
+        flat = pix(tx, ty)[bits].astype(np.int64)
+        luma = flat.sum(axis=1)
+        a = exp.setdefault(pid, [0, 0, 0, 0, 0, 10**9, -1])
+        a[0] += 1
+        a[1] += flat.shape[0]
+        a[2] += int(flat[:, 0].sum())
+        a[3] += int(flat[:, 1].sum())
+        a[4] += int(flat[:, 2].sum())
+        a[5] = min(a[5], int(luma.min()))
+        a[6] = max(a[6], int(luma.max()))
+
+    for reparts in (1, 7):
+        got = {
+            r.poly_id: [r.n_tiles, r.n_pix, r.sum_r, r.sum_g, r.sum_b,
+                        r.min_luma, r.max_luma]
+            for r in zonal_stats(
+                tiles.repartition(reparts), masks, tp
+            ).collect()
+        }
+        assert got == exp
+
+
 def test_masks_match_coverage_and_apply(spark):
     """rasterize_masks popcounts equal rasterize_coverage counts at the
     same sampling; apply_masks zeroes exactly the outside pixels and
