@@ -2055,6 +2055,77 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM s GROUP BY user_id, session_id"""
 
 
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory statistics (operators/trajectory.py):
+    order each user's event pings in time (event_id tiebreak), floor
+    each consecutive haversine step to decimeters, aggregate path
+    length / longest step / net first->last displacement.  One
+    window shuffle; the groupBy reuses its partitioning.  Oracle: the
+    identical lag/first_value/last_value window SQL in DuckDB."""
+    from proj_spark.operators.trajectory import trajectory_stats
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        E.synth_lon(F.col("event_id").cast("double")).alias("lon"),
+        E.synth_lat(F.col("event_id").cast("double")).alias("lat"),
+    )
+    out = trajectory_stats(
+        ev, user="user_id", ts="ts", lon="lon", lat="lat", tie="event_id"
+    )
+    return out.select(
+        F.col("user").alias("user_id"),
+        "n_points",
+        "n_steps",
+        "path_dm",
+        "max_step_dm",
+        "net_dm",
+    )
+
+
+def _trajectory_oracle() -> str:
+    k = "CAST(event_id AS DOUBLE)"
+    step = _HAVERSINE_SQL.format(
+        lat1="plat", lon1="plon", lat2="lat", lon2="lon", D=D
+    )
+    net = _HAVERSINE_SQL.format(
+        lat1="flat", lon1="flon", lat2="llat", lon2="llon", D=D
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_lon_sql(k)} AS lon, {_lat_sql(k)} AS lat
+  FROM events
+),
+w AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER win AS plon, lag(lat) OVER win AS plat,
+         first_value(lon) OVER winf AS flon, first_value(lat) OVER winf AS flat,
+         last_value(lon) OVER winf AS llon, last_value(lat) OVER winf AS llat
+  FROM pts
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+         winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+s AS (
+  SELECT user_id, flon, flat, llon, llat,
+         -- NULL guard: least() skips NULLs in the haversine clamp
+         CASE WHEN plon IS NULL THEN NULL
+              ELSE CAST(floor({step} * 10.0) AS BIGINT) END AS step_dm,
+         {net} AS net_m
+  FROM w
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(step_dm) AS BIGINT) AS n_steps,
+       CAST(coalesce(sum(step_dm), 0) AS BIGINT) AS path_dm,
+       CAST(coalesce(max(step_dm), -1) AS BIGINT) AS max_step_dm,
+       CAST(floor(min(net_m) * 10.0) AS BIGINT) AS net_dm
+FROM s GROUP BY user_id
+"""
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key rollup through the salted two-phase aggregation
     (operators/skew.py salted_agg): event_type has a handful of hot
@@ -3130,7 +3201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     aggregates over masked raster tiles, map-side partials through the
     real PNG codec — takes the slot of r3-green ``webmerc_fwd``, whose
     spherical-mercator kernel the in-window fused pipelines and tile
-    rollups re-exercise).  Tail entries stay locally gated via
+    rollups re-exercise) and ``trajectory`` (per-entity ordered path /
+    displacement statistics — takes the slot of r3-green ``utm_fwd``,
+    whose tmerc kernel in-window ``utm_inverse_roundtrip`` exercises in
+    both directions).  Tail entries stay locally gated via
     tools/check_oracle.py (green 2026-08-18).
     """
     return {
@@ -3147,7 +3221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         # --- r3-green entries, 40 to fill the 50-entry checked window
         "tile_multizoom": q_tile_multizoom,
-        "utm_fwd": q_utm_fwd,
         "polygon_raster": q_polygon_raster,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
@@ -3170,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "audio_features": q_audio_features,
         "sessionize": q_sessionize,
+        "trajectory": q_trajectory,
         "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
         "pack_budget": q_pack_budget,
@@ -3188,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gridshift_roundtrip": q_gridshift_roundtrip,
         # --- tail: r3-driver-green AND redundant with an in-window sibling
         "webmerc_fwd": q_webmerc_fwd,
+        "utm_fwd": q_utm_fwd,
         "aea_fwd": q_aea_fwd,
         "stere_polar_fwd": q_stere_polar_fwd,
         "utm_cheby_fwd": q_utm_cheby_fwd,
@@ -3773,6 +3848,7 @@ FROM documents
         "audio_features": _audio_features_oracle(),
         "kmv_distinct": _kmv_oracle(),
         "sessionize": _sessionize_oracle(),
+        "trajectory": _trajectory_oracle(),
         "hash_split": _hash_split_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "pack_budget": _pack_budget_oracle(),

@@ -1,0 +1,90 @@
+"""Trajectory statistics: per-entity movement aggregates over
+timestamped point sequences.
+
+Given (entity, ts, lon, lat) rows — GPS fixes, photo EXIF positions,
+event pings — order each entity's points in time, measure the
+consecutive-step great-circle distances, and aggregate per entity:
+point count, step count, total path length, longest single step, and
+the net first->last displacement.  The spatial metric is the shared
+haversine expression (functions/expressions.haversine_m), the same
+fast-path metric the kNN and range joins rank with; the Karney
+geodesic (kernels/karney.py, ref src/geodesic.c:944) remains the
+refinement oracle where ellipsoidal accuracy matters.
+
+Scale shape: everything is whole-stage-codegen window + aggregate
+expressions — ONE shuffle, hash-partitioned by the entity key; the
+final groupBy reuses the window's partitioning so Catalyst plans no
+second exchange.  Each step distance is floored to an integer
+(decimeters) BEFORE the sum, so the per-entity totals are exact longs
+and partition/merge-order invariant.  A pathologically hot entity
+serializes its own window scan (order-dependent work cannot be
+salted); at 100 TB bound per-entity cardinality upstream — e.g. split
+trajectories by day or by session (operators/sessions.py) — rather
+than salting here.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from proj_spark.functions import expressions as E
+
+
+def trajectory_stats(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tie: str | None = None,
+) -> DataFrame:
+    """-> (user, n_points, n_steps, path_dm, max_step_dm, net_dm).
+
+    ``path_dm`` is the sum of per-step ``floor(haversine_m * 10)``
+    (decimeters — floored per step, so the sum is exact); ``net_dm``
+    the floored first->last displacement; ``max_step_dm`` is -1 for
+    single-point entities.  ``tie`` (strongly recommended) breaks
+    equal timestamps into a total order — without it, ties make the
+    step sequence nondeterministic under retries.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    plon, plat = F.lag(lon).over(w), F.lag(lat).over(w)
+    # explicit NULL guard: haversine_m clamps with least(h, 1.0), and
+    # least() SKIPS nulls (Spark and DuckDB alike), so a NULL lag would
+    # otherwise yield the antipodal max distance instead of NULL
+    step = F.when(
+        plon.isNotNull(), E.haversine_m(plon, plat, F.col(lon), F.col(lat))
+    )
+    # keep the ORIGINAL key attribute through window + aggregate and
+    # alias it only in the final projection: an early alias gets pushed
+    # below the window's exchange, de-correlating the aggregate key
+    # from the exchange's partitioning and costing a second shuffle
+    stepped = df.select(
+        F.col(user),
+        F.floor(step * 10.0).cast("long").alias("_step_dm"),  # null on row 1
+        F.first(lon).over(wf).alias("_flon"),
+        F.first(lat).over(wf).alias("_flat"),
+        F.last(lon).over(wf).alias("_llon"),
+        F.last(lat).over(wf).alias("_llat"),
+    )
+    agg = stepped.groupBy(user).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("_step_dm").alias("n_steps"),
+        F.coalesce(F.sum("_step_dm"), F.lit(0)).cast("long").alias("path_dm"),
+        F.coalesce(F.max("_step_dm"), F.lit(-1)).cast("long").alias("max_step_dm"),
+        F.min("_flon").alias("_flon"),
+        F.min("_flat").alias("_flat"),
+        F.min("_llon").alias("_llon"),
+        F.min("_llat").alias("_llat"),
+    )
+    net = E.haversine_m("_flon", "_flat", "_llon", "_llat")
+    return agg.select(
+        F.col(user).alias("user"),
+        "n_points",
+        "n_steps",
+        "path_dm",
+        "max_step_dm",
+        F.floor(net * 10.0).cast("long").alias("net_dm"),
+    )
