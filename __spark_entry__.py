@@ -748,6 +748,46 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("pk").alias("point_id"), "poly_id")
 
 
+def q_boundary_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-boundary distance join (operators/boundary.py):
+    millimeter-floored distance from every customer point to the
+    closest fixture-polygon EDGE, ties broken by polygon/edge input
+    order.  Inline path: the whole edge set is one constant array and
+    the operator is a zero-exchange codegen expression (plan-gated in
+    tests/test_boundary.py).  Oracle: the identical segment-distance
+    tokens over an edges VALUES table, row_number tie-break."""
+    from proj_spark.operators.boundary import boundary_distance_join
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    return boundary_distance_join(pts, _fixture_polygons()).select(
+        "pk", "nearest_poly", "dist_mm"
+    )
+
+
+def _boundary_distance_oracle() -> str:
+    from proj_spark.operators.boundary import _dist_mm_sql, _edge_rows
+
+    edge_vals = ",".join(
+        f"({s}, {i}, '{p}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for s, i, p, x1, y1, x2, y2 in _edge_rows(_fixture_polygons())
+    )
+    dm = _dist_mm_sql("lon", "lat", "x1", "y1", "x2", "y2")
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL}),
+edges(s, i, p, x1, y1, x2, y2) AS (VALUES {edge_vals}),
+cand AS (
+  SELECT pk, p, s, i, {dm} AS dm
+  FROM pts CROSS JOIN edges
+),
+r AS (
+  SELECT pk, p, dm,
+         row_number() OVER (PARTITION BY pk ORDER BY dm, s, i) AS rn
+  FROM cand
+)
+SELECT pk, p AS nearest_poly, dm AS dist_mm FROM r WHERE rn = 1
+"""
+
+
 def q_fused_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused reproject+PIP+tile rollup kernel (operators/fused.py):
     one mapInPandas pass computes the transform, the first-match
@@ -3204,8 +3244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollups re-exercise) and ``trajectory`` (per-entity ordered path /
     displacement statistics — takes the slot of r3-green ``utm_fwd``,
     whose tmerc kernel in-window ``utm_inverse_roundtrip`` exercises in
-    both directions).  Tail entries stay locally gated via
-    tools/check_oracle.py (green 2026-08-18).
+    both directions), and ``boundary_distance`` (nearest-AOI-edge
+    distance join, zero-exchange inline path — takes the slot of
+    r3-green ``quality``, whose text-statistic machinery in-window
+    ``token_stats``/``langid`` re-derive).  Tail entries stay locally
+    gated via tools/check_oracle.py (green 2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -3231,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "range_join": q_range_join,
         "pip": q_pip,
+        "boundary_distance": q_boundary_distance,
         "fused_pip_tiles": q_fused_pip_tiles,
         "fused_assign": q_fused_assign,
         "exact_dedup": q_exact_dedup,
@@ -3240,7 +3284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
-        "quality": q_quality,
         "audio_features": q_audio_features,
         "sessionize": q_sessionize,
         "trajectory": q_trajectory,
@@ -3263,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: r3-driver-green AND redundant with an in-window sibling
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
+        "quality": q_quality,
         "aea_fwd": q_aea_fwd,
         "stere_polar_fwd": q_stere_polar_fwd,
         "utm_cheby_fwd": q_utm_cheby_fwd,
@@ -3821,6 +3865,7 @@ FROM pts
         "knn": _knn_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
+        "boundary_distance": _boundary_distance_oracle(),
         "fused_pip_tiles": _fused_pip_tiles_oracle(9),
         "fused_assign": _fused_assign_oracle(9),
         "exact_dedup": (
