@@ -788,6 +788,181 @@ SELECT pk, p AS nearest_poly, dm AS dist_mm FROM r WHERE rn = 1
 """
 
 
+# Douglas-Peucker lane: densify the fixture rings with LCG jitter so
+# simplification has real work, then simplify at _SIMP_TOL_M meters
+_SIMP_M, _SIMP_AMP, _SIMP_TOL_M = 6, 0.02, 1200.0
+
+
+def _dense_polys():
+    """Fixture rings with every edge densified into _SIMP_M sub-points
+    carrying deterministic LCG jitter — pure literals, shared verbatim
+    by the Spark query and the SQL oracle's VALUES table."""
+    out = []
+    for seq, (pid, ring) in enumerate(_fixture_polygons()):
+        pts = []
+        for ei, ((ax, ay), (bx, by)) in enumerate(zip(ring[:-1], ring[1:])):
+            pts.append((ax, ay))
+            for t in range(1, _SIMP_M):
+                f = t / _SIMP_M
+                h1 = ((seq * 1000 + ei * _SIMP_M + t) * 2654435761) % (1 << 32)
+                h2 = ((seq * 1000 + ei * _SIMP_M + t) * 2246822519) % (1 << 32)
+                pts.append(
+                    (
+                        ax + f * (bx - ax) + (h1 / float(1 << 32) - 0.5) * 2.0 * _SIMP_AMP,
+                        ay + f * (by - ay) + (h2 / float(1 << 32) - 0.5) * 2.0 * _SIMP_AMP,
+                    )
+                )
+        pts.append(ring[-1])
+        out.append((pid, pts))
+    return out
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Douglas-Peucker (operators/simplify.py): narrow
+    mapInPandas over one-ring-per-row geometries; deterministic
+    anchors / tie-breaks / strict tolerance make the kept-vertex set a
+    pure function of the input.  Oracle: the SAME split recursion
+    unrolled into per-round SQL CTEs (max-distance split with
+    lowest-index ties) over the identical VALUES vertex table; the
+    round CTEs are MATERIALIZED — inlined, DuckDB re-evaluates each
+    round's whole ancestor chain (~4^rounds paths) and never returns."""
+    from proj_spark.operators.simplify import simplify_rings
+
+    rows = [
+        {"poly_id": pid, "ring": [{"lon": x, "lat": y} for x, y in ring]}
+        for pid, ring in _dense_polys()
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )
+    out = simplify_rings(df, _SIMP_TOL_M)
+    cks = F.expr(
+        "aggregate(ring, 0L, (acc, p) -> acc + CAST(floor(p.lon * 1e7) AS BIGINT)"
+        " + CAST(floor(p.lat * 1e7) AS BIGINT))"
+    )
+    return out.select(
+        "poly_id",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        cks.alias("cks"),
+    )
+
+
+def _dp_dist_sql(px, py, ax, ay, bx, by) -> str:
+    """Token-for-token SQL mirror of operators/simplify._seg_dist."""
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (
+        f"least(greatest(CASE WHEN {len2} = 0.0 THEN 0.0 ELSE "
+        f"(({px} - {ax}) * {dx} + ({py} - {ay}) * {dy}) / {len2} END, 0.0), 1.0)"
+    )
+    qx, qy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+    return f"sqrt(({px} - {qx}) * ({px} - {qx}) + ({py} - {qy}) * ({py} - {qy}))"
+
+
+def _simplify_oracle() -> str:
+    import numpy as np
+
+    from proj_spark.operators.simplify import M_PER_DEG, _seg_dist
+
+    tol = _SIMP_TOL_M / M_PER_DEG
+    vert_rows = []
+    rounds_needed = 0
+    for pid, pts in _dense_polys():
+        n = len(pts) - 1
+        lat0 = sum(p[1] for p in pts[:-1]) / n
+        cl = math.cos(lat0 * DEG_TO_RAD)
+        xs = np.array([p[0] for p in pts], dtype=np.float64) * cl
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        for idx, (lon, lat) in enumerate(pts):
+            vert_rows.append(f"('{pid}', {idx}, {xs[idx]!r}, {ys[idx]!r}, {lon!r}, {lat!r})")
+        # python replay of the SQL's per-round BFS to size the unroll
+        d0 = np.sqrt((xs[:n] - xs[0]) ** 2 + (ys[:n] - ys[0]) ** 2)
+        a = int(np.argmax(d0))
+        segs = {(0, a), (a, n)}
+        r = 0
+        while True:
+            splits = set()
+            for i, j in segs:
+                if j - i < 2:
+                    continue
+                d = _seg_dist(xs[i + 1: j], ys[i + 1: j], xs[i], ys[i], xs[j], ys[j])
+                kk = int(np.argmax(d))
+                if d[kk] > tol:
+                    splits.add((i, j, i + 1 + kk))
+            if not splits:
+                break
+            segs = {(i, k) for i, j, k in splits} | {(k, j) for i, j, k in splits}
+            r += 1
+        rounds_needed = max(rounds_needed, r)
+    R = rounds_needed
+    if R > 32:
+        raise AssertionError(f"DP unroll depth {R} exceeds the sane bound")
+
+    dist = _dp_dist_sql("v.x", "v.y", "vi.x", "vi.y", "vj.x", "vj.y")
+    parts = [
+        "SELECT poly, i AS idx FROM segs0",
+        "SELECT poly, j AS idx FROM segs0",
+    ]
+    rounds_sql = []
+    prev = "segs0"
+    for r in range(1, R + 1):
+        rounds_sql.append(f""",
+cand{r} AS MATERIALIZED (
+  SELECT s.poly, s.i, s.j, v.idx, {dist} AS d
+  FROM {prev} s
+  JOIN verts vi ON vi.poly = s.poly AND vi.idx = s.i
+  JOIN verts vj ON vj.poly = s.poly AND vj.idx = s.j
+  JOIN verts v  ON v.poly  = s.poly AND v.idx > s.i AND v.idx < s.j
+),
+far{r} AS MATERIALIZED (SELECT poly, i, j, max(d) AS md FROM cand{r} GROUP BY 1, 2, 3),
+split{r} AS MATERIALIZED (
+  SELECT c.poly, c.i, c.j, min(c.idx) AS k
+  FROM cand{r} c JOIN far{r} f
+    ON c.poly = f.poly AND c.i = f.i AND c.j = f.j AND c.d = f.md
+  WHERE f.md > {tol!r} GROUP BY 1, 2, 3
+),
+segs{r} AS MATERIALIZED (
+  SELECT poly, i, k AS j FROM split{r}
+  UNION ALL SELECT poly, k AS i, j FROM split{r}
+)""")
+        parts.append(f"SELECT poly, k AS idx FROM split{r}")
+        prev = f"segs{r}"
+    return f"""
+WITH verts(poly, idx, x, y, lon, lat) AS (VALUES {",".join(vert_rows)}),
+nv AS (SELECT poly, max(idx) AS n FROM verts GROUP BY poly),
+d0 AS MATERIALIZED (
+  SELECT v.poly, v.idx,
+         sqrt((v.x - o.x) * (v.x - o.x) + (v.y - o.y) * (v.y - o.y)) AS d
+  FROM verts v
+  JOIN verts o ON o.poly = v.poly AND o.idx = 0
+  JOIN nv ON nv.poly = v.poly
+  WHERE v.idx < nv.n
+),
+anc AS (
+  SELECT d0.poly, min(d0.idx) AS a
+  FROM d0 JOIN (SELECT poly, max(d) AS md FROM d0 GROUP BY poly) mx
+    ON mx.poly = d0.poly AND d0.d = mx.md
+  GROUP BY d0.poly
+),
+segs0(poly, i, j) AS MATERIALIZED (
+  SELECT anc.poly, 0, a FROM anc
+  UNION ALL SELECT anc.poly, a, nv.n FROM anc JOIN nv ON nv.poly = anc.poly
+){"".join(rounds_sql)},
+kept AS (SELECT DISTINCT poly, idx FROM ({" UNION ALL ".join(parts)})),
+nin AS (SELECT poly, CAST(count(*) AS BIGINT) AS n_in FROM verts GROUP BY poly)
+SELECT k.poly AS poly_id,
+       nin.n_in,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(CAST(floor(v.lon * 1e7) AS BIGINT)
+              + CAST(floor(v.lat * 1e7) AS BIGINT)) AS BIGINT) AS cks
+FROM kept k
+JOIN verts v ON v.poly = k.poly AND v.idx = k.idx
+JOIN nin ON nin.poly = k.poly
+GROUP BY k.poly, nin.n_in
+"""
+
+
 def q_fused_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused reproject+PIP+tile rollup kernel (operators/fused.py):
     one mapInPandas pass computes the transform, the first-match
@@ -3247,8 +3422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both directions), and ``boundary_distance`` (nearest-AOI-edge
     distance join, zero-exchange inline path — takes the slot of
     r3-green ``quality``, whose text-statistic machinery in-window
-    ``token_stats``/``langid`` re-derive).  Tail entries stay locally
-    gated via tools/check_oracle.py (green 2026-08-18).
+    ``token_stats``/``langid`` re-derive), and ``simplify``
+    (distributed Douglas-Peucker with an unrolled-split-rounds SQL
+    oracle — takes the slot of r3-green ``kmv_distinct``, whose
+    distinct-sketch role in-window ``profile`` re-exercises).  Tail
+    entries stay locally gated via tools/check_oracle.py (green
+    2026-08-18).
     """
     return {
         # --- the 10 entries the r3 driver gate skipped (lead the window)
@@ -3275,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pip": q_pip,
         "boundary_distance": q_boundary_distance,
+        "simplify": q_simplify,
         "fused_pip_tiles": q_fused_pip_tiles,
         "fused_assign": q_fused_assign,
         "exact_dedup": q_exact_dedup,
@@ -3287,7 +3467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "sessionize": q_sessionize,
         "trajectory": q_trajectory,
-        "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
         "pack_budget": q_pack_budget,
         "pii_scrub": q_pii_scrub,
@@ -3307,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
+        "kmv_distinct": q_kmv_distinct,
         "aea_fwd": q_aea_fwd,
         "stere_polar_fwd": q_stere_polar_fwd,
         "utm_cheby_fwd": q_utm_cheby_fwd,
@@ -3866,6 +4046,7 @@ FROM pts
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
         "boundary_distance": _boundary_distance_oracle(),
+        "simplify": _simplify_oracle(),
         "fused_pip_tiles": _fused_pip_tiles_oracle(9),
         "fused_assign": _fused_assign_oracle(9),
         "exact_dedup": (
