@@ -636,6 +636,88 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via HEX k-ring expansion (operators/knn.knn_join_hex — the
+    north rule's 'kNN via H3 k-ring expansion with haversine
+    refinement' path): narrow candidate side, broadcast exploded
+    rings, coverage-checked ring escalation + brute-force residue make
+    the INDEXED path exact, so the oracle is plain brute-force SQL."""
+    from proj_spark.operators.knn import knn_join_hex
+
+    q = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qk"),
+        E.synth_lon((F.col("n_nationkey") * 104729 + 57).cast("double")).alias("qlon"),
+        E.synth_lat((F.col("n_nationkey") * 104729 + 57).cast("double")).alias("qlat"),
+    )
+    cust = _points(spark, sf_dir, "customer", "c_custkey")
+    out = knn_join_hex(
+        q, cust, k=5, size_deg=1.5, ring=1, max_ring=3,
+        q_id="qk", q_lon="qlon", q_lat="qlat",
+        c_id="pk", c_lon="lon", c_lat="lat",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("dist_m") * 10.0).cast("long").alias("dist_dm"),
+    )
+
+
+def _knn_hex_oracle() -> str:
+    hav = _HAVERSINE_SQL.format(
+        lat1="q.qlat", lon1="q.qlon", lat2="c.lat", lon2="c.lon", D=D
+    )
+    qk = "CAST(n_nationkey * 104729 + 57 AS DOUBLE)"
+    return f"""
+WITH q AS (
+  SELECT n_nationkey AS qk, {_lon_sql(qk)} AS qlon, {_lat_sql(qk)} AS qlat FROM nation
+),
+c AS ({_CUSTOMER_PTS_SQL}),
+pairs AS (
+  SELECT q.qk AS query_id, c.pk AS neighbor_id, {hav} AS dist_m
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist_m,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(dist_m * 10.0) AS BIGINT) AS dist_dm
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell-index rollup (functions/hexgrid.py — the
+    H3-analog axial hex grid, pure codegen cube-rounding with
+    floor(x+0.5) ties so DuckDB reproduces every cell id bit-for-bit)
+    at circumradius 1.0 deg over customer points."""
+    from proj_spark.functions import hexgrid as H
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    return (
+        pts.withColumn("cell", H.hex_cell("lon", "lat", 1.0))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+    )
+
+
+def _hex_rollup_oracle() -> str:
+    from proj_spark.functions.hexgrid import hex_cell_sql
+
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL})
+SELECT {hex_cell_sql("lon", "lat", 1.0)} AS cell,
+       count(*) AS n, min(pk) AS min_pk, max(pk) AS max_pk
+FROM pts GROUP BY 1
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-range join (within 200 km, haversine) through the
     cell-pruned scale path (operators/knn.py within_distance_join:
@@ -3425,7 +3507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``token_stats``/``langid`` re-derive), and ``simplify``
     (distributed Douglas-Peucker with an unrolled-split-rounds SQL
     oracle — takes the slot of r3-green ``kmv_distinct``, whose
-    distinct-sketch role in-window ``profile`` re-exercises).  Tail
+    distinct-sketch role in-window ``profile`` re-exercises), and the
+    round-4 hex lane ``knn_hex`` + ``hex_rollup`` (the north rule's H3
+    analog — taking the slots of r3-green ``geohash_rollup``, whose
+    pure-codegen locality-key role in-window ``quadkey_rollup`` /
+    ``hilbert_rollup`` re-exercise, and ``langid``, whose
+    pure-expression text analysis in-window ``token_stats`` /
+    ``pii_scrub`` re-exercise).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3451,6 +3539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "tile_pyramid": q_tile_pyramid,
         "knn": q_knn,
+        "knn_hex": q_knn_hex,
+        "hex_rollup": q_hex_rollup,
         "range_join": q_range_join,
         "pip": q_pip,
         "boundary_distance": q_boundary_distance,
@@ -3459,7 +3549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_assign": q_fused_assign,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
-        "langid": q_langid,
         "caption_align": q_caption_align,
         "lsh_pairs": q_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3473,7 +3562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "quadkey_rollup": q_quadkey_rollup,
         "profile": q_profile,
-        "geohash_rollup": q_geohash_rollup,
         "salted_join_rollup": q_salted_join_rollup,
         "phash_pairs": q_phash_pairs,
         "exif_gps_tiles": q_exif_gps_tiles,
@@ -3483,6 +3571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "gridshift_roundtrip": q_gridshift_roundtrip,
         # --- tail: r3-driver-green AND redundant with an in-window sibling
+        "geohash_rollup": q_geohash_rollup,
+        "langid": q_langid,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4043,6 +4133,8 @@ FROM pts
         "cell_rollup": _cell_oracle(_CUSTOMER_PTS_SQL, 7),
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),
+        "knn_hex": _knn_hex_oracle(),
+        "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
         "boundary_distance": _boundary_distance_oracle(),

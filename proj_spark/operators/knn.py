@@ -286,3 +286,122 @@ def within_distance_join(
     return pairs.where(F.col("dist_m") <= F.lit(float(radius_m))).select(
         "query_id", "neighbor_id", "dist_m"
     )
+
+
+def knn_join_hex(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    size_deg: float = 1.5,
+    ring: int = 1,
+    q_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    c_id: str = "cand_id",
+    c_lon: str = "c_lon",
+    c_lat: str = "c_lat",
+    max_ring: int = 4,
+) -> DataFrame:
+    """kNN via HEX k-ring expansion (the north rule's H3 analog) with
+    haversine refinement — exact by construction.
+
+    Same shape as :func:`knn_join` (narrow candidate side, broadcast
+    exploded query rings, lazy ring escalation, brute-force residue)
+    but over :mod:`..functions.hexgrid` cells, whose k-ring is the
+    3k²+3k+1 hex neighborhood instead of the (2k+1)² square.
+
+    Coverage bound (see hexgrid.py geometry facts): every point outside
+    the k-ring is at planar degree distance ≥ cover_deg =
+    ((ring+1)·3/2 − 2)·size from the query.  A haversine ball of
+    radius s around the query maps into the planar box |Δφ| ≤ s/deg_m,
+    |Δλ| ≤ s/(deg_m·cos φb) with φb = |qlat| + cover_deg (latitude
+    along a path of length s rises at most s/R), so the ball stays
+    inside the ring whenever s ≤ cover_deg·deg_m·cos(φb)/√2 — that is
+    ``safe_m``.  Near the ±180 seam the planar embedding breaks (raw
+    Δλ jumps), so queries closer than cover_deg to the seam fail
+    coverage outright and escalate; the residue past ``max_ring`` is
+    brute-forced.  Hence the bound being conservative costs retries,
+    never correctness.
+    """
+    from ..functions import hexgrid as H
+
+    c = candidates.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_lon).alias("_clon"),
+        F.col(c_lat).alias("_clat"),
+    ).withColumn("_ccell", H.hex_cell("_clon", "_clat", size_deg))
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+    )
+    q_cells = q.withColumn(
+        "_cell",
+        F.explode(H.hex_kring(H.hex_cell("_qlon", "_qlat", size_deg), k=ring)),
+    )
+
+    pairs = c.join(F.broadcast(q_cells), c["_ccell"] == q_cells["_cell"], "inner").withColumn(
+        "dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat")
+    )
+    ranked = _topk(pairs, "query_id", k).select(
+        "query_id", "neighbor_id", "rank", "dist_m"
+    ).persist()
+
+    deg_m = math.pi * EARTH_M / 180.0
+    cover_deg = ((ring + 1) * 1.5 - 2.0) * float(size_deg)
+
+    per_q = q.join(
+        ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_m").alias("_maxd")
+        ),
+        on="query_id",
+        how="left",
+    )
+    phi_b = F.least(
+        F.abs(F.col("_qlat")) + F.lit(cover_deg), F.lit(89.999999)
+    )
+    safe_m = (
+        F.lit(cover_deg * deg_m) * F.cos(F.radians(phi_b)) / F.lit(math.sqrt(2.0))
+    )
+    seam_bad = (F.lit(180.0) - F.abs(F.col("_qlon"))) < F.lit(cover_deg)
+    is_bad = (
+        F.col("_n").isNull() | (F.col("_n") < k)
+        | (F.col("_maxd") >= safe_m) | seam_bad
+    )
+    per_q = per_q.observe(
+        f"knn_hex_cover_r{ring}_{next(_OBS_SEQ)}",
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count_if(is_bad).alias("n_failed"),
+    )
+    bad_q = per_q.where(is_bad).select("query_id")
+    bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
+    good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
+    if ring < max_ring:
+        redo = knn_join_hex(
+            bad_queries,
+            candidates,
+            k=k,
+            size_deg=size_deg,
+            ring=ring + 1,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+            max_ring=max_ring,
+        )
+    else:
+        redo = knn_join_bruteforce(
+            bad_queries,
+            candidates,
+            k=k,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+        )
+    return good.unionByName(redo)
