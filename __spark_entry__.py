@@ -636,6 +636,38 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# warp fixture: 512x512 plate-carrée raster (8x8 tiles of 64px) over
+# the US-NW window, warped onto zoom-6 web-mercator tiles
+_WARP_GRID = dict(
+    lon0=-120.0, lat0=48.0, dlon=0.02, dlat=0.02,
+    width=512, height=512, tile_px=64,
+)
+_WARP_ZOOM, _WARP_OPX = 6, 64
+
+
+def q_warp_webmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster warp (operators/warp.py): reproject a tiled plate-carrée
+    raster onto web-mercator tiles — inverse-map every output pixel
+    center, nearest-neighbor sample.  Broadcast candidate map keeps
+    the big (source-tile) side unshuffled; the one exchange groups
+    bounded-fan fragments per OUTPUT tile.  Oracle: DuckDB replays the
+    identical per-pixel expression trees over range() and checks the
+    exact-integer (n_valid, px_sum, position-weighted px_cks) triple
+    per tile."""
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles, warp_to_webmerc
+
+    grid = LatLonGrid(**_WARP_GRID)
+    tiles = lcg_tiles(spark, grid, partitions=8)
+    out = warp_to_webmerc(spark, tiles, grid, _WARP_ZOOM, _WARP_OPX)
+    return out.select("z", "tx", "ty", "n_valid", "px_sum", "px_cks")
+
+
+def _warp_oracle() -> str:
+    from proj_spark.operators.warp import LatLonGrid, warp_oracle_sql
+
+    return warp_oracle_sql(LatLonGrid(**_WARP_GRID), _WARP_ZOOM, _WARP_OPX)
+
+
 def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via HEX k-ring expansion (operators/knn.knn_join_hex — the
     north rule's 'kNN via H3 k-ring expansion with haversine
@@ -3513,7 +3545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pure-codegen locality-key role in-window ``quadkey_rollup`` /
     ``hilbert_rollup`` re-exercise, and ``langid``, whose
     pure-expression text analysis in-window ``token_stats`` /
-    ``pii_scrub`` re-exercise).  Tail
+    ``pii_scrub`` re-exercise), and ``warp_webmerc`` (raster
+    reprojection — taking the slot of r3-green ``fused_assign``, whose
+    fused kernel in-window ``fused_pip_tiles`` re-exercises).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3546,7 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_distance": q_boundary_distance,
         "simplify": q_simplify,
         "fused_pip_tiles": q_fused_pip_tiles,
-        "fused_assign": q_fused_assign,
+        "warp_webmerc": q_warp_webmerc,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "caption_align": q_caption_align,
@@ -3573,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: r3-driver-green AND redundant with an in-window sibling
         "geohash_rollup": q_geohash_rollup,
         "langid": q_langid,
+        "fused_assign": q_fused_assign,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4134,6 +4169,7 @@ FROM pts
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),
         "knn_hex": _knn_hex_oracle(),
+        "warp_webmerc": _warp_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),

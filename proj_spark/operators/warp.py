@@ -1,0 +1,314 @@
+"""Raster warp: reproject imagery tiles between CRSs.
+
+The reference engine transforms COORDINATES (pj_transform,
+src/pj_transform.c:87); applied to rasters that is exactly GDAL-style
+warping — for every pixel of the OUTPUT grid, inverse-project its
+center into the source CRS and sample the source raster.  This module
+warps a tiled plate-carrée (regular lon/lat) raster onto web-mercator
+slippy tiles (ref src/PJ_merc.c webmerc semantics) with deterministic
+nearest-neighbor sampling, so the result is bit-reproducible and an
+SQL engine can replay it pixel-for-pixel.
+
+Physical plan (the 100 TB shape):
+
+1. the OUTPUT tile universe and each output tile's candidate source
+   tiles are closed-form arithmetic on tile indices — built as pure
+   expressions from a ``spark.range`` cross, never from a data scan;
+2. source tiles (the big side) join the broadcast candidate map on
+   (sx, sy) — the big side never shuffles for the join and each source
+   tile is replicated only per overlapping output tile (fan-out is
+   bounded by the tile-size ratio, typically <= 4);
+3. one shuffle keyed on the OUTPUT tile assembles each group; a group
+   holds at most ``fan`` source tiles, so — like the pyramid operator
+   — group size is a hard constant and skew is impossible;
+4. the per-group warp is one vectorized numpy gather (no per-pixel
+   Python).
+
+Determinism: longitude mapping is pure rational arithmetic (identical
+IEEE results in any engine evaluating the same expression tree);
+latitude uses atan/sinh whose last-ulp could in principle differ
+across libms, but a flip requires the value to sit within ~1e-13 of a
+pixel boundary — measure-zero for the irrational-pitch grids used
+here (documented, same argument as the golden %.8f print precision).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RAD2DEG = 180.0 / math.pi
+
+
+@dataclass(frozen=True)
+class LatLonGrid:
+    """A tiled plate-carrée raster: pixel (gx, gy) has center
+    lon = lon0 + (gx + 0.5)*dlon, lat = lat0 - (gy + 0.5)*dlat
+    (north-up raster convention), gx in [0, width), gy in [0, height),
+    cut into tile_px x tile_px tiles addressed by
+    (sx, sy) = (gx // tile_px, gy // tile_px)."""
+
+    lon0: float
+    lat0: float
+    dlon: float
+    dlat: float
+    width: int
+    height: int
+    tile_px: int
+
+    @property
+    def lon_max(self) -> float:
+        return self.lon0 + self.width * self.dlon
+
+    @property
+    def lat_min(self) -> float:
+        return self.lat0 - self.height * self.dlat
+
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("n_valid", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_cks", LongType()),
+    ]
+)
+
+
+def _merc_lat_deg(y_norm: np.ndarray) -> np.ndarray:
+    """Slippy-map inverse: normalized y in [0,1] -> latitude deg.
+    sinh is spelled (exp(t) - exp(-t))*0.5 because the SQL oracle must
+    evaluate the IDENTICAL expression tree (DuckDB ships no sinh)."""
+    t = math.pi * (1.0 - 2.0 * y_norm)
+    return np.arctan((np.exp(t) - np.exp(-t)) * 0.5) * RAD2DEG
+
+
+def _merc_ty(lat_deg: float, zoom: int) -> float:
+    """Forward (driver-side only, to size the output tile range)."""
+    phi = math.radians(lat_deg)
+    return (1.0 - math.asinh(math.tan(phi)) / math.pi) / 2.0 * (1 << zoom)
+
+
+def out_tile_range(grid: LatLonGrid, zoom: int) -> tuple[int, int, int, int]:
+    """Inclusive (tx0, tx1, ty0, ty1) of web-mercator tiles whose area
+    intersects the grid extent — closed form, no data scan."""
+    n = 1 << zoom
+    tx0 = max(int(math.floor((grid.lon0 + 180.0) / 360.0 * n)), 0)
+    tx1 = min(int(math.floor((grid.lon_max + 180.0) / 360.0 * n)), n - 1)
+    ty0 = max(int(math.floor(_merc_ty(grid.lat0, zoom))), 0)
+    ty1 = min(int(math.floor(_merc_ty(grid.lat_min, zoom))), n - 1)
+    return tx0, tx1, ty0, ty1
+
+
+def warp_to_webmerc(
+    spark: SparkSession,
+    tiles: DataFrame,
+    grid: LatLonGrid,
+    zoom: int,
+    out_px: int = 64,
+) -> DataFrame:
+    """Warp ``tiles`` (sx:long, sy:long, bytes:binary — raw uint8
+    tile_px² rasters) onto web-mercator zoom-``zoom`` tiles of
+    ``out_px``² pixels.  Output pixels falling outside the grid extent
+    are 0 with ``n_valid`` not counting them; ``px_sum`` /``px_cks``
+    are exact-integer aggregates for cross-engine verification
+    (cks weights each pixel by 1 + (local_index % 997) to pin
+    positions, not just the multiset of values)."""
+    ts = grid.tile_px
+    n_px = float((1 << zoom) * out_px)
+    tx0, tx1, ty0, ty1 = out_tile_range(grid, zoom)
+
+    out = spark.range(tx0, tx1 + 1).select(F.col("id").alias("tx")).crossJoin(
+        spark.range(ty0, ty1 + 1).select(F.col("id").alias("ty"))
+    )
+    # candidate source-tile ranges from the output tile's lon/lat bbox
+    # (webmerc x->lon and y->lat are monotone, so corners bound the
+    # bbox); one extra candidate on a shared edge is harmless — the
+    # sampler simply never reads it
+    world = 360.0 / float(1 << zoom)
+    lon_w = F.col("tx") * F.lit(world) - F.lit(180.0)
+    lon_e = (F.col("tx") + 1) * F.lit(world) - F.lit(180.0)
+    yn_n = F.col("ty").cast("double") / F.lit(float(1 << zoom))
+    yn_s = (F.col("ty") + 1).cast("double") / F.lit(float(1 << zoom))
+    t_n = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yn_n)
+    t_s = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yn_s)
+    lat_n = F.atan((F.exp(t_n) - F.exp(-t_n)) * F.lit(0.5)) * F.lit(RAD2DEG)
+    lat_s = F.atan((F.exp(t_s) - F.exp(-t_s)) * F.lit(0.5)) * F.lit(RAD2DEG)
+
+    step_x = grid.dlon * ts
+    step_y = grid.dlat * ts
+    n_sx = (grid.width + ts - 1) // ts
+    n_sy = (grid.height + ts - 1) // ts
+    sx_lo = F.greatest(
+        F.floor((lon_w - F.lit(grid.lon0)) / F.lit(step_x)), F.lit(0)
+    ).cast("long")
+    sx_hi = F.least(
+        F.floor((lon_e - F.lit(grid.lon0)) / F.lit(step_x)), F.lit(n_sx - 1)
+    ).cast("long")
+    sy_lo = F.greatest(
+        F.floor((F.lit(grid.lat0) - lat_n) / F.lit(step_y)), F.lit(0)
+    ).cast("long")
+    sy_hi = F.least(
+        F.floor((F.lit(grid.lat0) - lat_s) / F.lit(step_y)), F.lit(n_sy - 1)
+    ).cast("long")
+    cand = (
+        out.where(
+            (lon_e > F.lit(grid.lon0))
+            & (lon_w < F.lit(grid.lon_max))
+            & (lat_n > F.lit(grid.lat_min))
+            & (lat_s < F.lit(grid.lat0))
+        )
+        .withColumn("sx", F.explode(F.sequence(sx_lo, sx_hi)))
+        .withColumn("sy", F.explode(F.sequence(sy_lo, sy_hi)))
+        .select("tx", "ty", "sx", "sy")
+    )
+
+    joined = tiles.join(F.broadcast(cand), on=["sx", "sy"], how="inner")
+
+    g = grid  # close over plain values, not the DataFrame
+    zz = zoom
+    opx = out_px
+
+    def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        srcs = {
+            (int(r.sx), int(r.sy)): np.frombuffer(r.bytes, dtype=np.uint8).reshape(
+                g.tile_px, g.tile_px
+            )
+            for r in pdf.itertuples()
+        }
+        xs = (tx * opx + np.arange(opx, dtype=np.float64)) + 0.5
+        lon_t = xs / n_px * 360.0 - 180.0
+        ys = (ty * opx + np.arange(opx, dtype=np.float64)) + 0.5
+        lat_t = _merc_lat_deg(ys / n_px)
+        gx = np.floor((lon_t - g.lon0) / g.dlon).astype(np.int64)
+        gy = np.floor((g.lat0 - lat_t) / g.dlat).astype(np.int64)
+        vx = (gx >= 0) & (gx < g.width)
+        vy = (gy >= 0) & (gy < g.height)
+        valid = vy[:, None] & vx[None, :]
+        gxm = np.clip(gx, 0, g.width - 1)
+        gym = np.clip(gy, 0, g.height - 1)
+        sxq = (gxm[None, :] // g.tile_px) + np.zeros((opx, 1), dtype=np.int64)
+        syq = (gym[:, None] // g.tile_px) + np.zeros((1, opx), dtype=np.int64)
+        vals = np.zeros((opx, opx), dtype=np.uint8)
+        for (sx, sy), arr in srcs.items():
+            m = (sxq == sx) & (syq == sy)
+            if not m.any():
+                continue
+            rows, cols = np.nonzero(m)
+            vals[rows, cols] = arr[
+                gym[rows] - sy * g.tile_px, gxm[cols] - sx * g.tile_px
+            ]
+        vals[~valid] = 0
+        lidx = (np.arange(opx)[:, None] * opx + np.arange(opx)[None, :]).astype(
+            np.int64
+        )
+        w = 1 + (lidx % 997)
+        v64 = vals.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "tx": [tx],
+                "ty": [ty],
+                "bytes": [vals.tobytes()],
+                "n_valid": [int(valid.sum())],
+                "px_sum": [int(v64.sum())],
+                "px_cks": [int((v64 * w).sum())],
+            }
+        )
+
+    return (
+        joined.groupBy("tx", "ty")
+        .applyInPandas(warp_group, _OUT_SCHEMA)
+        .withColumn("z", F.lit(zz).cast("int"))
+        .select("z", "tx", "ty", "bytes", "n_valid", "px_sum", "px_cks")
+    )
+
+
+# ----------------------------------------------------- fixture raster
+def lcg_tiles(spark: SparkSession, grid: LatLonGrid, partitions: int = 8) -> DataFrame:
+    """Deterministic source raster: pixel (gx, gy) has value
+    ``((gidx*2654435761 + 12345) mod 2^32) // 2^24`` with
+    gidx = gy*width + gx — the same closed form the SQL oracle
+    evaluates.  Built distributed (one task per tile row band)."""
+    ts = grid.tile_px
+    n_sx = grid.width // ts
+    n_sy = grid.height // ts
+    w = grid.width
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for tid in b["id"]:
+                sx, sy = int(tid) % n_sx, int(tid) // n_sx
+                gx = sx * ts + np.arange(ts, dtype=np.int64)[None, :]
+                gy = sy * ts + np.arange(ts, dtype=np.int64)[:, None]
+                gidx = gy * w + gx
+                v = (((gidx * 2654435761 + 12345) % (1 << 32)) >> 24).astype(
+                    np.uint8
+                )
+                rows.append((sx, sy, v.tobytes()))
+            yield pd.DataFrame(rows, columns=["sx", "sy", "bytes"])
+
+    schema = StructType(
+        [
+            StructField("sx", LongType()),
+            StructField("sy", LongType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+    return spark.range(n_sx * n_sy, numPartitions=partitions).mapInPandas(
+        make, schema
+    )
+
+
+def warp_oracle_sql(grid: LatLonGrid, zoom: int, out_px: int = 64) -> str:
+    """DuckDB mirror: per-output-pixel inverse mapping with the SAME
+    expression trees (lon path is pure rational arithmetic; lat path
+    is degrees(atan(sinh(...))) with the identical constant literals),
+    aggregated to the exact-integer per-tile triple."""
+    tx0, tx1, ty0, ty1 = out_tile_range(grid, zoom)
+    n_px = float((1 << zoom) * out_px)
+    lon = f"((tx * {out_px} + px) + 0.5) / {n_px!r} * 360.0 - 180.0"
+    t = f"({math.pi!r} * (1.0 - 2.0 * (((ty * {out_px} + py) + 0.5) / {n_px!r})))"
+    lat = f"atan((exp({t}) - exp(-{t})) * 0.5) * {RAD2DEG!r}"
+    gx = f"CAST(floor((({lon}) - {grid.lon0!r}) / {grid.dlon!r}) AS BIGINT)"
+    gy = f"CAST(floor(({grid.lat0!r} - ({lat})) / {grid.dlat!r}) AS BIGINT)"
+    return f"""
+WITH px AS (
+  SELECT tx.range AS tx, ty.range AS ty, x.range AS px, y.range AS py
+  FROM range({tx0}, {tx1 + 1}) tx, range({ty0}, {ty1 + 1}) ty,
+       range(0, {out_px}) x, range(0, {out_px}) y
+),
+m AS (
+  SELECT tx, ty, py * {out_px} + px AS lidx, {gx} AS gx, {gy} AS gy FROM px
+),
+v AS (
+  SELECT tx, ty, lidx,
+         CASE WHEN gx >= 0 AND gx < {grid.width} AND gy >= 0 AND gy < {grid.height}
+              THEN 1 ELSE 0 END AS ok,
+         CASE WHEN gx >= 0 AND gx < {grid.width} AND gy >= 0 AND gy < {grid.height}
+              THEN ((gy * {grid.width} + gx) * 2654435761 + 12345) % 4294967296 // 16777216
+              ELSE 0 END AS val
+  FROM m
+)
+SELECT CAST({zoom} AS INTEGER) AS z, tx, ty,
+       CAST(sum(ok) AS BIGINT) AS n_valid,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(val * (1 + lidx % 997)) AS BIGINT) AS px_cks
+FROM v GROUP BY tx, ty
+"""
