@@ -636,6 +636,70 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DBSCAN_EPS_M, _DBSCAN_MINPTS = 60000.0, 3
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (operators/dbscan.py): cell-bucketed
+    ε-pairs -> degree/core flags -> connected components over
+    core-core edges -> deterministic min-label border assignment.
+    Oracle: DuckDB re-derives it from scratch — all-pairs haversine,
+    recursive-CTE reachability, the same total-order border rule."""
+    from proj_spark.operators.dbscan import dbscan
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    out = dbscan(
+        pts, _DBSCAN_EPS_M, _DBSCAN_MINPTS, id_col="pk", lon="lon", lat="lat"
+    )
+    return out.select(
+        F.col("id"), F.col("cluster").cast("long").alias("cluster"), "is_core"
+    )
+
+
+def _dbscan_oracle() -> str:
+    hav = _HAVERSINE_SQL.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon", D=D
+    )
+    return f"""
+WITH RECURSIVE
+pts AS ({_CUSTOMER_PTS_SQL}),
+pairs AS (
+  SELECT a.pk AS ida, b.pk AS idb
+  FROM pts a JOIN pts b ON a.pk <> b.pk
+  WHERE {hav} <= {_DBSCAN_EPS_M!r}
+),
+deg AS (SELECT ida AS id, count(*) + 1 AS degree FROM pairs GROUP BY 1),
+core AS (
+  SELECT p.pk AS id FROM pts p LEFT JOIN deg ON deg.id = p.pk
+  WHERE coalesce(deg.degree, 1) >= {_DBSCAN_MINPTS}
+),
+ce AS (
+  SELECT ida AS u, idb AS v FROM pairs
+  WHERE ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)
+),
+reach(u, v) AS (
+  SELECT u, v FROM ce
+  UNION SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+corelab AS (
+  SELECT c.id, coalesce(comp.component, c.id) AS cluster
+  FROM core c LEFT JOIN comp ON comp.node = c.id
+),
+borderlab AS (
+  SELECT p.ida AS id, min(cl.cluster) AS bcluster
+  FROM pairs p JOIN corelab cl ON cl.id = p.idb GROUP BY 1
+)
+SELECT p.pk AS id,
+       CAST(CASE WHEN cl.id IS NOT NULL THEN cl.cluster
+                 ELSE coalesce(bl.bcluster, -1) END AS BIGINT) AS cluster,
+       cl.id IS NOT NULL AS is_core
+FROM pts p
+LEFT JOIN corelab cl ON cl.id = p.pk
+LEFT JOIN borderlab bl ON bl.id = p.pk
+"""
+
+
 # warp fixture: 512x512 plate-carrée raster (8x8 tiles of 64px) over
 # the US-NW window, warped onto zoom-6 web-mercator tiles
 _WARP_GRID = dict(
@@ -3547,7 +3611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pure-expression text analysis in-window ``token_stats`` /
     ``pii_scrub`` re-exercise), and ``warp_webmerc`` (raster
     reprojection — taking the slot of r3-green ``fused_assign``, whose
-    fused kernel in-window ``fused_pip_tiles`` re-exercises).  Tail
+    fused kernel in-window ``fused_pip_tiles`` re-exercises), and
+    ``dbscan`` (density clustering — taking the slot of r3-green
+    ``sessionize``, whose per-key ordered-window machinery in-window
+    ``trajectory`` re-exercises).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3588,7 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
         "audio_features": q_audio_features,
-        "sessionize": q_sessionize,
+        "dbscan": q_dbscan,
         "trajectory": q_trajectory,
         "stratified_sample": q_stratified_sample,
         "pack_budget": q_pack_budget,
@@ -3608,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": q_geohash_rollup,
         "langid": q_langid,
         "fused_assign": q_fused_assign,
+        "sessionize": q_sessionize,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4170,6 +4238,7 @@ FROM pts
         "knn": _knn_oracle(),
         "knn_hex": _knn_hex_oracle(),
         "warp_webmerc": _warp_oracle(),
+        "dbscan": _dbscan_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
