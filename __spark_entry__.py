@@ -700,6 +700,40 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+_IDW = dict(lon0=-125.0, lat0=25.0, pitch_deg=1.0, nx=58, ny=24,
+            radius_m=300000.0)
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW surface interpolation (operators/interpolate.py): supplier
+    samples (value = pk % 251) onto a 58x24 one-degree grid, 300 km
+    search radius.  Distances floor to whole meters, weights are the
+    integer division 10^12 div (dm²+1), so (n, sum_w, sum_wv) are
+    exact int64 — the oracle replays the identical trees brute-force."""
+    from proj_spark.operators.interpolate import idw_grid
+
+    samples = _points(spark, sf_dir, "supplier", "s_suppkey").withColumn(
+        "value", F.col("pk") % 251
+    )
+    return idw_grid(spark, samples, id_col="pk", **_IDW)
+
+
+def _idw_oracle() -> str:
+    from proj_spark.operators.interpolate import idw_oracle_sql
+
+    k = "CAST(s_suppkey AS DOUBLE)"
+    samples_sql = (
+        f"SELECT s_suppkey AS pk, {_lon_sql(k)} AS lon, {_lat_sql(k)} AS lat, "
+        f"s_suppkey % 251 AS val FROM supplier"
+    )
+    hav_t = _HAVERSINE_SQL.replace("{D}", D)
+    sql = idw_oracle_sql(samples_sql, hav_template=hav_t, **_IDW)
+    # DuckDB sums BIGINT into HUGEINT; pin the comparison types
+    return sql.replace(
+        "SELECT cx, cy, count(*) AS n,", "SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,"
+    )
+
+
 # warp fixture: 512x512 plate-carrée raster (8x8 tiles of 64px) over
 # the US-NW window, warped onto zoom-6 web-mercator tiles
 _WARP_GRID = dict(
@@ -3614,7 +3648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fused kernel in-window ``fused_pip_tiles`` re-exercises), and
     ``dbscan`` (density clustering — taking the slot of r3-green
     ``sessionize``, whose per-key ordered-window machinery in-window
-    ``trajectory`` re-exercises).  Tail
+    ``trajectory`` re-exercises), and ``idw`` (surface interpolation —
+    taking the slot of r3-green ``contamination``, whose broadcast
+    n-gram filter in-window ``lsh_pairs``/``token_stats`` gram
+    machinery re-exercises).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3660,7 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_budget": q_pack_budget,
         "pii_scrub": q_pii_scrub,
-        "contamination": q_contamination,
+        "idw": q_idw,
         "quadkey_rollup": q_quadkey_rollup,
         "profile": q_profile,
         "salted_join_rollup": q_salted_join_rollup,
@@ -3676,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fused_assign": q_fused_assign,
         "sessionize": q_sessionize,
+        "contamination": q_contamination,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4239,6 +4277,7 @@ FROM pts
         "knn_hex": _knn_hex_oracle(),
         "warp_webmerc": _warp_oracle(),
         "dbscan": _dbscan_oracle(),
+        "idw": _idw_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
