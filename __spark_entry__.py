@@ -700,6 +700,32 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+_COMP = dict(n_x=3, n_y=2, n_t=5, tile_px=64, cloud_mod=5)
+
+
+def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-pixel temporal composite (operators/composite.py): per
+    pixel, keep the LATEST cloud-free observation out of 5 revisits —
+    one bounded-group shuffle, vectorized argmax.  Oracle: DuckDB
+    replays the per-pixel max-t-valid rule over the same LCG closed
+    forms and checks the exact-integer (n_filled, px_sum, px_cks,
+    t_sum) per tile."""
+    from proj_spark.operators.composite import (
+        best_pixel_composite,
+        lcg_observations,
+    )
+
+    obs = lcg_observations(spark, partitions=8, **_COMP)
+    out = best_pixel_composite(obs, _COMP["tile_px"])
+    return out.select("x", "y", "n_filled", "px_sum", "px_cks", "t_sum")
+
+
+def _composite_oracle() -> str:
+    from proj_spark.operators.composite import composite_oracle_sql
+
+    return composite_oracle_sql(**_COMP)
+
+
 _IDW = dict(lon0=-125.0, lat0=25.0, pitch_deg=1.0, nx=58, ny=24,
             radius_m=300000.0)
 
@@ -3651,7 +3677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``trajectory`` re-exercises), and ``idw`` (surface interpolation —
     taking the slot of r3-green ``contamination``, whose broadcast
     n-gram filter in-window ``lsh_pairs``/``token_stats`` gram
-    machinery re-exercises).  Tail
+    machinery re-exercises), and ``composite`` (best-pixel temporal
+    mosaic — taking the slot of r3-green ``simhash_pairs``, whose
+    banded-pair generation in-window ``dedup_groups`` re-exercises
+    end-to-end).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3689,7 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "caption_align": q_caption_align,
         "lsh_pairs": q_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
+        "composite": q_composite,
         "dedup_groups": q_dedup_groups,
         "audio_features": q_audio_features,
         "dbscan": q_dbscan,
@@ -3714,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_assign": q_fused_assign,
         "sessionize": q_sessionize,
         "contamination": q_contamination,
+        "simhash_pairs": q_simhash_pairs,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4278,6 +4308,7 @@ FROM pts
         "warp_webmerc": _warp_oracle(),
         "dbscan": _dbscan_oracle(),
         "idw": _idw_oracle(),
+        "composite": _composite_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
