@@ -700,6 +700,53 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+def _chips_fixture():
+    """16 LCG chip bboxes over the warp grid (+1 fully outside) —
+    shared literals between the Spark DataFrame and the SQL VALUES."""
+    g = _WARP_GRID
+    lon_span = g["width"] * g["dlon"]
+    lat_span = g["height"] * g["dlat"]
+    out, s = [], 171717
+    for i in range(16):
+        vals = []
+        for _ in range(4):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            vals.append((s >> 11) / float(1 << 53))
+        w = g["lon0"] - 0.4 + (lon_span + 0.4) * vals[0]
+        sl = (g["lat0"] - lat_span) - 0.4 + (lat_span + 0.4) * vals[1]
+        out.append(
+            (f"chip{i:03d}", w, sl, w + 0.3 + 1.4 * vals[2], sl + 0.3 + 1.4 * vals[3])
+        )
+    out.append(("chip_out", 40.0, -40.0, 41.0, -39.0))
+    return out
+
+
+def q_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chip extraction (operators/chips.py): fixed-size image
+    chips cut from the tiled raster by AOI bbox — broadcast chip
+    candidate map, big tile side unshuffled, one bounded-fan shuffle.
+    The per-pixel map is pure rational arithmetic, so the DuckDB
+    oracle reproduces EVERY pixel (not just the aggregate shape)."""
+    from proj_spark.operators.chips import extract_chips
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    tiles = lcg_tiles(spark, grid, partitions=8)
+    chips = spark.createDataFrame(
+        _chips_fixture(),
+        "chip_id string, lon_w double, lat_s double, lon_e double, lat_n double",
+    )
+    out = extract_chips(tiles, chips, grid, out_px=64)
+    return out.select("chip_id", "n_valid", "px_sum", "px_cks")
+
+
+def _chips_oracle() -> str:
+    from proj_spark.operators.chips import chips_oracle_sql
+    from proj_spark.operators.warp import LatLonGrid
+
+    return chips_oracle_sql(_chips_fixture(), LatLonGrid(**_WARP_GRID), out_px=64)
+
+
 _COMP = dict(n_x=3, n_y=2, n_t=5, tile_px=64, cloud_mod=5)
 
 
@@ -3680,6 +3727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     machinery re-exercises), and ``composite`` (best-pixel temporal
     mosaic — taking the slot of r3-green ``simhash_pairs``, whose
     banded-pair generation in-window ``dedup_groups`` re-exercises
+    end-to-end), and ``chips`` (AOI training-chip extraction — taking
+    the slot of r3-green ``phash_pairs``, whose banded phash pair
+    machinery in-window ``image_dedup_groups`` re-exercises
     end-to-end).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
@@ -3730,7 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup": q_quadkey_rollup,
         "profile": q_profile,
         "salted_join_rollup": q_salted_join_rollup,
-        "phash_pairs": q_phash_pairs,
+        "chips": q_chips,
         "exif_gps_tiles": q_exif_gps_tiles,
         "video_frames": q_video_frames,
         "ann_lsh": q_ann_lsh,
@@ -3744,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "contamination": q_contamination,
         "simhash_pairs": q_simhash_pairs,
+        "phash_pairs": q_phash_pairs,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4309,6 +4360,7 @@ FROM pts
         "dbscan": _dbscan_oracle(),
         "idw": _idw_oracle(),
         "composite": _composite_oracle(),
+        "chips": _chips_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),

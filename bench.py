@@ -472,6 +472,36 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     except Exception as exc:
         pyr_lane = {"error": str(exc)[:200]}
 
+    # raster-warp lane (round 4, NOT in the suite total): reproject a
+    # 4096x4096 plate-carrée raster (64x64 tiles) onto zoom-10
+    # web-mercator tiles — broadcast candidate map, one bounded-fan
+    # shuffle, vectorized inverse-map gather (operators/warp.py).
+    warp_lane: dict[str, float] = {}
+    try:
+        from proj_spark.operators.warp import (
+            LatLonGrid,
+            lcg_tiles,
+            warp_to_webmerc,
+        )
+
+        wgrid = LatLonGrid(
+            lon0=-120.0, lat0=48.0, dlon=0.005, dlat=0.005,
+            width=4096, height=4096, tile_px=64,
+        )
+        wtiles = lcg_tiles(spark, wgrid, partitions=4 * cpus)
+        t0 = time.time()
+        n_out = warp_to_webmerc(spark, wtiles, wgrid, zoom=10, out_px=64).count()
+        dt = time.time() - t0
+        warp_lane = {
+            "source_px": wgrid.width * wgrid.height,
+            "out_tiles": n_out,
+            "out_px": n_out * 64 * 64,
+            "warp_sec": round(dt, 3),
+            "out_mpx_per_sec": round(n_out * 64 * 64 / dt / 1e6, 2),
+        }
+    except Exception as exc:
+        warp_lane = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
@@ -485,6 +515,7 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "fixture_gen_sec": fixture_s,
         "image_payload_lane": img_lane,
         "tile_pyramid_lane": pyr_lane,
+        "raster_warp_lane": warp_lane,
     }
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
