@@ -488,7 +488,12 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
             lon0=-120.0, lat0=48.0, dlon=0.005, dlat=0.005,
             width=4096, height=4096, tile_px=64,
         )
-        wtiles = lcg_tiles(spark, wgrid, partitions=4 * cpus)
+        # materialize the source raster first (fixture cost, untimed)
+        # so the lane measures the WARP, not the LCG generation
+        lcg_tiles(spark, wgrid, partitions=4 * cpus).write.mode(
+            "overwrite"
+        ).parquet("/tmp/proj_spark_bench/_warp_src")
+        wtiles = spark.read.parquet("/tmp/proj_spark_bench/_warp_src")
         t0 = time.time()
         n_out = warp_to_webmerc(spark, wtiles, wgrid, zoom=10, out_px=64).count()
         dt = time.time() - t0

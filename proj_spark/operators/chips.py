@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .warp import LatLonGrid
+from .warp import LatLonGrid, fused_group_map
 
 _OUT_SCHEMA = StructType(
     [
@@ -58,12 +58,16 @@ def extract_chips(
     grid: LatLonGrid,
     out_px: int = 64,
     max_fan: int = 64,
+    fused: bool = True,
 ) -> DataFrame:
     """``chips``: (chip_id string, lon_w, lat_s, lon_e, lat_n double,
     with lon_w < lon_e, lat_s < lat_n); ``tiles``: (sx, sy, bytes) raw
     uint8 tile_px² rasters on ``grid``.  Returns one row per chip that
     overlaps ≥ 1 source tile; pixels outside the grid extent are 0 and
-    excluded from ``n_valid``."""
+    excluded from ``n_valid``.  ``fused=True`` routes the per-chip
+    kernel through :func:`warp.fused_group_map` (no per-group Arrow
+    framing); ``fused=False`` keeps plain applyInPandas — identical
+    output, asserted in tests."""
     ts = grid.tile_px
     step_x = grid.dlon * ts
     step_y = grid.dlat * ts
@@ -101,7 +105,7 @@ def extract_chips(
     g = grid
     opx = out_px
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(pdf: pd.DataFrame) -> tuple:
         fan = int(pdf["_fan"].iloc[0])
         if fan > max_fan:
             raise ValueError(
@@ -146,17 +150,20 @@ def extract_chips(
         )
         w = 1 + (lidx % 997)
         v64 = vals.astype(np.int64)
-        return pd.DataFrame(
-            {
-                "chip_id": [pdf["chip_id"].iloc[0]],
-                "bytes": [vals.tobytes()],
-                "n_valid": [int(valid.sum())],
-                "px_sum": [int(v64.sum())],
-                "px_cks": [int((v64 * w).sum())],
-            }
+        return (
+            pdf["chip_id"].iloc[0],
+            vals.tobytes(),
+            int(valid.sum()),
+            int(v64.sum()),
+            int((v64 * w).sum()),
         )
 
-    return joined.groupBy("chip_id").applyInPandas(assemble, _OUT_SCHEMA)
+    cols = ["chip_id", "bytes", "n_valid", "px_sum", "px_cks"]
+    if fused:
+        return fused_group_map(joined, ["chip_id"], assemble, cols, _OUT_SCHEMA)
+    return joined.groupBy("chip_id").applyInPandas(
+        lambda pdf: pd.DataFrame([assemble(pdf)], columns=cols), _OUT_SCHEMA
+    )
 
 
 def chips_oracle_sql(

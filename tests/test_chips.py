@@ -100,3 +100,13 @@ def test_plan_broadcasts_chips_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fused_equals_applyinpandas(spark):
+    tiles = lcg_tiles(spark, GRID, partitions=4)
+    chips = spark.createDataFrame(
+        _chips(), "chip_id string, lon_w double, lat_s double, lon_e double, lat_n double"
+    )
+    a = {r["chip_id"]: tuple(r) for r in extract_chips(tiles, chips, GRID, OPX, fused=True).collect()}
+    b = {r["chip_id"]: tuple(r) for r in extract_chips(tiles, chips, GRID, OPX, fused=False).collect()}
+    assert a == b

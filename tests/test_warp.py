@@ -120,3 +120,18 @@ def test_plan_broadcasts_candidates_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan, plan
     # the only hash exchange is the groupBy on the output tile
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fused_equals_applyinpandas(spark):
+    """The fused group-map path (default) and the plain applyInPandas
+    path must produce identical tiles."""
+    tiles = lcg_tiles(spark, GRID, partitions=4)
+    a = {
+        (r["tx"], r["ty"]): (r["bytes"], r["n_valid"], r["px_sum"], r["px_cks"])
+        for r in warp_to_webmerc(spark, tiles, GRID, ZOOM, OPX, fused=True).collect()
+    }
+    b = {
+        (r["tx"], r["ty"]): (r["bytes"], r["n_valid"], r["px_sum"], r["px_cks"])
+        for r in warp_to_webmerc(spark, tiles, GRID, ZOOM, OPX, fused=False).collect()
+    }
+    assert a == b
