@@ -700,6 +700,55 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+_ADAPT_CAP, _ADAPT_L = 50, 8
+
+
+def q_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning (operators/adaptive.py): every point
+    binned at the shortest quadkey prefix holding ≤ cap points — the
+    equi-load spatial partitioning that fixes hot-cell skew at 10^12
+    rows.  Closed form (level-exploded prefix counts + min satisfying
+    level), so DuckDB replays it with the same two aggregates."""
+    from proj_spark.operators.adaptive import adaptive_bins
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    out = adaptive_bins(pts, _ADAPT_CAP, _ADAPT_L, id_col="pk")
+    return out.select(F.col("id"), "bin", "level")
+
+
+def _adaptive_oracle() -> str:
+    L, cap = _ADAPT_L, _ADAPT_CAP
+    n = 1 << L
+    tx = f"CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n} - 1) AS BIGINT)"
+    ty = (
+        f"CAST(least(greatest(floor((1.0 - ln(tan(lat * {D}) + sqrt(tan(lat * {D}) * tan(lat * {D}) + 1.0)) / {PI_L}) / 2.0 * {n}.0), 0), {n} - 1) AS BIGINT)"
+    )
+    digits = " || ".join(
+        f"CAST(((tx >> {L - i}) & 1) + 2 * ((ty >> {L - i}) & 1) AS VARCHAR)"
+        for i in range(1, L + 1)
+    )
+    return f"""
+WITH p AS (SELECT pk, {tx} AS tx, {ty} AS ty FROM ({_ORDERS_PTS_SQL})),
+qk AS (SELECT pk, {digits} AS qk FROM p),
+pref AS (
+  SELECT pk, qk, lvl.range AS level,
+         substr(qk, 1, CAST(lvl.range AS INT)) AS prefix
+  FROM qk, range(0, {L + 1}) lvl
+),
+counts AS (SELECT level, prefix, count(*) AS n FROM pref GROUP BY 1, 2),
+chosen AS (
+  SELECT p.pk, p.qk,
+         min(CASE WHEN c.n <= {cap} THEN p.level END) AS lvl
+  FROM pref p JOIN counts c ON c.level = p.level AND c.prefix = p.prefix
+  GROUP BY p.pk, p.qk
+)
+SELECT pk AS id,
+       CASE WHEN lvl IS NULL THEN qk ELSE substr(qk, 1, CAST(lvl AS INT)) END AS bin,
+       CAST(coalesce(lvl, {L}) AS BIGINT) AS level
+FROM chosen
+"""
+
+
 def _chips_fixture():
     """16 LCG chip bboxes over the warp grid (+1 fully outside) —
     shared literals between the Spark DataFrame and the SQL VALUES."""
@@ -3730,7 +3779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     end-to-end), and ``chips`` (AOI training-chip extraction — taking
     the slot of r3-green ``phash_pairs``, whose banded phash pair
     machinery in-window ``image_dedup_groups`` re-exercises
-    end-to-end).  Tail
+    end-to-end), and ``adaptive_bins`` (equi-load quadtree partitioning
+    — taking the slot of r3-green ``stratified_sample``, whose LCG
+    hash-ring machinery in-window ``hash_split``-sibling ``pack_budget``
+    and tail ``hash_split`` re-exercise).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3773,7 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "dbscan": q_dbscan,
         "trajectory": q_trajectory,
-        "stratified_sample": q_stratified_sample,
+        "adaptive_bins": q_adaptive_bins,
         "pack_budget": q_pack_budget,
         "pii_scrub": q_pii_scrub,
         "idw": q_idw,
@@ -3795,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "simhash_pairs": q_simhash_pairs,
         "phash_pairs": q_phash_pairs,
+        "stratified_sample": q_stratified_sample,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4361,6 +4414,7 @@ FROM pts
         "idw": _idw_oracle(),
         "composite": _composite_oracle(),
         "chips": _chips_oracle(),
+        "adaptive_bins": _adaptive_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
