@@ -833,6 +833,80 @@ def run_shuffle_cluster(
     }
 
 
+def run_warp_cluster(
+    n_executors: int, side_px: int, cores: int = 1, mem_mb: int = 6144
+) -> dict:
+    """Raster-warp scaling probe (round 4): reproject a side_px²
+    plate-carrée raster onto web-mercator tiles at N vs 4N one-core
+    executors.  Fourth leg of the scaling evidence — a MIXED plan
+    (broadcast candidate join + one bounded-group shuffle + fused
+    Python kernel), the shape of the new raster operators
+    (warp/chips/composite/pyramid).  Source staged once, untimed;
+    both cluster sizes read the SAME parquet."""
+    import time
+
+    from pyspark.sql import SparkSession
+
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles, warp_to_webmerc
+
+    grid = LatLonGrid(
+        lon0=-120.0, lat0=48.0, dlon=0.005, dlat=0.005,
+        width=side_px, height=side_px, tile_px=64,
+    )
+    zoom = 11 if side_px >= 8192 else 10
+    cache = f"/tmp/proj_spark_bench/warp_scale_{side_px}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        stage = (
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        lcg_tiles(stage, grid, partitions=64).write.mode("overwrite").parquet(cache)
+        stage.stop()
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{cores},{mem_mb}]")
+        .appName("proj-spark-warp-scaling")
+        .config("spark.sql.shuffle.partitions", str(4 * n_executors * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores} -XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={cores}",
+        )
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tiles = spark.read.parquet(cache)
+
+    warp_to_webmerc(spark, tiles, grid, zoom=zoom, out_px=64).count()  # warm
+    t0 = time.time()
+    n_out = warp_to_webmerc(spark, tiles, grid, zoom=zoom, out_px=64).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "executors": n_executors,
+        "cores_each": cores,
+        "total_cores": n_executors * cores,
+        "source_px": side_px * side_px,
+        "out_tiles": int(n_out),
+        "out_px": int(n_out) * 4096,
+        "wall_sec": round(dt, 3),
+        "out_px_per_sec": round(n_out * 4096 / dt, 1),
+    }
+
+
 def _payload_cache(n_images: int) -> str:
     return f"/tmp/proj_spark_bench/payload_scale_{n_images}"
 
@@ -1109,6 +1183,30 @@ def main():
                     "4n_executors": hi,
                     "scaling_efficiency": round(
                         (hi["images_per_sec"] / lo["images_per_sec"]) / ratio, 3
+                    ),
+                }
+            )
+        )
+        return
+    if scaling == "warp":
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        side = int(os.environ.get("SPARK_GRAFT_WARP_SIDE", "8192"))
+        cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "1"))
+        lo = run_warp_cluster(n_lo, side, cores=cores)
+        hi = run_warp_cluster(4 * n_lo, side, cores=cores)
+        ratio = hi["total_cores"] / lo["total_cores"]
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "raster-warp output px/sec at N vs 4N executors "
+                        "(mixed broadcast-join + bounded-group-shuffle + "
+                        "fused Python kernel, local-cluster)"
+                    ),
+                    "n_executors": lo,
+                    "4n_executors": hi,
+                    "scaling_efficiency": round(
+                        (hi["out_px_per_sec"] / lo["out_px_per_sec"]) / ratio, 3
                     ),
                 }
             )
