@@ -853,7 +853,9 @@ def run_warp_cluster(
         lon0=-120.0, lat0=48.0, dlon=0.005, dlat=0.005,
         width=side_px, height=side_px, tile_px=64,
     )
-    zoom = 11 if side_px >= 8192 else 10
+    zoom = int(os.environ.get("SPARK_GRAFT_WARP_ZOOM", "0")) or (
+        11 if side_px >= 8192 else 10
+    )
     cache = f"/tmp/proj_spark_bench/warp_scale_{side_px}"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         active = SparkSession.getActiveSession()
@@ -1192,8 +1194,13 @@ def main():
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         side = int(os.environ.get("SPARK_GRAFT_WARP_SIDE", "8192"))
         cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "1"))
+        # weak-scaling form: 4x the source pixels with 4x the executors
+        # at the SAME zoom (constant per-executor load, the faithful
+        # 100 TB model); strong form (default): same input both sizes
+        weak = os.environ.get("SPARK_GRAFT_WARP_WEAK") == "1"
+        hi_side = 2 * side if weak else side
         lo = run_warp_cluster(n_lo, side, cores=cores)
-        hi = run_warp_cluster(4 * n_lo, side, cores=cores)
+        hi = run_warp_cluster(4 * n_lo, hi_side, cores=cores)
         ratio = hi["total_cores"] / lo["total_cores"]
         print(
             json.dumps(
@@ -1208,6 +1215,7 @@ def main():
                     "scaling_efficiency": round(
                         (hi["out_px_per_sec"] / lo["out_px_per_sec"]) / ratio, 3
                     ),
+                    "form": "weak (4x source px, fixed zoom)" if weak else "strong (fixed input)",
                 }
             )
         )
