@@ -700,6 +700,36 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+_SOBEL = dict(n_x=4, n_y=3, tile_px=64)
+
+
+def q_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo-exchange Sobel stencil (operators/stencil.py): per-tile
+    edge magnitude with 1-px halos shipped as edge STRIPS (shuffle
+    ~1.06x input, never the naive 9x) — the canonical distributed
+    raster neighborhood op.  Oracle: DuckDB evaluates the same 12-term
+    kernel per pixel from the LCG closed form with the zero-outside
+    rule."""
+    from proj_spark.operators.stencil import sobel_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    g = LatLonGrid(
+        lon0=0.0, lat0=0.0, dlon=0.01, dlat=0.01,
+        width=_SOBEL["n_x"] * 64, height=_SOBEL["n_y"] * 64, tile_px=64,
+    )
+    tiles = lcg_tiles(spark, g, partitions=6).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    out = sobel_tiles(tiles, _SOBEL["tile_px"], _SOBEL["n_x"], _SOBEL["n_y"])
+    return out.select("x", "y", "n_hi", "mag_sum", "mag_cks")
+
+
+def _sobel_oracle() -> str:
+    from proj_spark.operators.stencil import sobel_oracle_sql
+
+    return sobel_oracle_sql(**_SOBEL)
+
+
 _ADAPT_CAP, _ADAPT_L = 50, 8
 
 
@@ -3782,7 +3812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     end-to-end), and ``adaptive_bins`` (equi-load quadtree partitioning
     — taking the slot of r3-green ``stratified_sample``, whose LCG
     hash-ring machinery in-window ``hash_split``-sibling ``pack_budget``
-    and tail ``hash_split`` re-exercise).  Tail
+    and tail ``hash_split`` re-exercise), and ``sobel`` (halo-exchange
+    stencil — taking the slot of r3-green ``ann_lsh``, whose
+    hyperplane-bucket machinery in-window ``cosine_dedup`` and tail
+    ``ann_cosine``/``ann_ivf`` re-exercise).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3835,7 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chips": q_chips,
         "exif_gps_tiles": q_exif_gps_tiles,
         "video_frames": q_video_frames,
-        "ann_lsh": q_ann_lsh,
+        "sobel": q_sobel,
         "tile_manifest": q_tile_manifest,
         "cosine_dedup": q_cosine_dedup,
         "gridshift_roundtrip": q_gridshift_roundtrip,
@@ -3848,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "phash_pairs": q_phash_pairs,
         "stratified_sample": q_stratified_sample,
+        "ann_lsh": q_ann_lsh,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4415,6 +4449,7 @@ FROM pts
         "composite": _composite_oracle(),
         "chips": _chips_oracle(),
         "adaptive_bins": _adaptive_oracle(),
+        "sobel": _sobel_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
