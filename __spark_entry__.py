@@ -700,6 +700,43 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/asof.py): every 'view' event
+    matched to the user's latest preceding 'click' — union + ordered
+    window (ONE shuffle of |L|+|R|, no replication).  Oracle: DuckDB's
+    NATIVE `ASOF LEFT JOIN` — an independent engine-level derivation
+    of the same point-in-time semantics, not a replay."""
+    from proj_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(views, clicks, key="user_id", ts="ts", right_cols=["click_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        F.col("asof_ts").cast("timestamp").cast("long").alias("asof_s"),
+        "click_id",
+    )
+
+
+def _asof_oracle() -> str:
+    return """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+SELECT v.event_id, v.user_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS ts_s,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_s,
+       c.click_id
+FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
+
+
 _SOBEL = dict(n_x=4, n_y=3, tile_px=64)
 
 
@@ -3815,7 +3852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and tail ``hash_split`` re-exercise), and ``sobel`` (halo-exchange
     stencil — taking the slot of r3-green ``ann_lsh``, whose
     hyperplane-bucket machinery in-window ``cosine_dedup`` and tail
-    ``ann_cosine``/``ann_ivf`` re-exercise).  Tail
+    ``ann_cosine``/``ann_ivf`` re-exercise), and ``asof_clicks`` (the
+    generic as-of join, oracled by DuckDB's NATIVE ASOF JOIN — taking
+    the slot of r3-green ``exact_dedup``, whose hash-groupBy in-window
+    ``dedup_groups`` subsumes).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3849,7 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "fused_pip_tiles": q_fused_pip_tiles,
         "warp_webmerc": q_warp_webmerc,
-        "exact_dedup": q_exact_dedup,
+        "asof_clicks": q_asof_clicks,
         "token_stats": q_token_stats,
         "caption_align": q_caption_align,
         "lsh_pairs": q_lsh_pairs,
@@ -3882,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pairs": q_phash_pairs,
         "stratified_sample": q_stratified_sample,
         "ann_lsh": q_ann_lsh,
+        "exact_dedup": q_exact_dedup,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4450,6 +4491,7 @@ FROM pts
         "chips": _chips_oracle(),
         "adaptive_bins": _adaptive_oracle(),
         "sobel": _sobel_oracle(),
+        "asof_clicks": _asof_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
