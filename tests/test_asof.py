@@ -100,3 +100,12 @@ def test_matches_duckdb_native_asof(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_plan_single_shuffle(spark, frames):
+    """The as-of plan must shuffle exactly once (the window partition
+    on the key) — no join replication, no range explosion."""
+    left, right = frames
+    df = asof_join(left, right, key="k", ts="t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -90,3 +90,14 @@ def test_halo_volume_is_strips_not_tiles(spark):
     in_bytes = NX * NY * TS * TS
     ratio = sizes["total"] / in_bytes
     assert 1.0 < ratio < 1.2, ratio
+
+
+def test_plan_single_shuffle(spark):
+    """Fragment emit is narrow; the only exchange is the group-key
+    repartition of the (strip-sized) fragments."""
+    tiles = lcg_tiles(spark, GRID, partitions=3).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    df = sobel_tiles(tiles, TS, NX, NY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
