@@ -700,6 +700,95 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+_DISS_NX, _DISS_NY = 8, 6
+
+
+def _parcel_fixture():
+    """Unit-square parcel grid with 2x2 owner blocks (odd rows traced
+    clockwise so shared edges run in opposite directions); parcel 0
+    gets a unique owner to exercise the singleton path."""
+    out = []
+    for j in range(_DISS_NY):
+        for i in range(_DISS_NX):
+            pid = j * _DISS_NX + i
+            x, y = float(i), float(j)
+            ring = [
+                (x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y),
+            ]
+            if j % 2:
+                ring = ring[::-1]
+            owner = 9 if pid == 0 else ((i // 2) + (j // 2) * 3) % 4
+            out.append((pid, owner, ring))
+    return out
+
+
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve by attribute (operators/dissolve.py): parcels sharing
+    a geometric edge AND an owner merge — canonical quantized edge
+    keys (direction-independent), one groupBy, connected components.
+    Oracle: DuckDB re-derives adjacency from the same ring geometry
+    (identical edge-key expressions) and clusters with the recursive
+    reachability CTE."""
+    from proj_spark.operators.dissolve import dissolve_by
+
+    rows = [
+        {"poly_id": pid, "owner": o, "ring": [{"lon": a, "lat": b} for a, b in r]}
+        for pid, o, r in _parcel_fixture()
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, owner int, ring array<struct<lon:double,lat:double>>"
+    )
+    out = dissolve_by(df, "owner")
+    return out.select(
+        "poly_id",
+        F.col("owner").cast("long").alias("owner"),
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+def _dissolve_oracle() -> str:
+    from proj_spark.operators.dissolve import QUANT
+
+    edge_rows = []
+    for pid, o, ring in _parcel_fixture():
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            edge_rows.append(f"({pid}, {o}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    pt = lambda x, y: (  # noqa: E731
+        f"CAST(CAST(floor({x} * {QUANT!r}) AS BIGINT) AS VARCHAR) || ':' || "
+        f"CAST(CAST(floor({y} * {QUANT!r}) AS BIGINT) AS VARCHAR)"
+    )
+    a, b = pt("x1", "y1"), pt("x2", "y2")
+    return f"""
+WITH RECURSIVE
+e0(pid, owner, x1, y1, x2, y2) AS (VALUES {",".join(edge_rows)}),
+e AS (
+  SELECT pid, owner,
+         least({a}, {b}) || '|' || greatest({a}, {b}) AS ek
+  FROM e0
+),
+pairs AS (
+  SELECT DISTINCT l.pid AS u, r.pid AS v
+  FROM e l JOIN e r ON l.ek = r.ek AND l.owner = r.owner AND l.pid < r.pid
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION SELECT rr.u, ee.v FROM reach rr JOIN edges ee ON rr.v = ee.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+g AS (
+  SELECT p.pid AS poly_id, CAST(p.owner AS BIGINT) AS owner,
+         coalesce(c.component, p.pid) AS group_id
+  FROM (SELECT DISTINCT pid, owner FROM e0) p
+  LEFT JOIN comp c ON c.node = p.pid
+)
+SELECT poly_id, owner, CAST(group_id AS BIGINT) AS group_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM g
+"""
+
+
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join (operators/asof.py): every 'view' event
     matched to the user's latest preceding 'click' — union + ordered
@@ -3855,7 +3944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ann_cosine``/``ann_ivf`` re-exercise), and ``asof_clicks`` (the
     generic as-of join, oracled by DuckDB's NATIVE ASOF JOIN — taking
     the slot of r3-green ``exact_dedup``, whose hash-groupBy in-window
-    ``dedup_groups`` subsumes).  Tail
+    ``dedup_groups`` subsumes), and ``dissolve`` (edge-adjacency merge
+    — taking the slot of r4-green ``image_quality``, whose
+    decode+metric mapInPandas in-window ``image_features`` /
+    ``images_payload`` re-exercise).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3876,7 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster": q_polygon_raster,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
-        "image_quality": q_image_quality,
+        "dissolve": q_dissolve,
         "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
         "tile_pyramid": q_tile_pyramid,
@@ -3923,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ann_lsh": q_ann_lsh,
         "exact_dedup": q_exact_dedup,
+        "image_quality": q_image_quality,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4492,6 +4585,7 @@ FROM pts
         "adaptive_bins": _adaptive_oracle(),
         "sobel": _sobel_oracle(),
         "asof_clicks": _asof_oracle(),
+        "dissolve": _dissolve_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
