@@ -700,6 +700,57 @@ LEFT JOIN borderlab bl ON bl.id = p.pk
 """
 
 
+def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment x segment intersection join (operators/segments.py):
+    the line-crossing overlay — bbox-cell bucketed candidates (never
+    all-pairs), distinct pairs, exact proper-crossing ccw predicate.
+    Customer-derived short segments vs supplier-derived ones; the
+    oracle is the all-pairs SQL with token-identical ccw trees."""
+    from proj_spark.operators.segments import segment_intersection_join
+
+    def segs(table, key):
+        pts = _points(spark, sf_dir, table, key)
+        return pts.select(
+            F.col("pk").alias("seg_id"),
+            F.col("lon").alias("x1"),
+            F.col("lat").alias("y1"),
+            (F.col("lon") + E.synth_lon((F.col("pk") * 3 + 1).cast("double"), lo=-0.6, span=1.2)).alias("x2"),
+            (F.col("lat") + E.synth_lat((F.col("pk") * 5 + 2).cast("double"), lo=-0.6, span=1.2)).alias("y2"),
+        )
+
+    out = segment_intersection_join(
+        segs("customer", "c_custkey"), segs("supplier", "s_suppkey"), res=6
+    )
+    return out.select("a_id", "b_id")
+
+
+def _seg_oracle() -> str:
+    from proj_spark.operators.segments import ccw_sql
+
+    def seg_sql(table, kcol):
+        k = f"CAST({kcol} AS DOUBLE)"
+        k2 = f"CAST({kcol} * 3 + 1 AS DOUBLE)"
+        k3 = f"CAST({kcol} * 5 + 2 AS DOUBLE)"
+        return (
+            f"SELECT {kcol} AS seg_id, {_lon_sql(k)} AS x1, {_lat_sql(k)} AS y1, "
+            f"{_lon_sql(k)} + (-0.6 + 1.2 * (({k2} * {PHI}) - floor({k2} * {PHI}))) AS x2, "
+            f"{_lat_sql(k)} + (-0.6 + 1.2 * (({k3} * {SQ3}) - floor({k3} * {SQ3}))) AS y2 "
+            f"FROM {table}"
+        )
+
+    d1 = ccw_sql("a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1")
+    d2 = ccw_sql("a.x1", "a.y1", "a.x2", "a.y2", "b.x2", "b.y2")
+    d3 = ccw_sql("b.x1", "b.y1", "b.x2", "b.y2", "a.x1", "a.y1")
+    d4 = ccw_sql("b.x1", "b.y1", "b.x2", "b.y2", "a.x2", "a.y2")
+    return f"""
+WITH a AS ({seg_sql("customer", "c_custkey")}),
+b AS ({seg_sql("supplier", "s_suppkey")})
+SELECT a.seg_id AS a_id, b.seg_id AS b_id
+FROM a, b
+WHERE ({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0
+"""
+
+
 _DISS_NX, _DISS_NY = 8, 6
 
 
@@ -3947,7 +3998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``dedup_groups`` subsumes), and ``dissolve`` (edge-adjacency merge
     — taking the slot of r4-green ``image_quality``, whose
     decode+metric mapInPandas in-window ``image_features`` /
-    ``images_payload`` re-exercise).  Tail
+    ``images_payload`` re-exercise), and ``seg_intersections`` (the
+    line-crossing overlay — taking the slot of r4-green
+    ``polygon_raster``, whose supersampled rasterize core in-window
+    ``zonal_stats`` re-exercises).  Tail
     entries stay locally gated via tools/check_oracle.py (green
     2026-08-18).
     """
@@ -3965,7 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         # --- r3-green entries, 40 to fill the 50-entry checked window
         "tile_multizoom": q_tile_multizoom,
-        "polygon_raster": q_polygon_raster,
+        "seg_intersections": q_seg_intersections,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "dissolve": q_dissolve,
@@ -4016,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "exact_dedup": q_exact_dedup,
         "image_quality": q_image_quality,
+        "polygon_raster": q_polygon_raster,
         "webmerc_fwd": q_webmerc_fwd,
         "utm_fwd": q_utm_fwd,
         "quality": q_quality,
@@ -4586,6 +4641,7 @@ FROM pts
         "sobel": _sobel_oracle(),
         "asof_clicks": _asof_oracle(),
         "dissolve": _dissolve_oracle(),
+        "seg_intersections": _seg_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
