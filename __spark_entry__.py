@@ -845,15 +845,23 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched to the user's latest preceding 'click' — union + ordered
     window (ONE shuffle of |L|+|R|, no replication).  Oracle: DuckDB's
     NATIVE `ASOF LEFT JOIN` — an independent engine-level derivation
-    of the same point-in-time semantics, not a replay."""
+    of the same point-in-time semantics, not a replay.
+
+    Clicks are deduped to max(event_id) per (user_id, ts) IN BOTH
+    engines before joining: asof_join requires right (key, ts)
+    uniqueness (DuckDB's native ASOF picks an arbitrary survivor on
+    ties while the Spark operator picks the max), so the gate would be
+    fixture-dependent without it (round-4 review)."""
     from proj_spark.operators.asof import asof_join
 
     ev = _load(spark, sf_dir, "events")
     views = ev.where(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
     )
     out = asof_join(views, clicks, key="user_id", ts="ts", right_cols=["click_id"])
     return out.select(
@@ -868,7 +876,8 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _asof_oracle() -> str:
     return """
 WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+c AS (SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
 SELECT v.event_id, v.user_id,
        CAST(floor(epoch(v.ts)) AS BIGINT) AS ts_s,
        CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_s,
@@ -1420,6 +1429,13 @@ def _simplify_oracle() -> str:
         # python replay of the SQL's per-round BFS to size the unroll
         d0 = np.sqrt((xs[:n] - xs[0]) ** 2 + (ys[:n] - ys[0]) ** 2)
         a = int(np.argmax(d0))
+        # simplify_ring has two degenerate fallbacks the SQL does NOT
+        # mirror (all-coincident vertices -> a == 0; fewer than 4 kept
+        # vertices -> return the original ring).  Assert the fixture
+        # avoids both so the engines cannot diverge (round-4 review).
+        if a == 0:
+            raise AssertionError(f"simplify fixture {pid}: coincident ring")
+        kept = {0, a, n}
         segs = {(0, a), (a, n)}
         r = 0
         while True:
@@ -1433,8 +1449,15 @@ def _simplify_oracle() -> str:
                     splits.add((i, j, i + 1 + kk))
             if not splits:
                 break
+            kept |= {k for _, _, k in splits}
             segs = {(i, k) for i, j, k in splits} | {(k, j) for i, j, k in splits}
             r += 1
+        if len(kept) < 4:
+            raise AssertionError(
+                f"simplify fixture {pid}: ring simplifies below a triangle "
+                f"({len(kept)} kept) — simplify_ring would return the "
+                "original while the SQL oracle keeps the simplified set"
+            )
         rounds_needed = max(rounds_needed, r)
     R = rounds_needed
     if R > 32:

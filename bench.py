@@ -350,10 +350,15 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     ]
 
     def _time_suite(sf_dir: str, into: dict) -> None:
+        from proj_spark.operators.knn import release_persisted
+
         for name in headline:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             into[name] = round(time.time() - t0, 3)
+        # free the ranked-stage caches the knn plans pinned (one per
+        # escalation level) now that the action is done
+        release_persisted()
         # near-dup pipeline at scale settings: fast-mode (xxhash64)
         # minhash LSH -> candidate pairs (the deterministic dictionary
         # mode exists only for the DuckDB oracle gate)

@@ -40,6 +40,35 @@ from ..functions import expressions as E
 # results composed into one query would otherwise collide on the name
 _OBS_SEQ = _count()
 
+# every persist() taken while building a kNN plan (one per escalation
+# level in knn_join / knn_join_hex) is registered here so callers can
+# release executor storage after their action — without this, a plan
+# escalating to max_ring leaves up to max_ring cached RDDs pinned for
+# the session (round-4 review)
+_PERSISTED: list[DataFrame] = []
+
+
+def _register_persist(df: DataFrame) -> DataFrame:
+    handle = df.persist()
+    _PERSISTED.append(handle)
+    return handle
+
+
+def release_persisted() -> int:
+    """Unpersist every DataFrame cached while building kNN plans and
+    clear the registry.  Call AFTER the action that consumed the kNN
+    result (unpersisting earlier would re-run the ranked stage per
+    consumer).  Returns the number of handles released."""
+    n = len(_PERSISTED)
+    for h in _PERSISTED:
+        try:
+            h.unpersist(blocking=False)
+        except Exception:  # session already stopped
+            pass
+    _PERSISTED.clear()
+    return n
+
+
 EARTH_M = E.EARTH_RADIUS_M
 
 
@@ -149,7 +178,7 @@ def knn_join(
     # caller finally acts (round-2 review: without this, each consumer
     # re-ran the most expensive stage from scan).  persist() is lazy;
     # no job runs here.
-    ranked = ranked.persist()
+    ranked = _register_persist(ranked)
 
     # coverage radius: a ring of R cells guarantees correctness iff the
     # k-th neighbor is closer than R whole cells in the TIGHTEST metric
@@ -344,9 +373,11 @@ def knn_join_hex(
     pairs = c.join(F.broadcast(q_cells), c["_ccell"] == q_cells["_cell"], "inner").withColumn(
         "dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat")
     )
-    ranked = _topk(pairs, "query_id", k).select(
-        "query_id", "neighbor_id", "rank", "dist_m"
-    ).persist()
+    ranked = _register_persist(
+        _topk(pairs, "query_id", k).select(
+            "query_id", "neighbor_id", "rank", "dist_m"
+        )
+    )
 
     deg_m = math.pi * EARTH_M / 180.0
     cover_deg = ((ring + 1) * 1.5 - 2.0) * float(size_deg)

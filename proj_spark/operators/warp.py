@@ -292,6 +292,16 @@ def lcg_tiles(spark: SparkSession, grid: LatLonGrid, partitions: int = 8) -> Dat
     gidx = gy*width + gx — the same closed form the SQL oracle
     evaluates.  Built distributed (one task per tile row band)."""
     ts = grid.tile_px
+    if grid.width % ts or grid.height % ts:
+        # warp_to_webmerc / extract_chips ceil-divide and handle partial
+        # edge tiles, but this fixture generator emits full tiles only —
+        # a non-multiple extent would silently drop the edge band and the
+        # SQL oracles (which evaluate the closed form per pixel of the
+        # full extent) would diverge.  Fail loudly instead.
+        raise ValueError(
+            f"lcg_tiles requires width/height multiples of tile_px="
+            f"{ts}; got {grid.width}x{grid.height}"
+        )
     n_sx = grid.width // ts
     n_sy = grid.height // ts
     w = grid.width

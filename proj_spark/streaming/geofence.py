@@ -97,7 +97,9 @@ def geofence_transitions(
         F.col(ts).cast("long").alias("ts"),
         F.col(lon).alias("lon"),
         F.col(lat).alias("lat"),
-    ).withColumn("point_id", F.concat_ws("@", entity, ts))
+    ).withColumn(
+        "point_id", F.concat_ws("@", F.col("entity_id"), F.col("ts"))
+    )
     zoned = point_in_polygon_join(
         pts, polys, res=res, how="left_first"
     ).select(
