@@ -28,8 +28,9 @@ converge; the pointer jump bounds pathological chains by O(log d).
 
 Scale notes (10^12 rows, 1000 executors):
 - Every step is a key-partitioned join/aggregate on (node) — uniform
-  keys, AQE-splittable.  No driver-side state; the only driver actions
-  are the one-row-per-round convergence probes.
+  keys, AQE-splittable.  No driver-side state; exactly ONE driver
+  action per round (the convergence count, which doubles as the lazy
+  localCheckpoint's materializing scan).
 - ``localCheckpoint`` truncates the per-round lineage (without it the
   plan doubles every round and round k recomputes rounds 1..k-1).
 - Edges are symmetrized once up front; the iteration state is one
@@ -111,8 +112,14 @@ def connected_components(
             )
         )
         if checkpoint:
-            new = new.localCheckpoint(eager=True)
-        changed = new.where(F.col("comp") != F.col("_oc")).limit(1).count()
+            # LAZY checkpoint: the convergence count below is the first
+            # (and only) action on the frame, so one job per round both
+            # materializes the checkpointed RDD (full scan — count never
+            # short-circuits) and measures convergence.  The old
+            # eager=True + limit(1).count() shape scheduled two jobs per
+            # round (round-4 review / r3 task 6).
+            new = new.localCheckpoint(eager=False)
+        changed = new.where(F.col("comp") != F.col("_oc")).count()
         lab = new.select("u", "comp")
         if changed == 0:
             break

@@ -134,3 +134,41 @@ def test_canonical_by_quality(spark):
         for r in canonical_by(df, order_cols=[F.col("quality").desc()]).collect()
     }
     assert out == {"d1": False, "d2": True, "d3": False, "d4": True}
+
+
+def test_one_spark_job_per_round(spark):
+    """Regression gate for the one-action-per-round shape (r3 task 6 /
+    round-4 review): the lazy ``localCheckpoint(eager=False)`` must be
+    materialized BY the convergence count, not by a separate eager job.
+    With AQE off every action is exactly one job, so jobs-in-group ==
+    rounds; the old ``eager=True`` + ``limit(1).count()`` shape would
+    record 2x."""
+    import uuid
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    rounds = {"n": 0}
+
+    def counting_count(self):
+        rounds["n"] += 1
+        return real_count(self)
+
+    group = f"cc-jobcount-{uuid.uuid4().hex[:8]}"
+    edges = [(i, i + 1) for i in range(16)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    cls = type(df)  # the classic runtime class, not the API base
+    real_count = cls.count
+    cls.count = counting_count
+    try:
+        sc.setJobGroup(group, "cc job-count gate")
+        connected_components(df).count()  # final count = 1 extra action
+    finally:
+        cls.count = real_count
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # rounds["n"] includes the final materializing count -> actions ==
+    # (convergence rounds) + 1; every action is one job, none extra.
+    assert rounds["n"] >= 3  # the chain needs >1 round, sanity
+    assert len(jobs) == rounds["n"], (len(jobs), rounds["n"])
