@@ -224,6 +224,54 @@ def _warm_map_in_pandas(spark, slots: int):
     )
 
 
+def _box_sentinel(spark, cpus: int, n_rows: int = 8_000_000) -> dict:
+    """Box-health sentinel (round-5 verdict task 2): a fixed-size
+    pure-compute probe — the flagship's datum-transform pandas UDF over
+    spark.range, no parquet scan, no disk, one tiny agg — run 3x,
+    median reported.  Because the work is constant and plan-free, the
+    number moves ONLY with the box (CPU contention, DRAM bandwidth,
+    thermal state), so a degraded-box night is visible inside the
+    BENCH json itself instead of needing forensic reconstruction from
+    BASELINE.md prose.  Healthy band on the dev box: see BASELINE.md
+    (sentinel section)."""
+    from pyspark.sql import functions as F
+
+    from proj_spark.functions.transform import transform as _t
+    from proj_spark.operators.gridshift import make_synthetic_grid, register_grid
+
+    register_grid("conus_syn", make_synthetic_grid())
+
+    def probe() -> float:
+        base = spark.range(n_rows, numPartitions=4 * cpus).select(
+            (F.col("id") % 56 - 124.0 + (F.col("id") % 977) / 1000.0).alias("lon"),
+            (F.col("id") % 26 + 25.0 + (F.col("id") % 991) / 1000.0).alias("lat"),
+        )
+        out = _t(
+            base,
+            "+proj=latlong +ellps=clrk66 +nadgrids=conus_syn",
+            "+proj=latlong +datum=WGS84",
+            "lon",
+            "lat",
+        )
+        t0 = time.time()
+        out.agg(F.sum("x"), F.sum("y")).collect()
+        return time.time() - t0
+
+    walls = sorted(probe() for _ in range(3))
+    med = walls[1]
+    return {
+        "n_rows": n_rows,
+        "wall_sec_median_of_3": round(med, 3),
+        "wall_sec_runs": [round(w, 3) for w in walls],
+        "rows_per_sec": round(n_rows / med, 1),
+        "note": (
+            "fixed pure-compute probe (datum-transform pandas UDF over "
+            "spark.range, no scan/shuffle); moves only with box health — "
+            "healthy band documented in BASELINE.md"
+        ),
+    }
+
+
 def _flagship(spark, n_images: int):
     """images -> datum reprojection (grid shift, NAD27-style ->
     WGS84) -> PIP join -> multi-zoom tiles -> rollup: the full
@@ -332,10 +380,16 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     warm.groupBy((WF.col("id") % 7).alias("g")).count().collect()
     _warm_map_in_pandas(spark, cpus)
 
-    # flagship: spatial join + tile assignment throughput
-    t0 = time.time()
-    n_rows, _ = _flagship(spark, N_IMAGES)
-    flagship_s = time.time() - t0
+    # flagship: spatial join + tile assignment throughput.  Median of 3
+    # runs (round-5 verdict task 2): a single sample at this scale sits
+    # inside a documented +/-80% box-noise band, which made every
+    # round-over-round comparison unfalsifiable.
+    flag_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        n_rows, _ = _flagship(spark, N_IMAGES)
+        flag_walls.append(time.time() - t0)
+    flagship_s = sorted(flag_walls)[1]
     timings["flagship_pip_tiles"] = round(flagship_s, 3)
 
     qs = entrymod.queries()
@@ -377,7 +431,17 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         minhash_lsh_pairs(sigs).count()
         into["minhash_lsh_fast"] = round(time.time() - t0, 3)
 
-    _time_suite(SF_DIR, timings)
+    # sf0.1 suite: 3 reps, per-query MEDIAN recorded (round-5 verdict
+    # task 2 — single samples at this scale are noise-dominated; r4's
+    # pip 4.88 s vs r3's 2.33 s was the box, not the plan, but the
+    # artifact couldn't prove it).  Raw rep totals kept alongside.
+    suite_reps: list[dict[str, float]] = []
+    for _ in range(3):
+        rep: dict[str, float] = {}
+        _time_suite(SF_DIR, rep)
+        suite_reps.append(rep)
+    for key in suite_reps[0]:
+        timings[key] = sorted(r[key] for r in suite_reps)[1]
 
     # the same suite at 10x rows (sf1-equivalent): single-query times at
     # sf0.1 sit inside a documented +/-80% noise band (BASELINE.md), so
@@ -512,17 +576,34 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     except Exception as exc:
         warp_lane = {"error": str(exc)[:200]}
 
+    # box-health sentinel: fixed pure-compute probe, median of 3 —
+    # makes a degraded-box night visible in THIS json (task 2)
+    try:
+        sentinel = _box_sentinel(spark, cpus)
+    except Exception as exc:  # never fail the bench for the probe
+        sentinel = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_note": (
+            "per-query values are the MEDIAN of 3 suite reps "
+            "(flagship likewise median-of-3); raw rep totals in "
+            "suite_rep_totals_sec"
+        ),
+        "suite_rep_totals_sec": [
+            round(sum(r.values()), 3) for r in suite_reps
+        ],
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "flagship_rows": n_rows,
+        "flagship_runs_sec": [round(w, 3) for w in flag_walls],
         "rows_per_sec": round(n_rows / flagship_s, 1),
         "fixture_gen_sec": fixture_s,
+        "box_sentinel": sentinel,
         "image_payload_lane": img_lane,
         "tile_pyramid_lane": pyr_lane,
         "raster_warp_lane": warp_lane,
@@ -530,8 +611,10 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
         result["sf1_note"] = (
-            "same suite at 10x-replicated rows (sf1-equivalent), keys "
-            "remapped key*10+replica; see bench.py _sf1_dir"
+            "PRIMARY per-query signal: same suite at 10x-replicated rows "
+            "(sf1-equivalent, keys remapped key*10+replica; see bench.py "
+            "_sf1_dir) — 10x the work makes plan regressions readable "
+            "above startup noise, unlike the sf0.1 samples"
         )
     spark.stop()
     return result
