@@ -48,14 +48,17 @@ def _edge_key(x1, y1, x2, y2):
     return F.concat_ws("|", F.least(a, b), F.greatest(a, b))
 
 
-def dissolve_by(
+def adjacency_pairs(
     polys: DataFrame,
     attr: str,
     poly_id: str = "poly_id",
     ring: str = "ring",
 ) -> DataFrame:
-    """``polys``: (poly_id, attr, ring array<struct<lon,lat>> closed).
-    Returns (poly_id, attr, group_id, group_size)."""
+    """Distinct same-attr edge-adjacency pairs (id_a < id_b).
+
+    Exposed separately so the physical plan is gateable (the CC step
+    below runs jobs eagerly): |edges| rows through ONE edge-key
+    shuffle, never geometry x geometry."""
     edges = polys.select(
         F.col(poly_id).alias("pid"),
         F.col(attr).alias("_a"),
@@ -87,6 +90,18 @@ def dissolve_by(
         .select(F.col("l.pid").alias("id_a"), F.col("r.pid").alias("id_b"))
         .distinct()
     )
+    return pairs
+
+
+def dissolve_by(
+    polys: DataFrame,
+    attr: str,
+    poly_id: str = "poly_id",
+    ring: str = "ring",
+) -> DataFrame:
+    """``polys``: (poly_id, attr, ring array<struct<lon,lat>> closed).
+    Returns (poly_id, attr, group_id, group_size)."""
+    pairs = adjacency_pairs(polys, attr, poly_id=poly_id, ring=ring)
     comp = connected_components(pairs, a="id_a", b="id_b")
     out = (
         polys.select(F.col(poly_id).alias("pid"), F.col(attr).alias("_a"))

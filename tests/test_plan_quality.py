@@ -289,3 +289,121 @@ def test_rasterize_edges_join_is_broadcast(spark):
     assert "BroadcastExchange" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dissolve_pairs_edge_key_join_no_cartesian(spark):
+    """Adjacency-pair generation is |edges| rows through ONE edge-key
+    equi-join (dissolve.py module doc) — never geometry x geometry, so
+    no cartesian/nested-loop node may appear, and the only exchanges
+    are the edge-key hash + the pair distinct."""
+    from proj_spark.operators.dissolve import adjacency_pairs
+
+    polys = spark.range(64).select(
+        F.col("id").alias("poly_id"),
+        (F.col("id") % 4).alias("owner"),
+        F.expr(
+            "array(named_struct('lon', cast(id % 8 as double), 'lat', cast(id div 8 as double)),"
+            " named_struct('lon', cast(id % 8 + 1 as double), 'lat', cast(id div 8 as double)),"
+            " named_struct('lon', cast(id % 8 + 1 as double), 'lat', cast(id div 8 + 1 as double)),"
+            " named_struct('lon', cast(id % 8 as double), 'lat', cast(id div 8 + 1 as double)),"
+            " named_struct('lon', cast(id % 8 as double), 'lat', cast(id div 8 as double)))"
+        ).alias("ring"),
+    )
+    plan = _plan(adjacency_pairs(polys, "owner"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    # edge-key join (<=2: one per side) + pair distinct (1)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_segments_both_sides_shuffle_once(spark):
+    """Candidate generation shuffles each segment side at most once
+    (on the bbox cell key); the crossing predicate filters the joined
+    candidates — no cartesian, no re-shuffle of either side."""
+    from proj_spark.operators.segments import segment_intersection_join
+
+    def segs(seed: int):
+        return spark.range(2_000).select(
+            F.col("id").alias("seg_id"),
+            ((F.col("id") * 37 + seed) % 600 / 10.0 - 125.0).alias("x1"),
+            ((F.col("id") * 59 + seed) % 300 / 10.0 + 25.0).alias("y1"),
+            ((F.col("id") * 83 + seed) % 600 / 10.0 - 125.0).alias("x2"),
+            ((F.col("id") * 97 + seed) % 300 / 10.0 + 25.0).alias("y2"),
+        )
+
+    plan = _plan(segment_intersection_join(segs(1), segs(2), res=6))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    # cell-key join (<=2: one per side) + pair distinct (1)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_adaptive_bins_one_agg_plus_broadcast(spark):
+    """adaptive_bins = the level-exploded count agg + the per-id
+    choice agg, with the ok-prefix set BROADCAST back — at most two
+    hash exchanges (on this fixture the choice agg pipelines on the
+    source partitioning, leaving just one), no sort-merge join
+    (adaptive.py:32)."""
+    from proj_spark.operators.adaptive import adaptive_bins
+
+    pts = spark.range(5_000).select(
+        F.col("id"),
+        ((F.col("id") % 600) / 10.0 - 125.0).alias("lon"),
+        ((F.col("id") % 300) / 10.0 + 25.0).alias("lat"),
+    )
+    plan = _plan(adaptive_bins(pts, cap=64, max_level=6))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_composite_single_bounded_group_shuffle(spark):
+    """best_pixel_composite: the observation stack crosses exactly ONE
+    hash exchange, keyed (x, y) — group size bounded by the revisit
+    count (composite.py:49)."""
+    from proj_spark.operators.composite import best_pixel_composite, lcg_observations
+
+    obs = lcg_observations(spark, n_x=2, n_y=2, n_t=3, tile_px=16, partitions=2)
+    plan = _plan(best_pixel_composite(obs, 16))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_chips_broadcast_map_single_shuffle(spark):
+    """extract_chips: the chip->source-tile map is BROADCAST onto the
+    (big) tile table, then one bounded-fan shuffle keys the fused
+    group map by chip_id — the tile side never hash-partitions for
+    the join (chips.py:55)."""
+    from proj_spark.operators.chips import extract_chips
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(
+        lon0=-120.0, lat0=48.0, dlon=0.02, dlat=0.02,
+        width=128, height=128, tile_px=32,
+    )
+    tiles = lcg_tiles(spark, grid, partitions=2)
+    chips = spark.createDataFrame(
+        [
+            ("c0", -119.5, 46.1, -118.9, 46.9),
+            ("c1", -118.2, 45.7, -117.6, 46.3),
+        ],
+        "chip_id string, lon_w double, lat_s double, lon_e double, lat_n double",
+    )
+    plan = _plan(extract_chips(tiles, chips, grid, out_px=16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the single hash exchange is the chip_id repartition feeding the
+    # fused batch-walking kernel
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
