@@ -1186,6 +1186,121 @@ FROM pts GROUP BY 1
 """
 
 
+def q_ea_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUAL-AREA hex cell rollup (functions/eagrid.ea_hex_cell — the
+    hexgrid cube-rounding on the cylindrical equal-area plane
+    x=lon, y=sin(lat)*180/pi, ref src/PJ_cea.c sphere forward): every
+    cell covers the same sphere area, so global density rollups stop
+    over-resolving high latitudes.  Pure closed-form expressions in
+    both engines — DuckDB reproduces every cell id bit-for-bit."""
+    from proj_spark.functions import eagrid as EA
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    return (
+        pts.withColumn("cell", EA.ea_hex_cell("lon", "lat", 1.0))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+    )
+
+
+def _ea_hex_rollup_oracle() -> str:
+    from proj_spark.functions.eagrid import ea_hex_cell_sql
+
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL})
+SELECT {ea_hex_cell_sql("lon", "lat", 1.0)} AS cell,
+       count(*) AS n, min(pk) AS min_pk, max(pk) AS max_pk
+FROM pts GROUP BY 1
+"""
+
+
+# knn_isea fixture: a WIDE window reaching 75N so the equal-area claim
+# is exercised where the equirect grid degrades; spans chosen so the
+# oracle replays the identical synth expressions
+_ISEA_LON = (-170.0, 120.0)  # lo, span
+_ISEA_LAT = (25.0, 50.0)
+
+
+def q_knn_isea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via EQUAL-AREA (ISEA-plane) hex k-ring expansion
+    (operators/knn.knn_join_isea over functions/eagrid.py — the
+    H3-grade upgrade: cells on the Icosahedral Snyder Equal Area
+    plane, ref src/PJ_isea.c, bounded distortion at every latitude).
+    Coverage-checked escalation + face-edge seam guard + brute-force
+    residue make the indexed path exact, so the oracle is plain
+    brute-force SQL."""
+    from proj_spark.operators.knn import knn_join_isea
+
+    lon_lo, lon_span = _ISEA_LON
+    lat_lo, lat_span = _ISEA_LAT
+    q = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qk"),
+        E.synth_lon(
+            (F.col("n_nationkey") * 60013 + 11).cast("double"), lon_lo, lon_span
+        ).alias("qlon"),
+        E.synth_lat(
+            (F.col("n_nationkey") * 60013 + 11).cast("double"), lat_lo, lat_span
+        ).alias("qlat"),
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        E.synth_lon(F.col("c_custkey").cast("double"), lon_lo, lon_span).alias("lon"),
+        E.synth_lat(F.col("c_custkey").cast("double"), lat_lo, lat_span).alias("lat"),
+    )
+    out = knn_join_isea(
+        q, cust, k=5, size_m=300_000.0, ring=1, max_ring=3,
+        q_id="qk", q_lon="qlon", q_lat="qlat",
+        c_id="pk", c_lon="lon", c_lat="lat",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("dist_m") * 10.0).cast("long").alias("dist_dm"),
+    )
+
+
+def _knn_isea_oracle() -> str:
+    lon_lo, lon_span = _ISEA_LON
+    lat_lo, lat_span = _ISEA_LAT
+
+    def lon_sql(k: str) -> str:
+        return f"({lon_lo!r} + {lon_span!r} * (({k} * {PHI}) - floor({k} * {PHI})))"
+
+    def lat_sql(k: str) -> str:
+        return f"({lat_lo!r} + {lat_span!r} * (({k} * {SQ3}) - floor({k} * {SQ3})))"
+
+    hav = _HAVERSINE_SQL.format(
+        lat1="q.qlat", lon1="q.qlon", lat2="c.lat", lon2="c.lon", D=D
+    )
+    qk = "CAST(n_nationkey * 60013 + 11 AS DOUBLE)"
+    ck = "CAST(c_custkey AS DOUBLE)"
+    return f"""
+WITH q AS (
+  SELECT n_nationkey AS qk, {lon_sql(qk)} AS qlon, {lat_sql(qk)} AS qlat FROM nation
+),
+c AS (
+  SELECT c_custkey AS pk, {lon_sql(ck)} AS lon, {lat_sql(ck)} AS lat FROM customer
+),
+pairs AS (
+  SELECT q.qk AS query_id, c.pk AS neighbor_id, {hav} AS dist_m
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist_m,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(dist_m * 10.0) AS BIGINT) AS dist_dm
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-range join (within 200 km, haversine) through the
     cell-pruned scale path (operators/knn.py within_distance_join:
@@ -4017,7 +4132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "knn": q_knn,
         "knn_hex": q_knn_hex,
+        "knn_isea": q_knn_isea,
         "hex_rollup": q_hex_rollup,
+        "ea_hex_rollup": q_ea_hex_rollup,
         "range_join": q_range_join,
         "pip": q_pip,
         "boundary_distance": q_boundary_distance,
@@ -4621,6 +4738,7 @@ FROM pts
         "cubeface_rollup": _cubeface_oracle(_CUSTOMER_PTS_SQL, 4),
         "knn": _knn_oracle(),
         "knn_hex": _knn_hex_oracle(),
+        "knn_isea": _knn_isea_oracle(),
         "warp_webmerc": _warp_oracle(),
         "dbscan": _dbscan_oracle(),
         "idw": _idw_oracle(),
@@ -4632,6 +4750,7 @@ FROM pts
         "dissolve": _dissolve_oracle(),
         "seg_intersections": _seg_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
+        "ea_hex_rollup": _ea_hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
         "pip": _pip_oracle(),
         "boundary_distance": _boundary_distance_oracle(),

@@ -436,3 +436,131 @@ def knn_join_hex(
             c_lat=c_lat,
         )
     return good.unionByName(redo)
+
+
+def knn_join_isea(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    size_m: float = 150_000.0,
+    ring: int = 1,
+    q_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    c_id: str = "cand_id",
+    c_lon: str = "c_lon",
+    c_lat: str = "c_lat",
+    max_ring: int = 4,
+) -> DataFrame:
+    """kNN via EQUAL-AREA hex k-ring expansion on the ISEA plane
+    (functions/eagrid.py — the projection underlying the true H3 DGGS,
+    ref src/PJ_isea.c) with haversine refinement — exact by
+    construction, same lazy escalation shape as :func:`knn_join_hex`.
+
+    Why it beats the equirect hex at scale: ISEA's linear scale is
+    globally bounded in [0.86, SIGMA_MAX=1.1631] (measured,
+    tests/test_eagrid.py), so the coverage radius a k-ring certifies
+    does NOT collapse by cos(lat) near the poles — a polar query
+    escalates no more often than an equatorial one.
+
+    Coverage bound: every point outside the k-ring is at PLANE
+    distance >= cover_plane = ((ring+1)*3/2 - 2)*size_plane from the
+    query (hexgrid geometry facts).  A geodesic ball of s meters whose
+    interior stays on one icosahedron face maps inside the plane disk
+    of radius SIGMA_MAX*s/R (equal-area Jacobian bound), so coverage
+    holds when s <= cover_plane*R/SIGMA_MAX = safe_m AND s stays under
+    the query's face-edge guard (isea_xy_edge lower bound, minus the
+    kernel's edge-assignment epsilon).  The net tears only along face
+    edges, so the guard is the complete seam story; failures escalate
+    and the residue past ``max_ring`` is brute-forced — conservative
+    costs retries, never correctness.
+    """
+    from ..functions import eagrid as EA
+    from ..functions import hexgrid as H
+
+    size_plane = EA.meters_to_plane(size_m)
+
+    c = candidates.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_lon).alias("_clon"),
+        F.col(c_lat).alias("_clat"),
+    )
+    c = EA.isea_hex_cell_cols(c, "_clon", "_clat", size_plane, prefix="_c").select(
+        "neighbor_id", "_clon", "_clat", F.col("_ccell")
+    )
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+    )
+    q_aug = EA.isea_hex_cell_cols(q, "_qlon", "_qlat", size_plane, prefix="_q")
+    q_cells = q_aug.withColumn(
+        "_cell", F.explode(H.hex_kring(F.col("_qcell"), k=ring))
+    ).select("query_id", "_qlon", "_qlat", "_qedge", "_cell")
+
+    pairs = c.join(
+        F.broadcast(q_cells), c["_ccell"] == q_cells["_cell"], "inner"
+    ).withColumn("dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat"))
+    ranked = _register_persist(
+        _topk(pairs, "query_id", k).select(
+            "query_id", "neighbor_id", "rank", "dist_m"
+        )
+    )
+
+    cover_plane = ((ring + 1) * 1.5 - 2.0) * size_plane
+    safe_m = cover_plane * EARTH_M / EA.SIGMA_MAX
+
+    per_q = q_aug.select("query_id", "_qlon", "_qlat", "_qedge").join(
+        ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_m").alias("_maxd")
+        ),
+        on="query_id",
+        how="left",
+    )
+    edge_guard_m = (
+        F.greatest(F.col("_qedge") - F.lit(EA.EDGE_EPS_RAD), F.lit(0.0))
+        * F.lit(EARTH_M)
+    )
+    is_bad = (
+        F.col("_n").isNull()
+        | (F.col("_n") < k)
+        | (F.col("_maxd") >= F.lit(safe_m))
+        | (F.col("_maxd") >= edge_guard_m)
+    )
+    per_q = per_q.observe(
+        f"knn_isea_cover_r{ring}_{next(_OBS_SEQ)}",
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count_if(is_bad).alias("n_failed"),
+    )
+    bad_q = per_q.where(is_bad).select("query_id")
+    bad_queries = q.join(F.broadcast(bad_q), on="query_id", how="inner")
+    good = ranked.join(F.broadcast(bad_q), on="query_id", how="left_anti")
+    if ring < max_ring:
+        redo = knn_join_isea(
+            bad_queries,
+            candidates,
+            k=k,
+            size_m=size_m,
+            ring=ring + 1,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+            max_ring=max_ring,
+        )
+    else:
+        redo = knn_join_bruteforce(
+            bad_queries,
+            candidates,
+            k=k,
+            q_id="query_id",
+            q_lon="_qlon",
+            q_lat="_qlat",
+            c_id=c_id,
+            c_lon=c_lon,
+            c_lat=c_lat,
+        )
+    return good.unionByName(redo)
