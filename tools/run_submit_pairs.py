@@ -9,7 +9,7 @@ instead of needing forensic reconstruction.  Output: one JSON line
 per pair appended to the path in argv[2] (default
 /tmp/r5_submit_pairs.jsonl).
 
-Usage: python tools/run_submit_pairs.py [k_pairs] [out_path]
+Usage: python tools/run_submit_pairs.py [k_pairs] [out_path] [--weak]
 """
 from __future__ import annotations
 
@@ -44,8 +44,10 @@ def _sentinel() -> dict:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r5_submit_pairs.jsonl"
+    argv = [a for a in sys.argv[1:] if a != "--weak"]
+    weak = "--weak" in sys.argv[1:]
+    k = int(argv[0]) if argv else 5
+    out_path = argv[1] if len(argv) > 1 else "/tmp/r5_submit_pairs.jsonl"
     for i in range(k):
         rec: dict = {"i": i, "t_start": time.strftime("%Y-%m-%dT%H:%M:%S")}
         try:
@@ -53,7 +55,8 @@ def main() -> None:
         except Exception as exc:  # record, don't abort the series
             rec["sentinel"] = {"error": str(exc)[:200]}
         p = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "tools", "submit_scaling.py"), "128000000"],
+            [sys.executable, os.path.join(ROOT, "tools", "submit_scaling.py"), "128000000"]
+            + (["--weak"] if weak else []),
             capture_output=True,
             text=True,
             cwd=ROOT,

@@ -124,30 +124,46 @@ def _submit(submit: str, zip_path: str, n_exec: int, n_images: int, workdir: str
 
 
 def main() -> None:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000_000
-    os.environ["SPARK_GRAFT_BENCH_IMAGES"] = str(n_images)
+    args = [a for a in sys.argv[1:] if a != "--weak"]
+    weak = "--weak" in sys.argv[1:]
+    n_images = int(args[0]) if args else 128_000_000
     os.environ["SPARK_GRAFT_FLAGSHIP_TABLE"] = "unclustered"
+
+    # --weak: constant per-executor load (n/4 rows at N=1, n at 4N) —
+    # the faithful model of ADDING CLUSTER NODES, where each node
+    # brings its own DRAM/cache instead of subdividing one box's
+    # (BASELINE.md "Reading the numbers").  efficiency = thr(4N)/thr(N1).
+    # Default (strong form): same n rows both sizes, eff = thr/(4*thr1).
+    n_small = n_images // 4 if weak else n_images
 
     submit = _find_spark_submit()
     _stage_fixture(n_images)
+    if weak:
+        _stage_fixture(n_small)
 
     from tools.make_pyfiles import build
 
     workdir = tempfile.mkdtemp(prefix="submit_scaling_")
     zip_path = build(os.path.join(workdir, "proj_spark.zip"))
 
-    r1 = _submit(submit, zip_path, 1, n_images, workdir)
+    r1 = _submit(submit, zip_path, 1, n_small, workdir)
     r4 = _submit(submit, zip_path, 4, n_images, workdir)
-    eff = r4["rows_per_sec"] / (4.0 * r1["rows_per_sec"])
+    if weak:
+        eff = r4["rows_per_sec"] / r1["rows_per_sec"]
+    else:
+        eff = r4["rows_per_sec"] / (4.0 * r1["rows_per_sec"])
     print(
         json.dumps(
             {
                 "metric": (
                     "flagship rows/sec at N vs 4N one-core executors, each run a "
                     "separate spark-submit --py-files from a scratch cwd "
-                    "(north-rule deployment clause, literal)"
+                    "(north-rule deployment clause, literal"
+                    + (", WEAK form: constant per-executor load)" if weak else ")")
                 ),
+                "form": "weak" if weak else "strong",
                 "n_images": n_images,
+                "n_images_n1": n_small,
                 "N1": r1,
                 "N4": r4,
                 "efficiency": round(eff, 3),
