@@ -9,7 +9,7 @@ instead of needing forensic reconstruction.  Output: one JSON line
 per pair appended to the path in argv[2] (default
 /tmp/r5_submit_pairs.jsonl).
 
-Usage: python tools/run_submit_pairs.py [k_pairs] [out_path] [--weak]
+Usage: python tools/run_submit_pairs.py [k_pairs] [out_path] [n_images] [--weak]
 """
 from __future__ import annotations
 
@@ -48,6 +48,7 @@ def main() -> None:
     weak = "--weak" in sys.argv[1:]
     k = int(argv[0]) if argv else 5
     out_path = argv[1] if len(argv) > 1 else "/tmp/r5_submit_pairs.jsonl"
+    n_images = argv[2] if len(argv) > 2 else "128000000"
     for i in range(k):
         rec: dict = {"i": i, "t_start": time.strftime("%Y-%m-%dT%H:%M:%S")}
         try:
@@ -55,12 +56,12 @@ def main() -> None:
         except Exception as exc:  # record, don't abort the series
             rec["sentinel"] = {"error": str(exc)[:200]}
         p = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "tools", "submit_scaling.py"), "128000000"]
+            [sys.executable, os.path.join(ROOT, "tools", "submit_scaling.py"), n_images]
             + (["--weak"] if weak else []),
             capture_output=True,
             text=True,
             cwd=ROOT,
-            timeout=1800,
+            timeout=3600,
         )
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         try:
