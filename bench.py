@@ -488,6 +488,56 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     except Exception as exc:  # never fail the bench for the extra lane
         img_lane = {"error": str(exc)[:200]}
 
+    # 10x payload lane (round-5 verdict task 7): the same PSNR>=40
+    # decode-verify gate at 10x the images — shows whether the
+    # pure-python codec lane's scheduling overheads stay amortized
+    # (rows/s within 0.8x of the base lane = yes) and puts a number
+    # on the documented libjpeg-turbo swap point.  Skip with
+    # SPARK_GRAFT_BENCH_PAYLOADS_10X=0.
+    img_lane_10x: dict[str, float] = {}
+    try:
+        n_10x = int(
+            os.environ.get("SPARK_GRAFT_BENCH_PAYLOADS_10X", str(10 * n_img))
+        )
+        if n_10x > 0:
+            from pyspark.sql import functions as BF
+
+            from proj_spark.sources.images import generate_images, verify_payloads
+
+            t0 = time.time()
+            imgs10 = generate_images(spark, n_10x, partitions=4 * cpus)
+            imgs10.write.mode("overwrite").parquet(
+                "/tmp/proj_spark_bench/_payload_lane_10x"
+            )
+            img_lane_10x["encode_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            stored10 = spark.read.parquet("/tmp/proj_spark_bench/_payload_lane_10x")
+            ok10 = (
+                verify_payloads(stored10)
+                .agg(
+                    BF.sum(
+                        BF.when(
+                            BF.col("caption_ok") & BF.col("pixels_ok"), 1
+                        ).otherwise(0)
+                    )
+                )
+                .collect()[0][0]
+            )
+            img_lane_10x["decode_verify_sec"] = round(time.time() - t0, 3)
+            img_lane_10x["n_images"] = n_10x
+            img_lane_10x["n_verified_ok"] = int(ok10)
+            img_lane_10x["decode_rows_per_sec"] = round(
+                n_10x / img_lane_10x["decode_verify_sec"], 1
+            )
+            if img_lane.get("decode_rows_per_sec"):
+                img_lane_10x["rate_vs_base_lane"] = round(
+                    img_lane_10x["decode_rows_per_sec"]
+                    / img_lane["decode_rows_per_sec"],
+                    3,
+                )
+    except Exception as exc:
+        img_lane_10x = {"error": str(exc)[:200]}
+
     # tile-pyramid lane (round 4, NOT in the suite total): COG-style
     # overview build through the real PNG codec — decode 4 children /
     # encode 1 parent per output tile, one constant-group-size shuffle
@@ -605,6 +655,7 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "fixture_gen_sec": fixture_s,
         "box_sentinel": sentinel,
         "image_payload_lane": img_lane,
+        "image_payload_lane_10x": img_lane_10x,
         "tile_pyramid_lane": pyr_lane,
         "raster_warp_lane": warp_lane,
     }
