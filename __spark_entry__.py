@@ -1301,6 +1301,78 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# range_join_isea fixture: a POLAR window (55..78N) where the
+# equirect grid's 1/cos(lat) ring sizing degrades; the ISEA ring
+# bound is latitude-independent
+_RJI_LON = (-180.0, 356.0)
+_RJI_LAT = (55.0, 23.0)
+
+
+def q_range_join_isea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLAR distance-range join (within 250 km) through the
+    EQUAL-AREA hex grid (operators/knn.within_distance_join_isea over
+    functions/eagrid.py): latitude-independent ring bound, face-edge
+    seam queries through a broadcast banded residue, big candidate
+    side never shuffles.  Exact by construction, so the oracle is the
+    brute-force distance filter."""
+    from proj_spark.operators.knn import within_distance_join_isea
+
+    lon_lo, lon_span = _RJI_LON
+    lat_lo, lat_span = _RJI_LAT
+    nations = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qk"),
+        E.synth_lon((F.col("n_nationkey") * 30011 + 3).cast("double"), lon_lo, lon_span).alias("qlon"),
+        E.synth_lat((F.col("n_nationkey") * 30011 + 3).cast("double"), lat_lo, lat_span).alias("qlat"),
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        E.synth_lon(F.col("c_custkey").cast("double"), lon_lo, lon_span).alias("lon"),
+        E.synth_lat(F.col("c_custkey").cast("double"), lat_lo, lat_span).alias("lat"),
+    )
+    out = within_distance_join_isea(
+        nations, cust, 250_000.0,
+        q_id="qk", q_lon="qlon", q_lat="qlat",
+        c_id="pk", c_lon="lon", c_lat="lat",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("dist_m") * 10.0).cast("long").alias("dist_dm"),
+    )
+
+
+def _range_join_isea_oracle() -> str:
+    lon_lo, lon_span = _RJI_LON
+    lat_lo, lat_span = _RJI_LAT
+
+    def lon_sql(k: str) -> str:
+        return f"({lon_lo!r} + {lon_span!r} * (({k} * {PHI}) - floor({k} * {PHI})))"
+
+    def lat_sql(k: str) -> str:
+        return f"({lat_lo!r} + {lat_span!r} * (({k} * {SQ3}) - floor({k} * {SQ3})))"
+
+    hav = _HAVERSINE_SQL.format(
+        lat1="q.qlat", lon1="q.qlon", lat2="c.lat", lon2="c.lon", D=D
+    )
+    qk = "CAST(n_nationkey * 30011 + 3 AS DOUBLE)"
+    ck = "CAST(c_custkey AS DOUBLE)"
+    return f"""
+WITH q AS (
+  SELECT n_nationkey AS qk, {lon_sql(qk)} AS qlon, {lat_sql(qk)} AS qlat FROM nation
+),
+c AS (
+  SELECT c_custkey AS pk, {lon_sql(ck)} AS lon, {lat_sql(ck)} AS lat FROM customer
+),
+pairs AS (
+  SELECT q.qk AS query_id, c.pk AS neighbor_id, {hav} AS dist_m
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id,
+       CAST(floor(dist_m * 10.0) AS BIGINT) AS dist_dm
+FROM pairs WHERE dist_m <= 250000.0
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-range join (within 200 km, haversine) through the
     cell-pruned scale path (operators/knn.py within_distance_join:
@@ -4135,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_isea": q_knn_isea,
         "hex_rollup": q_hex_rollup,
         "ea_hex_rollup": q_ea_hex_rollup,
+        "range_join_isea": q_range_join_isea,
         "range_join": q_range_join,
         "pip": q_pip,
         "boundary_distance": q_boundary_distance,
@@ -4739,6 +4812,7 @@ FROM pts
         "knn": _knn_oracle(),
         "knn_hex": _knn_hex_oracle(),
         "knn_isea": _knn_isea_oracle(),
+        "range_join_isea": _range_join_isea_oracle(),
         "warp_webmerc": _warp_oracle(),
         "dbscan": _dbscan_oracle(),
         "idw": _idw_oracle(),

@@ -564,3 +564,93 @@ def knn_join_isea(
             c_lat=c_lat,
         )
     return good.unionByName(redo)
+
+
+def within_distance_join_isea(
+    queries: DataFrame,
+    candidates: DataFrame,
+    radius_m: float,
+    size_m: float | None = None,
+    q_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    c_id: str = "cand_id",
+    c_lon: str = "c_lon",
+    c_lat: str = "c_lat",
+    max_ring: int = 8,
+) -> DataFrame:
+    """Distance-range join on the EQUAL-AREA (ISEA) hex grid — the
+    polar-safe sibling of :func:`within_distance_join`, EXACT by
+    construction.
+
+    The equirect version sizes its ring by 1/cos(lat) and REFUSES
+    (raises) when a polar query set pushes the ring past ``max_ring``;
+    on the ISEA plane the ring bound is latitude-independent
+    (functions/eagrid.py: linear scale bounded by SIGMA_MAX), so one
+    ring size serves the globe: a hit lies within SIGMA_MAX*radius/R
+    plane units of its query, and every point outside the k-ring is at
+    plane distance >= ((k+1)*3/2 - 2)*size (hexgrid geometry facts),
+    giving ring = ceil((SIGMA_MAX*r_plane/size + 2)/1.5 - 1).
+
+    Seams: queries whose radius ball can cross an icosahedron face
+    edge (edge guard < radius) are joined by a broadcast banded
+    nested-loop residue instead — the seam set is the thin band within
+    ``radius_m`` of the net's 30 edges (fraction ~ perimeter*radius /
+    earth area), so the residue stays broadcast-sized while the big
+    candidate side still never shuffles.
+    """
+    from ..functions import eagrid as EA
+    from ..functions import hexgrid as H
+
+    if size_m is None:
+        size_m = radius_m
+    size_plane = EA.meters_to_plane(size_m)
+    r_plane = EA.SIGMA_MAX * radius_m / EARTH_M
+    ring = max(int(math.ceil((r_plane / size_plane + 2.0) / 1.5 - 1.0)), 1)
+    if ring > max_ring:
+        raise ValueError(
+            f"radius {radius_m:.0f} m needs a ring of {ring} > "
+            f"max_ring={max_ring} hexes of size {size_m:.0f} m; raise size_m"
+        )
+
+    c = candidates.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_lon).alias("_clon"),
+        F.col(c_lat).alias("_clat"),
+    )
+    c_cells = EA.isea_hex_cell_cols(c, "_clon", "_clat", size_plane, prefix="_c")
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+    )
+    q_aug = EA.isea_hex_cell_cols(q, "_qlon", "_qlat", size_plane, prefix="_q")
+    is_safe = (
+        (F.col("_qedge") - F.lit(EA.EDGE_EPS_RAD)) * F.lit(EARTH_M)
+        > F.lit(float(radius_m))
+    )
+    safe_cells = (
+        q_aug.where(is_safe)
+        .withColumn("_cell", F.explode(H.hex_kring(F.col("_qcell"), k=ring)))
+        .select("query_id", "_qlon", "_qlat", "_cell")
+    )
+    pairs = (
+        c_cells.join(F.broadcast(safe_cells), c_cells["_ccell"] == safe_cells["_cell"], "inner")
+        .withColumn("dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select("query_id", "neighbor_id", "dist_m")
+    )
+
+    # seam residue: broadcast banded nested loop — cheap latitude band
+    # prunes before the exact haversine
+    dphi_deg = math.degrees(radius_m / EARTH_M)
+    seam_q = q_aug.where(~is_safe).select("query_id", "_qlon", "_qlat")
+    resid = (
+        c.crossJoin(F.broadcast(seam_q))
+        .where(F.abs(F.col("_clat") - F.col("_qlat")) <= F.lit(dphi_deg * 1.0000001))
+        .withColumn("dist_m", E.haversine_m("_qlon", "_qlat", "_clon", "_clat"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select("query_id", "neighbor_id", "dist_m")
+    )
+    return pairs.unionByName(resid)

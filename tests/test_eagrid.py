@@ -208,3 +208,42 @@ def test_polar_coverage_beats_equirect():
     # bookkeeping), blowout at the pole
     assert ratios[0] < 2.5
     assert ratios[-1] > 5.0, ratios
+
+
+def test_within_distance_isea_exact_vs_bruteforce(spark, knn_fixture):
+    """Polar-safe fixed-radius join: same pairs as the all-pairs
+    filter, including seam queries (broadcast banded residue) and
+    polar queries the equirect version refuses."""
+    from proj_spark.operators.knn import within_distance_join_isea
+
+    q, cand = knn_fixture
+    r = 900_000.0
+    got = within_distance_join_isea(q, cand, r, q_id="query_id")
+    got_pairs = {(x["query_id"], x["neighbor_id"]) for x in got.collect()}
+    import math as m
+
+    want = set()
+    for qr in q.collect():
+        for cr in cand.collect():
+            p1, p2 = m.radians(qr["q_lat"]), m.radians(cr["c_lat"])
+            dl = m.radians(cr["c_lon"] - qr["q_lon"])
+            a = (
+                m.sin((p2 - p1) / 2) ** 2
+                + m.cos(p1) * m.cos(p2) * m.sin(dl / 2) ** 2
+            )
+            d = 2 * E.EARTH_RADIUS_M * m.asin(min(1.0, m.sqrt(a)))
+            if d <= r:
+                want.add((qr["query_id"], cr["cand_id"]))
+    assert got_pairs == want
+
+
+def test_within_distance_isea_big_side_never_shuffles(spark, knn_fixture):
+    from proj_spark.operators.knn import within_distance_join_isea
+
+    q, cand = knn_fixture
+    plan = (
+        within_distance_join_isea(q, cand, 400_000.0, q_id="query_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
