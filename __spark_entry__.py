@@ -3953,6 +3953,100 @@ FROM l{lvl} GROUP BY 1
     )
 
 
+_S2_LEVEL = 6
+
+
+def q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style hierarchical cell rollup (round 5): GLOBAL customer
+    points (all 6 cube faces) -> level-6 cell id = QSC face + S2
+    quadratic-ST + in-face Hilbert position (functions/s2cell.py) ->
+    rollup by the level-4 ancestor, obtained as ``cell >> 4``: the
+    prefix shift IS the parent because the Hilbert curve is
+    self-similar — the S2 subtree-range property that hex grids lack.
+    Oracle: identical face/uv/st closed forms + the Hilbert levels
+    unrolled as chained CTEs in DuckDB."""
+    from proj_spark.functions.s2cell import s2_parent, with_s2_cell
+
+    pts = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        E.synth_lon(F.col("c_custkey").cast("double"), -180.0, 360.0).alias("lon"),
+        E.synth_lat(F.col("c_custkey").cast("double"), -85.0, 170.0).alias("lat"),
+    )
+    c = with_s2_cell(pts, "lon", "lat", _S2_LEVEL)
+    return c.groupBy(s2_parent("s2", 2).alias("block")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("s2").alias("n_cells"),
+        F.min("pk").alias("min_pk"),
+    )
+
+
+def _s2_rollup_oracle() -> str:
+    n = 1 << _S2_LEVEL
+    src = (
+        f"SELECT c_custkey AS pk, "
+        f"(-180.0 + 360.0 * ((CAST(c_custkey AS DOUBLE) * {PHI}) - floor(CAST(c_custkey AS DOUBLE) * {PHI}))) AS lon, "
+        f"(-85.0 + 170.0 * ((CAST(c_custkey AS DOUBLE) * {SQ3}) - floor(CAST(c_custkey AS DOUBLE) * {SQ3}))) AS lat "
+        f"FROM customer"
+    )
+    st = "CASE WHEN {0} >= 0 THEN sqrt(1.0 + 3.0 * {0}) * 0.5 ELSE 1.0 - sqrt(1.0 - 3.0 * {0}) * 0.5 END"
+    ctes = [
+        f"pts AS ({src})",
+        f"""xyz AS (
+  SELECT pk,
+         cos(lat * {D}) * cos(lon * {D}) AS x,
+         cos(lat * {D}) * sin(lon * {D}) AS y,
+         sin(lat * {D}) AS z
+  FROM pts
+)""",
+        """fc AS (
+  SELECT pk, x, y, z,
+         CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+              WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+              ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face
+  FROM xyz
+)""",
+        """uv AS (
+  SELECT pk, face,
+         CASE face WHEN 0 THEN y / x WHEN 3 THEN z / x WHEN 1 THEN -x / y
+                   WHEN 4 THEN z / y WHEN 2 THEN -x / z ELSE -y / z END AS u,
+         CASE face WHEN 0 THEN z / x WHEN 3 THEN -y / x WHEN 1 THEN z / y
+                   WHEN 4 THEN -x / y WHEN 2 THEN y / z ELSE -x / z END AS v
+  FROM uv_src
+)""".replace("uv_src", "fc"),
+        f"""l0 AS (
+  SELECT pk, face,
+         CAST(least(greatest(floor(({st.format('u')}) * {n}), 0), {n - 1}) AS BIGINT) AS x,
+         CAST(least(greatest(floor(({st.format('v')}) * {n}), 0), {n - 1}) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM uv
+)""",
+    ]
+    lvl = 0
+    for k in range(_S2_LEVEL - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        ctes.append(
+            f"l{lvl + 1} AS (SELECT pk, face, "
+            f"CASE WHEN {ry} = 0 THEN {flip_y} ELSE x END AS x, "
+            f"CASE WHEN {ry} = 0 THEN {flip_x} ELSE y END AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM l{lvl})"
+        )
+        lvl += 1
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+cells AS (SELECT pk, CAST(face AS BIGINT) * {n * n} + d AS cell FROM l{lvl})
+SELECT cell >> 4 AS block,
+       count(*) AS n,
+       count(DISTINCT cell) AS n_cells,
+       min(pk) AS min_pk
+FROM cells GROUP BY 1
+"""
+    )
+
+
 _RAST_Z, _RAST_K = 8, 4
 
 
@@ -4198,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections": q_seg_intersections,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
+        "s2_rollup": q_s2_rollup,
         "dissolve": q_dissolve,
         "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
@@ -4903,6 +4998,7 @@ FROM documents
         "caption_align": _caption_align_oracle(),
         "geohash_rollup": _geohash_rollup_oracle(),
         "hilbert_rollup": _hilbert_rollup_oracle(),
+        "s2_rollup": _s2_rollup_oracle(),
         "polygon_raster": _polygon_raster_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "image_quality": _image_quality_oracle(),
