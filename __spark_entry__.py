@@ -3980,33 +3980,39 @@ def q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s2_rollup_oracle() -> str:
-    n = 1 << _S2_LEVEL
-    src = (
-        f"SELECT c_custkey AS pk, "
-        f"(-180.0 + 360.0 * ((CAST(c_custkey AS DOUBLE) * {PHI}) - floor(CAST(c_custkey AS DOUBLE) * {PHI}))) AS lon, "
-        f"(-85.0 + 170.0 * ((CAST(c_custkey AS DOUBLE) * {SQ3}) - floor(CAST(c_custkey AS DOUBLE) * {SQ3}))) AS lat "
-        f"FROM customer"
-    )
+_S2_PTS_SRC = (
+    f"SELECT c_custkey AS pk, "
+    f"(-180.0 + 360.0 * ((CAST(c_custkey AS DOUBLE) * {PHI}) - floor(CAST(c_custkey AS DOUBLE) * {PHI}))) AS lon, "
+    f"(-85.0 + 170.0 * ((CAST(c_custkey AS DOUBLE) * {SQ3}) - floor(CAST(c_custkey AS DOUBLE) * {SQ3}))) AS lat "
+    f"FROM customer"
+)
+
+
+def _s2_cell_ctes(src: str, level: int) -> str:
+    """WITH-chain replaying functions/s2cell.with_s2_cell bit-exactly:
+    face/uv/st closed forms + the Hilbert ladder as chained CTEs,
+    ending in ``cells(pk, lon, lat, cell)``.  Shared by the s2_rollup
+    and s2_cover_scan oracles."""
+    n = 1 << level
     st = "CASE WHEN {0} >= 0 THEN sqrt(1.0 + 3.0 * {0}) * 0.5 ELSE 1.0 - sqrt(1.0 - 3.0 * {0}) * 0.5 END"
     ctes = [
         f"pts AS ({src})",
         f"""xyz AS (
-  SELECT pk,
+  SELECT pk, lon, lat,
          cos(lat * {D}) * cos(lon * {D}) AS x,
          cos(lat * {D}) * sin(lon * {D}) AS y,
          sin(lat * {D}) AS z
   FROM pts
 )""",
         """fc AS (
-  SELECT pk, x, y, z,
+  SELECT pk, lon, lat, x, y, z,
          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
               WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
               ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face
   FROM xyz
 )""",
         """uv AS (
-  SELECT pk, face,
+  SELECT pk, lon, lat, face,
          CASE face WHEN 0 THEN y / x WHEN 3 THEN z / x WHEN 1 THEN -x / y
                    WHEN 4 THEN z / y WHEN 2 THEN -x / z ELSE -y / z END AS u,
          CASE face WHEN 0 THEN z / x WHEN 3 THEN -y / x WHEN 1 THEN z / y
@@ -4014,7 +4020,7 @@ def _s2_rollup_oracle() -> str:
   FROM uv_src
 )""".replace("uv_src", "fc"),
         f"""l0 AS (
-  SELECT pk, face,
+  SELECT pk, lon, lat, face,
          CAST(least(greatest(floor(({st.format('u')}) * {n}), 0), {n - 1}) AS BIGINT) AS x,
          CAST(least(greatest(floor(({st.format('v')}) * {n}), 0), {n - 1}) AS BIGINT) AS y,
          CAST(0 AS BIGINT) AS d
@@ -4022,27 +4028,94 @@ def _s2_rollup_oracle() -> str:
 )""",
     ]
     lvl = 0
-    for k in range(_S2_LEVEL - 1, -1, -1):
+    for k in range(level - 1, -1, -1):
         s = 1 << k
         rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
         ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
         flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
         flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
         ctes.append(
-            f"l{lvl + 1} AS (SELECT pk, face, "
+            f"l{lvl + 1} AS (SELECT pk, lon, lat, face, "
             f"CASE WHEN {ry} = 0 THEN {flip_y} ELSE x END AS x, "
             f"CASE WHEN {ry} = 0 THEN {flip_x} ELSE y END AS y, "
             f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM l{lvl})"
         )
         lvl += 1
     return (
-        "WITH " + ",\n".join(ctes) + f""",
-cells AS (SELECT pk, CAST(face AS BIGINT) * {n * n} + d AS cell FROM l{lvl})
+        "WITH " + ",\n".join(ctes)
+        + f",\ncells AS (SELECT pk, lon, lat, CAST(face AS BIGINT) * {n * n} + d AS cell FROM l{lvl})"
+    )
+
+
+def _s2_rollup_oracle() -> str:
+    return (
+        _s2_cell_ctes(_S2_PTS_SRC, _S2_LEVEL)
+        + """
 SELECT cell >> 4 AS block,
        count(*) AS n,
        count(DISTINCT cell) AS n_cells,
        min(pk) AS min_pk
 FROM cells GROUP BY 1
+"""
+    )
+
+
+_S2_COVER_LEVEL = 8
+_S2_COVER_BBOX = (-30.0, 20.0, 40.0, 60.0)
+
+
+def q_s2_cover_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 region-cover scan (round 5): the bbox is turned into <=48
+    inclusive level-8 cell-id ranges driver-side
+    (functions/s2cover.s2_cover_bbox — exact half-space geometry,
+    superset-guaranteed), the scan filters on OR-of-BETWEEN over the
+    cell id (parquet-pushable: on a cell-sorted table this IS row-group
+    pruning), then refines with the exact lon/lat predicate.  The
+    oracle is the plain exact bbox filter + the shared cell ladder —
+    an INDEPENDENT derivation that never sees the cover, so a cover
+    false-negative (a dropped cell) fails the gate.
+
+    The cover is applied as a BROADCAST LEFT-SEMI range join, not an
+    OR-of-BETWEEN filter: on a COMPUTED cell column a filter would be
+    pushed through the unrolled Hilbert projections, substituting the
+    ladder into all ~96 comparisons (measured: optimizer heap OOM);
+    the join keeps the ladder evaluated once per row.  The pushable
+    predicate form (s2cover.s2_range_predicate) is for STORED cell
+    columns, where it prunes parquet row groups
+    (tests/test_s2cover.py)."""
+    from proj_spark.functions.s2cell import with_s2_cell
+    from proj_spark.functions.s2cover import s2_cover_bbox
+
+    w, s, e, n = _S2_COVER_BBOX
+    ranges = s2_cover_bbox(w, s, e, n, _S2_COVER_LEVEL, max_ranges=48)
+    rng_df = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges], "lo long, hi long"
+    )
+    pts = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        E.synth_lon(F.col("c_custkey").cast("double"), -180.0, 360.0).alias("lon"),
+        E.synth_lat(F.col("c_custkey").cast("double"), -85.0, 170.0).alias("lat"),
+    )
+    c = with_s2_cell(pts, "lon", "lat", _S2_COVER_LEVEL)
+    return (
+        c.join(  # index scan: broadcast the cover ranges
+            F.broadcast(rng_df),
+            F.col("s2").between(F.col("lo"), F.col("hi")),
+            "leftsemi",
+        )
+        .where(F.col("lon").between(w, e) & F.col("lat").between(s, n))  # refine
+        .select("pk", F.col("s2").alias("cell"))
+    )
+
+
+def _s2_cover_scan_oracle() -> str:
+    w, s, e, n = _S2_COVER_BBOX
+    return (
+        _s2_cell_ctes(_S2_PTS_SRC, _S2_COVER_LEVEL)
+        + f"""
+SELECT pk, cell
+FROM cells
+WHERE lon BETWEEN {w} AND {e} AND lat BETWEEN {s} AND {n}
 """
     )
 
@@ -4293,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "s2_rollup": q_s2_rollup,
+        "s2_cover_scan": q_s2_cover_scan,
         "dissolve": q_dissolve,
         "image_dedup_groups": q_image_dedup_groups,
         "cell_rollup": q_cell_rollup,
@@ -4999,6 +5073,7 @@ FROM documents
         "geohash_rollup": _geohash_rollup_oracle(),
         "hilbert_rollup": _hilbert_rollup_oracle(),
         "s2_rollup": _s2_rollup_oracle(),
+        "s2_cover_scan": _s2_cover_scan_oracle(),
         "polygon_raster": _polygon_raster_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "image_quality": _image_quality_oracle(),
