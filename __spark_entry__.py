@@ -4287,6 +4287,226 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 
+# ================================================== overlay / interval joins
+def _boxes(spark, sf_dir, table, key):
+    """Deterministic small boxes anchored at the synth points: width/
+    height in (0.1, 0.9) degrees from golden-ratio fractions."""
+    pts = _points(spark, sf_dir, table, key)
+    return pts.select(
+        F.col("pk").alias("box_id"),
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        (F.col("lon") + E.synth_lon((F.col("pk") * 3 + 1).cast("double"), lo=0.1, span=0.8)).alias("x1"),
+        (F.col("lat") + E.synth_lat((F.col("pk") * 5 + 2).cast("double"), lo=0.1, span=0.8)).alias("y1"),
+    )
+
+
+def _boxes_sql(table: str, kcol: str) -> str:
+    k2 = f"CAST({kcol} * 3 + 1 AS DOUBLE)"
+    k3 = f"CAST({kcol} * 5 + 2 AS DOUBLE)"
+    k = f"CAST({kcol} AS DOUBLE)"
+    return (
+        f"SELECT {kcol} AS box_id, {_lon_sql(k)} AS x0, {_lat_sql(k)} AS y0, "
+        f"{_lon_sql(k)} + (0.1 + 0.8 * (({k2} * {PHI}) - floor({k2} * {PHI}))) AS x1, "
+        f"{_lat_sql(k)} + (0.1 + 0.8 * (({k3} * {SQ3}) - floor({k3} * {SQ3}))) AS y1 "
+        f"FROM {table}"
+    )
+
+
+def q_bbox_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle x rectangle intersection join (operators/overlay.py):
+    cell-bucketed candidates with REFERENCE-POINT dedup — the joined
+    row survives only in the cell holding the intersection's lower-left
+    corner, so there is no distinct() shuffle at all (one shuffle pair
+    total; the PBSM report-once trick).  Customer boxes vs supplier
+    boxes; the oracle is the all-pairs SQL with identical overlap and
+    area trees."""
+    from proj_spark.operators.overlay import bbox_overlap_join
+
+    out = bbox_overlap_join(
+        _boxes(spark, sf_dir, "customer", "c_custkey"),
+        _boxes(spark, sf_dir, "supplier", "s_suppkey"),
+        res=6,
+    )
+    return out.select(
+        "a_id", "b_id",
+        F.floor(F.col("ix0") * 1e7).cast("long").alias("ix0_e7"),
+        F.floor(F.col("iy0") * 1e7).cast("long").alias("iy0_e7"),
+        F.floor(F.col("area") * 1e9).cast("long").alias("area_e9"),
+    )
+
+
+def _bbox_overlay_oracle() -> str:
+    return f"""
+WITH a AS ({_boxes_sql("customer", "c_custkey")}),
+b AS ({_boxes_sql("supplier", "s_suppkey")})
+SELECT a.box_id AS a_id, b.box_id AS b_id,
+       CAST(floor(greatest(a.x0, b.x0) * 1e7) AS BIGINT) AS ix0_e7,
+       CAST(floor(greatest(a.y0, b.y0) * 1e7) AS BIGINT) AS iy0_e7,
+       CAST(floor((least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) * 1e9) AS BIGINT) AS area_e9
+FROM a, b
+WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap join (operators/overlay.py): the 1-D
+    sibling of bbox_overlay — bucket-cover candidates, reference-bucket
+    dedup, no distinct() shuffle.  Event intervals (ts, ts + synth
+    duration <= ~2h) for two disjoint user cohorts; oracle: all-pairs
+    SQL with identical trees (DuckDB plans it as an IEJoin)."""
+    from proj_spark.operators.overlay import interval_overlap_join
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").cast("long").cast("double").alias("t0"),
+    ).withColumn(
+        "t1",
+        F.col("t0") + 120.0 + 7200.0 * E.frac(F.col("iv_id").cast("double") * F.lit(E._PHI_INV)),
+    )
+    a = ev.where(F.col("user_id") % 4 == 0).drop("user_id")
+    b = ev.where(F.col("user_id") % 4 == 1).drop("user_id")
+    out = interval_overlap_join(a, b, bucket=3600, max_buckets=8)
+    return out.select(
+        "a_id", "b_id",
+        F.floor(F.col("o0")).cast("long").alias("o0_s"),
+        F.floor(F.col("overlap")).cast("long").alias("ov_s"),
+    )
+
+
+def _interval_join_oracle() -> str:
+    iv = (
+        "SELECT event_id AS iv_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS t0i FROM events"
+    )
+    dur = f"120.0 + 7200.0 * ((CAST(iv_id AS DOUBLE) * {PHI}) - floor(CAST(iv_id AS DOUBLE) * {PHI}))"
+    side = (
+        f"SELECT iv_id, CAST(t0i AS DOUBLE) AS t0, CAST(t0i AS DOUBLE) + {dur} AS t1 "
+        f"FROM ({iv}) WHERE user_id % 4 = {{m}}"
+    )
+    return f"""
+WITH a AS ({side.format(m=0)}),
+b AS ({side.format(m=1)})
+SELECT a.iv_id AS a_id, b.iv_id AS b_id,
+       CAST(floor(greatest(a.t0, b.t0)) AS BIGINT) AS o0_s,
+       CAST(floor(least(a.t1, b.t1) - greatest(a.t0, b.t0)) AS BIGINT) AS ov_s
+FROM a, b
+WHERE a.t0 < b.t1 AND b.t0 < a.t1
+"""
+
+
+# ====================================================== hull / farthest pair
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation farthest customer pair (operators/hull.py): salted
+    partial convex hulls -> merged hull -> pair scan over hull vertices
+    only (the calipers reduction).  The oracle re-derives it the dumb
+    exact way — all pairs per group including self-pairs (so singleton
+    and all-coincident groups match the hull path), max by
+    (d2, smallest ids)."""
+    from proj_spark.operators.hull import group_diameter
+
+    cust = _load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").alias("g"),
+        F.col("c_custkey").alias("id"),
+        E.synth_lon(F.col("c_custkey").cast("double")).alias("x"),
+        E.synth_lat(F.col("c_custkey").cast("double")).alias("y"),
+    )
+    out = group_diameter(pts, group="g", id_col="id", x="x", y="y")
+    return out.select(
+        "group_id", "a_id", "b_id",
+        F.floor(F.col("d2") * 1e9).cast("long").alias("d2_e9"),
+    )
+
+
+def _diameter_oracle() -> str:
+    return f"""
+WITH pts AS (
+  SELECT c_nationkey AS g, c_custkey AS id,
+         {_lon_sql('CAST(c_custkey AS DOUBLE)')} AS x,
+         {_lat_sql('CAST(c_custkey AS DOUBLE)')} AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.g, a.id AS a_id, b.id AS b_id,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.g = b.g AND a.id <= b.id
+),
+ranked AS (
+  SELECT g, a_id, b_id, d2,
+         row_number() OVER (PARTITION BY g ORDER BY d2 DESC, a_id, b_id) AS rn
+  FROM pairs
+)
+SELECT CAST(g AS BIGINT) AS group_id, a_id, b_id,
+       CAST(floor(d2 * 1e9) AS BIGINT) AS d2_e9
+FROM ranked WHERE rn = 1
+"""
+
+
+# ====================================================== spherical navigation
+def q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-track / along-track distance (functions/navigation.py):
+    each customer point against its nation's great-circle route —
+    broadcast the 25-row route dim, pure JVM trig columns, no UDF.
+    Oracle: token-identical SQL trees, floor-quantized at meter scale
+    (far coarser than cross-engine libm drift)."""
+    from pyspark.sql.functions import broadcast
+
+    from proj_spark.functions import navigation as NAV
+
+    routes = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"),
+        E.synth_lon((F.col("n_nationkey") * 11 + 3).cast("double")).alias("rlon1"),
+        E.synth_lat((F.col("n_nationkey") * 11 + 3).cast("double")).alias("rlat1"),
+        E.synth_lon((F.col("n_nationkey") * 13 + 5).cast("double")).alias("rlon2"),
+        E.synth_lat((F.col("n_nationkey") * 13 + 5).cast("double")).alias("rlat2"),
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        E.synth_lon(F.col("c_custkey").cast("double")).alias("plon"),
+        E.synth_lat(F.col("c_custkey").cast("double")).alias("plat"),
+    )
+    j = cust.join(broadcast(routes), on="nk")
+    args = [F.col(c) for c in ("rlon1", "rlat1", "rlon2", "rlat2", "plon", "plat")]
+    return j.select(
+        "id",
+        F.col("nk").cast("long").alias("nk"),
+        F.floor(NAV.cross_track_m(*args)).cast("long").alias("dxt_m"),
+        F.floor(NAV.along_track_m(*args)).cast("long").alias("dat_m"),
+    )
+
+
+def _cross_track_oracle() -> str:
+    from proj_spark.functions import navigation as NAV
+
+    args = ("r.rlon1", "r.rlat1", "r.rlon2", "r.rlat2", "p.plon", "p.plat")
+
+    def route_pt(mul, add, fn):
+        return fn(f"CAST(n_nationkey * {mul} + {add} AS DOUBLE)")
+
+    return f"""
+WITH r AS (
+  SELECT n_nationkey AS nk,
+         {route_pt(11, 3, _lon_sql)} AS rlon1, {route_pt(11, 3, _lat_sql)} AS rlat1,
+         {route_pt(13, 5, _lon_sql)} AS rlon2, {route_pt(13, 5, _lat_sql)} AS rlat2
+  FROM nation
+),
+p AS (
+  SELECT c_custkey AS id, c_nationkey AS nk,
+         {_lon_sql('CAST(c_custkey AS DOUBLE)')} AS plon,
+         {_lat_sql('CAST(c_custkey AS DOUBLE)')} AS plat
+  FROM customer
+)
+SELECT p.id, CAST(p.nk AS BIGINT) AS nk,
+       CAST(floor({NAV.cross_track_sql(*args)}) AS BIGINT) AS dxt_m,
+       CAST(floor({NAV.along_track_sql(*args)}) AS BIGINT) AS dat_m
+FROM p JOIN r ON p.nk = r.nk
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4363,6 +4583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "tile_multizoom": q_tile_multizoom,
         "seg_intersections": q_seg_intersections,
+        "bbox_overlay": q_bbox_overlay,
+        "interval_join": q_interval_join,
+        "diameter": q_diameter,
+        "cross_track": q_cross_track,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "s2_rollup": q_s2_rollup,
@@ -4992,6 +5216,10 @@ FROM pts
         "asof_clicks": _asof_oracle(),
         "dissolve": _dissolve_oracle(),
         "seg_intersections": _seg_oracle(),
+        "bbox_overlay": _bbox_overlay_oracle(),
+        "interval_join": _interval_join_oracle(),
+        "diameter": _diameter_oracle(),
+        "cross_track": _cross_track_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "ea_hex_rollup": _ea_hex_rollup_oracle(),
         "range_join": _range_join_oracle(),
