@@ -1104,6 +1104,28 @@ def _warp_oracle() -> str:
     return warp_oracle_sql(LatLonGrid(**_WARP_GRID), _WARP_ZOOM, _WARP_OPX)
 
 
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear raster warp (operators/warp.warp_bilinear_tiles): the
+    smooth-resample sibling of warp_webmerc — continuous inverse map,
+    2x2 support with separable weights, full-support validity, values
+    quantized floor(v*16).  Same broadcast-candidate / bounded-fan
+    plan with the candidate bbox widened one source pixel so supports
+    straddling a source-tile edge stay in-group.  Oracle: DuckDB
+    replays the identical clamped-fetch + bilinear double tree per
+    pixel."""
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles, warp_bilinear_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    tiles = lcg_tiles(spark, grid, partitions=8)
+    return warp_bilinear_tiles(spark, tiles, grid, _WARP_ZOOM, _WARP_OPX)
+
+
+def _warp_bilinear_oracle() -> str:
+    from proj_spark.operators.warp import LatLonGrid, warp_bilinear_oracle_sql
+
+    return warp_bilinear_oracle_sql(LatLonGrid(**_WARP_GRID), _WARP_ZOOM, _WARP_OPX)
+
+
 def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via HEX k-ring expansion (operators/knn.knn_join_hex — the
     north rule's 'kNN via H3 k-ring expansion with haversine
@@ -4607,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "fused_pip_tiles": q_fused_pip_tiles,
         "warp_webmerc": q_warp_webmerc,
+        "warp_bilinear": q_warp_bilinear,
         "asof_clicks": q_asof_clicks,
         "token_stats": q_token_stats,
         "caption_align": q_caption_align,
@@ -5207,6 +5230,7 @@ FROM pts
         "knn_isea": _knn_isea_oracle(),
         "range_join_isea": _range_join_isea_oracle(),
         "warp_webmerc": _warp_oracle(),
+        "warp_bilinear": _warp_bilinear_oracle(),
         "dbscan": _dbscan_oracle(),
         "idw": _idw_oracle(),
         "composite": _composite_oracle(),

@@ -368,3 +368,188 @@ SELECT CAST({zoom} AS INTEGER) AS z, tx, ty,
        CAST(sum(val * (1 + lidx % 997)) AS BIGINT) AS px_cks
 FROM v GROUP BY tx, ty
 """
+
+
+# ----------------------------------------------------- bilinear resample
+def warp_bilinear_tiles(
+    spark: SparkSession,
+    tiles: DataFrame,
+    grid: LatLonGrid,
+    zoom: int,
+    out_px: int = 64,
+) -> DataFrame:
+    """Bilinear sibling of :func:`warp_to_webmerc`: every output-pixel
+    center inverse-maps to a CONTINUOUS source position (pixel-center
+    convention, fx = (lon - lon0)/dlon - 0.5) and samples the 2x2
+    neighborhood with the standard separable weights.  A pixel is
+    valid only with FULL support (fx in [0, w-1], fy in [0, h-1]) —
+    the usual edge-trim semantics; invalid pixels contribute 0.
+
+    Same physical plan as the nearest path (broadcast candidate map,
+    big side unshuffled, one bounded-fan output-tile shuffle) with the
+    candidate bbox widened by one source pixel so a support straddling
+    a source-tile edge always has both tiles in the group.
+
+    Returns (z, tx, ty, n_valid, q_sum, q_cks) where q = floor(v * 16)
+    per pixel — the bilinear value quantized at 1/16 px-value, summed
+    exactly; the SQL oracle replays the identical double tree
+    (v00*(1-dx) + v10*dx)*(1-dy) + (v01*(1-dx) + v11*dx)*dy.
+    """
+    ts = grid.tile_px
+    n_px = float((1 << zoom) * out_px)
+    tx0, tx1, ty0, ty1 = out_tile_range(grid, zoom)
+
+    out = spark.range(tx0, tx1 + 1).select(F.col("id").alias("tx")).crossJoin(
+        spark.range(ty0, ty1 + 1).select(F.col("id").alias("ty"))
+    )
+    world = 360.0 / float(1 << zoom)
+    lon_w = F.col("tx") * F.lit(world) - F.lit(180.0) - F.lit(grid.dlon)
+    lon_e = (F.col("tx") + 1) * F.lit(world) - F.lit(180.0) + F.lit(grid.dlon)
+    yn_n = F.col("ty").cast("double") / F.lit(float(1 << zoom))
+    yn_s = (F.col("ty") + 1).cast("double") / F.lit(float(1 << zoom))
+    t_n = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yn_n)
+    t_s = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yn_s)
+    lat_n = F.atan((F.exp(t_n) - F.exp(-t_n)) * F.lit(0.5)) * F.lit(RAD2DEG) + F.lit(grid.dlat)
+    lat_s = F.atan((F.exp(t_s) - F.exp(-t_s)) * F.lit(0.5)) * F.lit(RAD2DEG) - F.lit(grid.dlat)
+
+    step_x = grid.dlon * ts
+    step_y = grid.dlat * ts
+    n_sx = (grid.width + ts - 1) // ts
+    n_sy = (grid.height + ts - 1) // ts
+    sx_lo = F.greatest(F.floor((lon_w - F.lit(grid.lon0)) / F.lit(step_x)), F.lit(0)).cast("long")
+    sx_hi = F.least(F.floor((lon_e - F.lit(grid.lon0)) / F.lit(step_x)), F.lit(n_sx - 1)).cast("long")
+    sy_lo = F.greatest(F.floor((F.lit(grid.lat0) - lat_n) / F.lit(step_y)), F.lit(0)).cast("long")
+    sy_hi = F.least(F.floor((F.lit(grid.lat0) - lat_s) / F.lit(step_y)), F.lit(n_sy - 1)).cast("long")
+    cand = (
+        out.where(
+            (lon_e > F.lit(grid.lon0))
+            & (lon_w < F.lit(grid.lon_max))
+            & (lat_n > F.lit(grid.lat_min))
+            & (lat_s < F.lit(grid.lat0))
+        )
+        .withColumn("sx", F.explode(F.sequence(sx_lo, sx_hi)))
+        .withColumn("sy", F.explode(F.sequence(sy_lo, sy_hi)))
+        .select("tx", "ty", "sx", "sy")
+    )
+    joined = tiles.join(F.broadcast(cand), on=["sx", "sy"], how="inner")
+
+    g = grid
+    opx = out_px
+
+    def warp_tile(pdf: pd.DataFrame) -> tuple:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        sxs = pdf["sx"].to_numpy(np.int64)
+        sys_ = pdf["sy"].to_numpy(np.int64)
+        ox, oy = int(sxs.min()) * g.tile_px, int(sys_.min()) * g.tile_px
+        W = (int(sxs.max()) - int(sxs.min()) + 1) * g.tile_px
+        H = (int(sys_.max()) - int(sys_.min()) + 1) * g.tile_px
+        canvas = np.zeros((H, W), dtype=np.uint8)
+        for r in pdf.itertuples():
+            arr = np.frombuffer(r.bytes, dtype=np.uint8).reshape(g.tile_px, g.tile_px)
+            y0 = int(r.sy) * g.tile_px - oy
+            x0 = int(r.sx) * g.tile_px - ox
+            canvas[y0:y0 + g.tile_px, x0:x0 + g.tile_px] = arr
+
+        xs = (tx * opx + np.arange(opx, dtype=np.float64)) + 0.5
+        lon_t = xs / n_px * 360.0 - 180.0
+        ys = (ty * opx + np.arange(opx, dtype=np.float64)) + 0.5
+        lat_t = _merc_lat_deg(ys / n_px)
+        fx = (lon_t - g.lon0) / g.dlon - 0.5           # continuous col
+        fy = (g.lat0 - lat_t) / g.dlat - 0.5           # continuous row
+        vx = (fx >= 0.0) & (fx <= float(g.width - 1))
+        vy = (fy >= 0.0) & (fy <= float(g.height - 1))
+        valid = vy[:, None] & vx[None, :]
+
+        x0i = np.clip(np.floor(fx), 0, g.width - 2).astype(np.int64)
+        y0i = np.clip(np.floor(fy), 0, g.height - 2).astype(np.int64)
+        dx = fx - x0i
+        dy = fy - y0i
+
+        def gv(yy, xx):
+            cy = np.clip(yy - oy, 0, H - 1)
+            cx = np.clip(xx - ox, 0, W - 1)
+            return canvas[cy[:, None], cx[None, :]].astype(np.float64)
+
+        v00 = gv(y0i, x0i)
+        v10 = gv(y0i, x0i + 1)
+        v01 = gv(y0i + 1, x0i)
+        v11 = gv(y0i + 1, x0i + 1)
+        dxm = dx[None, :]
+        dym = dy[:, None]
+        v = (v00 * (1.0 - dxm) + v10 * dxm) * (1.0 - dym) + (
+            v01 * (1.0 - dxm) + v11 * dxm
+        ) * dym
+        q = np.floor(v * 16.0).astype(np.int64)
+        q[~valid] = 0
+        lidx = (np.arange(opx)[:, None] * opx + np.arange(opx)[None, :]).astype(np.int64)
+        w = 1 + (lidx % 997)
+        return (tx, ty, int(valid.sum()), int(q.sum()), int((q * w).sum()))
+
+    cols = ["tx", "ty", "n_valid", "q_sum", "q_cks"]
+    schema = "tx long, ty long, n_valid long, q_sum long, q_cks long"
+    warped = fused_group_map(joined, ["tx", "ty"], warp_tile, cols, schema)
+    return warped.withColumn("z", F.lit(zoom).cast("int")).select(
+        "z", "tx", "ty", "n_valid", "q_sum", "q_cks"
+    )
+
+
+def warp_bilinear_oracle_sql(grid: LatLonGrid, zoom: int, out_px: int = 64) -> str:
+    """DuckDB mirror of :func:`warp_bilinear_tiles`: the identical
+    inverse mapping, clamped 2x2 LCG fetch, and bilinear double tree,
+    aggregated to the exact-integer (n_valid, q_sum, q_cks) triple."""
+    tx0, tx1, ty0, ty1 = out_tile_range(grid, zoom)
+    n_px = float((1 << zoom) * out_px)
+    lon = f"((tx * {out_px} + px) + 0.5) / {n_px!r} * 360.0 - 180.0"
+    t = f"({math.pi!r} * (1.0 - 2.0 * (((ty * {out_px} + py) + 0.5) / {n_px!r})))"
+    lat = f"atan((exp({t}) - exp(-{t})) * 0.5) * {RAD2DEG!r}"
+    fx = f"((({lon}) - {grid.lon0!r}) / {grid.dlon!r} - 0.5)"
+    fy = f"(({grid.lat0!r} - ({lat})) / {grid.dlat!r} - 0.5)"
+
+    def lcg(gy, gx):
+        return (
+            f"((({gy}) * {grid.width} + ({gx})) * 2654435761 + 12345) "
+            f"% 4294967296 // 16777216"
+        )
+
+    return f"""
+WITH px AS (
+  SELECT tx.range AS tx, ty.range AS ty, x.range AS px, y.range AS py
+  FROM range({tx0}, {tx1 + 1}) tx, range({ty0}, {ty1 + 1}) ty,
+       range(0, {out_px}) x, range(0, {out_px}) y
+),
+m AS (
+  SELECT tx, ty, py * {out_px} + px AS lidx, {fx} AS fx, {fy} AS fy FROM px
+),
+c AS (
+  SELECT tx, ty, lidx, fx, fy,
+         CAST(least(greatest(floor(fx), 0), {grid.width - 2}) AS BIGINT) AS x0,
+         CAST(least(greatest(floor(fy), 0), {grid.height - 2}) AS BIGINT) AS y0,
+         CASE WHEN fx >= 0.0 AND fx <= {float(grid.width - 1)!r}
+               AND fy >= 0.0 AND fy <= {float(grid.height - 1)!r}
+              THEN 1 ELSE 0 END AS ok
+  FROM m
+),
+b AS (
+  SELECT tx, ty, lidx, ok,
+         fx - x0 AS dx, fy - y0 AS dy,
+         CAST({lcg('y0', 'x0')} AS DOUBLE) AS v00,
+         CAST({lcg('y0', 'x0 + 1')} AS DOUBLE) AS v10,
+         CAST({lcg('y0 + 1', 'x0')} AS DOUBLE) AS v01,
+         CAST({lcg('y0 + 1', 'x0 + 1')} AS DOUBLE) AS v11
+  FROM c
+),
+v AS (
+  SELECT tx, ty, lidx, ok,
+         CASE WHEN ok = 1 THEN CAST(floor(
+           ((v00 * (1.0 - dx) + v10 * dx) * (1.0 - dy)
+            + (v01 * (1.0 - dx) + v11 * dx) * dy) * 16.0) AS BIGINT)
+              ELSE 0 END AS q
+  FROM b
+)
+SELECT CAST({zoom} AS INTEGER) AS z, tx, ty,
+       CAST(sum(ok) AS BIGINT) AS n_valid,
+       CAST(sum(q) AS BIGINT) AS q_sum,
+       CAST(sum(q * (1 + lidx % 997)) AS BIGINT) AS q_cks
+FROM v GROUP BY tx, ty
+"""

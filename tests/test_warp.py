@@ -135,3 +135,94 @@ def test_fused_equals_applyinpandas(spark):
         for r in warp_to_webmerc(spark, tiles, GRID, ZOOM, OPX, fused=False).collect()
     }
     assert a == b
+
+
+# ----------------------------------------------------- bilinear lane
+def _reference_bilinear(grid: LatLonGrid, zoom: int, opx: int):
+    """Single-process reference: full-raster bilinear per output tile."""
+    from proj_spark.operators.warp import _merc_lat_deg
+
+    full = _lcg_raster(grid).astype(np.float64)
+    n_px = float((1 << zoom) * opx)
+    tx0, tx1, ty0, ty1 = out_tile_range(grid, zoom)
+    out = {}
+    for tx in range(tx0, tx1 + 1):
+        for ty in range(ty0, ty1 + 1):
+            xs = (tx * opx + np.arange(opx, dtype=np.float64)) + 0.5
+            lon = xs / n_px * 360.0 - 180.0
+            ys = (ty * opx + np.arange(opx, dtype=np.float64)) + 0.5
+            lat = _merc_lat_deg(ys / n_px)
+            fx = (lon - grid.lon0) / grid.dlon - 0.5
+            fy = (grid.lat0 - lat) / grid.dlat - 0.5
+            vx = (fx >= 0.0) & (fx <= float(grid.width - 1))
+            vy = (fy >= 0.0) & (fy <= float(grid.height - 1))
+            valid = vy[:, None] & vx[None, :]
+            x0 = np.clip(np.floor(fx), 0, grid.width - 2).astype(np.int64)
+            y0 = np.clip(np.floor(fy), 0, grid.height - 2).astype(np.int64)
+            dx = (fx - x0)[None, :]
+            dy = (fy - y0)[:, None]
+            v00 = full[y0[:, None], x0[None, :]]
+            v10 = full[y0[:, None], (x0 + 1)[None, :]]
+            v01 = full[(y0 + 1)[:, None], x0[None, :]]
+            v11 = full[(y0 + 1)[:, None], (x0 + 1)[None, :]]
+            v = (v00 * (1.0 - dx) + v10 * dx) * (1.0 - dy) + (
+                v01 * (1.0 - dx) + v11 * dx
+            ) * dy
+            q = np.floor(v * 16.0).astype(np.int64)
+            q[~valid] = 0
+            lidx = np.arange(opx)[:, None] * opx + np.arange(opx)[None, :]
+            w = 1 + (lidx % 997)
+            out[(tx, ty)] = (int(valid.sum()), int(q.sum()), int((q * w).sum()))
+    return out
+
+
+def test_bilinear_matches_reference(spark):
+    """The distributed tile-group path (canvas mosaic, widened
+    candidates) equals the single-process full-raster bilinear —
+    proves cross-tile supports are assembled correctly."""
+    from proj_spark.operators.warp import warp_bilinear_tiles
+
+    tiles = lcg_tiles(spark, GRID, partitions=4)
+    got = {
+        (r["tx"], r["ty"]): (r["n_valid"], r["q_sum"], r["q_cks"])
+        for r in warp_bilinear_tiles(spark, tiles, GRID, ZOOM, OPX).collect()
+    }
+    ref = _reference_bilinear(GRID, ZOOM, OPX)
+    assert got == ref
+
+
+def test_bilinear_plan_broadcast_single_shuffle(spark):
+    from proj_spark.operators.warp import warp_bilinear_tiles
+
+    tiles = lcg_tiles(spark, GRID, partitions=4)
+    df = warp_bilinear_tiles(spark, tiles, GRID, ZOOM, OPX)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bilinear_constant_raster_is_exact(spark):
+    """On a constant raster, bilinear == the constant everywhere valid
+    (weights sum to 1): q must be exactly 16*c for every valid pixel."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from proj_spark.operators.warp import warp_bilinear_tiles
+
+    ts = GRID.tile_px
+    n_sx, n_sy = GRID.width // ts, GRID.height // ts
+    c = 7
+    rows = [
+        (sx, sy, bytes([c] * (ts * ts)))
+        for sx in range(n_sx)
+        for sy in range(n_sy)
+    ]
+    schema = StructType(
+        [
+            StructField("sx", LongType()),
+            StructField("sy", LongType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+    tiles = spark.createDataFrame(rows, schema)
+    for r in warp_bilinear_tiles(spark, tiles, GRID, ZOOM, OPX).collect():
+        assert r["q_sum"] == 16 * c * r["n_valid"]
