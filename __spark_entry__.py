@@ -4467,6 +4467,66 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ========================================================= trajectory paths
+_CELL_PATH_RES = 7
+
+
+def q_cell_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-compressed visited-cell path per user
+    (operators/trajectory.cell_path — map-matching lite): snap each
+    event ping to a res-7 cell, collapse consecutive same-cell pings
+    into visit rows via spatial gaps-and-islands.  ONE shuffle: the
+    run groupBy reuses the window's user partitioning.  Oracle: the
+    identical lag / running-sum / group SQL in DuckDB."""
+    from proj_spark.operators.trajectory import cell_path
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        E.synth_lon(F.col("event_id").cast("double")).alias("lon"),
+        E.synth_lat(F.col("event_id").cast("double")).alias("lat"),
+    )
+    out = cell_path(ev, res=_CELL_PATH_RES, tie="event_id")
+    return out.select(
+        F.col("user").alias("user_id"),
+        "seq",
+        "cell",
+        F.col("entered").cast("timestamp").cast("long").alias("entered_s"),
+        "n_pings",
+    )
+
+
+def _cell_path_oracle() -> str:
+    n = 1 << _CELL_PATH_RES
+    k = "CAST(event_id AS DOUBLE)"
+    lon, lat = _lon_sql(k), _lat_sql(k)
+    ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id, ({iy}) * {2 * n} + ({ix}) AS cell FROM events
+),
+l AS (
+  SELECT user_id, ts, cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_id
+  FROM c
+),
+r AS (
+  SELECT user_id, ts, cell,
+         sum(CASE WHEN prev IS NULL OR prev <> cell THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS seq
+  FROM l
+)
+SELECT user_id, CAST(seq AS BIGINT) AS seq, min(cell) AS cell,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS entered_s,
+       count(*) AS n_pings
+FROM r GROUP BY 1, 2
+"""
+
+
 # ====================================================== spherical navigation
 def q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-track / along-track distance (functions/navigation.py):
@@ -4609,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "diameter": q_diameter,
         "cross_track": q_cross_track,
+        "cell_path": q_cell_path,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "s2_rollup": q_s2_rollup,
@@ -5244,6 +5305,7 @@ FROM pts
         "interval_join": _interval_join_oracle(),
         "diameter": _diameter_oracle(),
         "cross_track": _cross_track_oracle(),
+        "cell_path": _cell_path_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "ea_hex_rollup": _ea_hex_rollup_oracle(),
         "range_join": _range_join_oracle(),

@@ -626,6 +626,24 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
     except Exception as exc:
         warp_lane = {"error": str(exc)[:200]}
 
+    # overlay/hull lane (round 5, NOT in the suite total): the
+    # reference-point-dedup joins and the hull-reduction diameter over
+    # the same sf tables — timed as one lane so the round artifact
+    # carries their throughput without disturbing the suite bands.
+    overlay_lane: dict[str, float] = {}
+    try:
+        import __spark_entry__ as _entry
+
+        lane_qs = ("bbox_overlay", "interval_join", "diameter")
+        reg = _entry.queries()
+        for qn in lane_qs:
+            t0 = time.time()
+            n = reg[qn](spark, SF_DIR).count()
+            overlay_lane[qn + "_sec"] = round(time.time() - t0, 3)
+            overlay_lane[qn + "_rows"] = n
+    except Exception as exc:
+        overlay_lane = {"error": str(exc)[:200]}
+
     # box-health sentinel: fixed pure-compute probe, median of 3 —
     # makes a degraded-box night visible in THIS json (task 2)
     try:
@@ -658,6 +676,7 @@ def run_benchmarks(cpus: int = CPUS) -> dict:
         "image_payload_lane_10x": img_lane_10x,
         "tile_pyramid_lane": pyr_lane,
         "raster_warp_lane": warp_lane,
+        "overlay_hull_lane": overlay_lane,
     }
     if sf1_timings:
         result["sf1_queries"] = sf1_timings

@@ -88,3 +88,60 @@ def trajectory_stats(
         "max_step_dm",
         F.floor(net * 10.0).cast("long").alias("net_dm"),
     )
+
+
+def cell_path(
+    df: DataFrame,
+    res: int = 7,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tie: str | None = None,
+) -> DataFrame:
+    """Run-length-compressed visited-cell sequence per entity — the
+    map-matching-lite primitive: snap each fix to an equirectangular
+    index cell (functions/expressions.cell_id) and collapse
+    consecutive same-cell fixes into one visit row
+    (user, seq, cell, entered_s, n_pings).
+
+    Spatial gaps-and-islands: a window lag flags cell CHANGES, a
+    running sum numbers the runs, and the run groupBy reuses the
+    window's hash partitioning on ``user`` (clustering on a subset of
+    the group keys), so the whole operator is ONE shuffle.  Every
+    expression is whole-stage codegen; the DuckDB oracle replays the
+    identical lag / running-sum / group SQL.
+
+    Same hot-entity note as :func:`trajectory_stats`: bound per-entity
+    cardinality upstream (split by day/session) rather than salting an
+    order-dependent window.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    run = Window.partitionBy(user).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cell = E.cell_id(lon, lat, res)
+    prev = F.lag(cell).over(w)
+    chg = F.when(prev.isNull() | (prev != cell), 1).otherwise(0)
+    runs = df.select(
+        F.col(user),
+        F.col(ts),
+        cell.alias("_cell"),
+        (F.sum(chg).over(run) - 1).alias("seq"),
+    )
+    return (
+        runs.groupBy(user, "seq")
+        .agg(
+            F.min("_cell").alias("cell"),  # constant within a run
+            F.min(ts).alias("_entered"),
+            F.count(F.lit(1)).alias("n_pings"),
+        )
+        .select(
+            F.col(user).alias("user"),
+            F.col("seq").cast("long").alias("seq"),
+            "cell",
+            F.col("_entered").alias("entered"),
+            F.col("n_pings").cast("long").alias("n_pings"),
+        )
+    )
