@@ -4527,6 +4527,56 @@ FROM r GROUP BY 1, 2
 """
 
 
+# ========================================================== heavy hitters
+_TOP_TERMS_K = 10
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: explode whitespace tokens, keep
+    lowercase-alpha terms, two-phase count (map-side partial combine
+    comes free from the hash aggregate), then top-10 per language with
+    a deterministic (n desc, term asc) total order.  The window runs
+    over the already-aggregated (lang, term) set — tiny vs the corpus.
+    Oracle: identical unnest + group + row_number SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw"),
+    ).select("lang", F.lower(F.col("raw")).alias("term"))
+    counts = (
+        toks.where(F.col("term").rlike("^[a-z]+$"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_TERMS_K)
+        .select("lang", "term", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _top_terms_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, lower(unnest({_TOKENS_RAW_SQL})) AS term FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*) AS n FROM toks
+  WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT lang, term, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOP_TERMS_K}
+"""
+
+
 # ====================================================== spherical navigation
 def q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-track / along-track distance (functions/navigation.py):
@@ -4670,6 +4720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter": q_diameter,
         "cross_track": q_cross_track,
         "cell_path": q_cell_path,
+        "top_terms": q_top_terms,
         "zonal_stats": q_zonal_stats,
         "hilbert_rollup": q_hilbert_rollup,
         "s2_rollup": q_s2_rollup,
@@ -5306,6 +5357,7 @@ FROM pts
         "diameter": _diameter_oracle(),
         "cross_track": _cross_track_oracle(),
         "cell_path": _cell_path_oracle(),
+        "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "ea_hex_rollup": _ea_hex_rollup_oracle(),
         "range_join": _range_join_oracle(),

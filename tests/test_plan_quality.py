@@ -407,3 +407,19 @@ def test_chips_broadcast_map_single_shuffle(spark):
     # fused batch-walking kernel
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_top_terms_two_phase_agg_then_tiny_window(spark):
+    """Heavy hitters: the big explode feeds a hash aggregate with a
+    map-side partial (no raw-token shuffle beyond the (lang, term)
+    agg), and the top-k window shuffles only the aggregated set —
+    exactly two exchanges, partial_count before the exchange."""
+    import __spark_entry__ as entry
+
+    df = entry.q_top_terms(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # map-side combine: a partial_count aggregate must appear UPSTREAM
+    # of the first exchange
+    first_ex = plan.index("Exchange hashpartitioning")
+    assert "partial_count" in plan[first_ex:], plan
