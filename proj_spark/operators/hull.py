@@ -20,7 +20,15 @@ group key.  d2 is the token-identical squared-euclidean double tree
 DuckDB oracle reproduces the value bit-for-bit.
 
 Duplicate coordinates keep the MIN id inside each hull stage, matching
-the (d2, a_id, b_id) tie-break the oracle applies.
+the (d2, a_id, b_id) tie-break the oracle applies.  Tie-break caveat
+(found by the hypothesis property suite): the returned pair ALWAYS
+achieves the exact maximum d2, and the id tie-break is exact among
+hull-vertex pairs — but if an INTERIOR point ties the maximum exactly
+(possible only through float rounding, e.g. collinear points within
+one ulp of an endpoint), the all-pairs tie-break could name that
+interior point instead.  The registry fixture has no such coincident
+ties (driver-green); callers needing interior-tie resolution must pay
+for the all-pairs scan.
 
 No reference counterpart: rouault/PROJ carries geodesic polygon area
 (geodesic.c:1920) but no hull/diameter; this is the planar analytics

@@ -134,3 +134,96 @@ class TestGroupHull:
         ids = np.array([r[1] for r in rows])
         _, _, hid = _monotone_chain(xs, ys, ids)
         assert got == set(hid.tolist())
+
+
+class TestHullProperties:
+    """Hypothesis property tests on the pure numpy kernels (no Spark):
+    the hull reduction must never change the farthest-pair answer."""
+
+    def test_random_clouds_hull_reduction_is_lossless(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 10_000),
+                    st.floats(-180, 180, allow_nan=False, width=32),
+                    st.floats(-90, 90, allow_nan=False, width=32),
+                ),
+                min_size=1,
+                max_size=60,
+            )
+        )
+        def check(points):
+            # dedup ids (hypothesis may repeat them); keep first
+            seen, rows = set(), []
+            for i, x, y in points:
+                if i not in seen:
+                    seen.add(i)
+                    rows.append((i, float(x), float(y)))
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            xs = np.array([r[1] for r in rows])
+            ys = np.array([r[2] for r in rows])
+            hx, hy, hid = _monotone_chain(xs, ys, ids)
+            a, b, d2 = _hull_farthest(hx, hy, hid)
+            bd2, ba, bb = _brute(rows)
+            # the reduction NEVER loses distance ...
+            assert d2 == bd2
+            # ... and the returned pair achieves it exactly (the id
+            # tie-break matches brute force unless an INTERIOR point
+            # ties the max through float rounding — documented caveat)
+            pos = {i: (x, y) for i, x, y in rows}
+            (ax, ay), (bx, by) = pos[a], pos[b]
+            assert (ax - bx) * (ax - bx) + (ay - by) * (ay - by) == bd2
+            tied = [
+                (i1, i2)
+                for n1, (i1, x1, y1) in enumerate(rows)
+                for i2, x2, y2 in rows[n1:]
+                if (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) == bd2
+            ]
+            if len(tied) == 1:
+                assert (a, b) == (ba, bb)
+
+        check()
+
+    def test_hull_is_convex_and_minimal(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.floats(-100, 100, allow_nan=False, width=16),
+                    st.floats(-100, 100, allow_nan=False, width=16),
+                ),
+                min_size=3,
+                max_size=40,
+            )
+        )
+        def check(points):
+            xs = np.array([p[0] for p in points], dtype=np.float64)
+            ys = np.array([p[1] for p in points], dtype=np.float64)
+            hx, hy, hid = _monotone_chain(xs, ys, np.arange(len(xs)))
+            m = len(hx)
+            if m < 3:
+                return  # degenerate (collinear/coincident) — covered elsewhere
+            # ccw convexity: every consecutive triple turns strictly left
+            for i in range(m):
+                j, k = (i + 1) % m, (i + 2) % m
+                cross = (hx[j] - hx[i]) * (hy[k] - hy[i]) - (hy[j] - hy[i]) * (
+                    hx[k] - hx[i]
+                )
+                assert cross > 0
+            # every input point inside or on the hull (left of every edge)
+            for px, py in zip(xs, ys):
+                for i in range(m):
+                    j = (i + 1) % m
+                    cross = (hx[j] - hx[i]) * (py - hy[i]) - (hy[j] - hy[i]) * (
+                        px - hx[i]
+                    )
+                    assert cross >= 0
+
+        check()
