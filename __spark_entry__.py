@@ -4639,6 +4639,73 @@ FROM p JOIN r ON p.nk = r.nk
 """
 
 
+# ==================================================== STR spatial partitioner
+_STR_SLABS, _STR_CELLS, _STR_MOD = 8, 8, 16
+
+
+def q_str_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based balanced spatial partitioning
+    (operators/partitioner.py): ntile quantile slabs on a
+    deterministic ``id % 16`` sample, (lo, hi] broadcast range-joins
+    (each point matches exactly one row — no fan, no extra shuffle),
+    per-partition load + bbox rollup as the balance proof.  Oracle:
+    DuckDB replays the identical ntile/lag construction."""
+    from proj_spark.operators.partitioner import str_partition_stats
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    return str_partition_stats(
+        pts, _STR_SLABS, _STR_CELLS, _STR_MOD, id_col="pk"
+    ).orderBy("part_id")
+
+
+def _str_partitions_oracle() -> str:
+    s, c, m = _STR_SLABS, _STR_CELLS, _STR_MOD
+    return f"""
+WITH pts AS (SELECT pk AS id, lon, lat FROM ({_CUSTOMER_PTS_SQL})),
+samp AS (SELECT * FROM pts WHERE id % {m} = 0),
+st AS (SELECT id, lon, ntile({s}) OVER (ORDER BY lon, id) AS slab FROM samp),
+sb0 AS (SELECT slab, max(lon) AS mx FROM st GROUP BY slab),
+sb AS (
+  SELECT slab,
+         coalesce(lag(mx) OVER (ORDER BY slab), CAST('-infinity' AS DOUBLE)) AS lo,
+         CASE WHEN slab = (SELECT max(slab) FROM sb0)
+              THEN CAST('infinity' AS DOUBLE) ELSE mx END AS hi
+  FROM sb0
+),
+ws AS (
+  SELECT p.id, p.lon, p.lat, s.slab
+  FROM pts p JOIN sb s ON p.lon > s.lo AND p.lon <= s.hi
+),
+ss AS (
+  SELECT sm.id, sm.lat, s.slab
+  FROM samp sm JOIN sb s ON sm.lon > s.lo AND sm.lon <= s.hi
+),
+ct AS (SELECT slab, id, lat,
+              ntile({c}) OVER (PARTITION BY slab ORDER BY lat, id) AS cell
+       FROM ss),
+cb0 AS (SELECT slab, cell, max(lat) AS mx FROM ct GROUP BY 1, 2),
+cb AS (
+  SELECT slab, cell,
+         coalesce(lag(mx) OVER (PARTITION BY slab ORDER BY cell),
+                  CAST('-infinity' AS DOUBLE)) AS lo,
+         CASE WHEN cell = max(cell) OVER (PARTITION BY slab)
+              THEN CAST('infinity' AS DOUBLE) ELSE mx END AS hi
+  FROM cb0
+),
+a AS (
+  SELECT w.id, w.lon, w.lat,
+         (w.slab - 1) * {c} + b.cell - 1 AS part_id
+  FROM ws w JOIN cb b ON w.slab = b.slab AND w.lat > b.lo AND w.lat <= b.hi
+)
+SELECT CAST(part_id AS BIGINT) AS part_id, count(*) AS n_points,
+       CAST(floor(min(lon) * 1e7) AS BIGINT) AS lon_min_q,
+       CAST(floor(max(lon) * 1e7) AS BIGINT) AS lon_max_q,
+       CAST(floor(min(lat) * 1e7) AS BIGINT) AS lat_min_q,
+       CAST(floor(max(lat) * 1e7) AS BIGINT) AS lat_max_q
+FROM a GROUP BY 1 ORDER BY part_id
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4703,6 +4770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_oldest_first({
         # hand-written order = family grouping + tie-break; the actual
         # returned order is the mechanical oldest-evidence-first sort
+        "str_partitions": q_str_partitions,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5356,6 +5424,7 @@ FROM pts
         "interval_join": _interval_join_oracle(),
         "diameter": _diameter_oracle(),
         "cross_track": _cross_track_oracle(),
+        "str_partitions": _str_partitions_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
