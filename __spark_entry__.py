@@ -4706,6 +4706,55 @@ FROM a GROUP BY 1 ORDER BY part_id
 """
 
 
+# ============================================================== KDE heatmap
+_KDE_RES, _KDE_H_CELLS = 8, 1.5
+
+
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Epanechnikov KDE surface (operators/kde.py): bounded
+    (2k+1)^2 neighbor-cell fan, integer-quantized weights so the
+    per-cell sum is order-independent, map-side partial combine on the
+    one groupBy.  Oracle: identical arithmetic via a range() fan."""
+    from proj_spark.operators.kde import kde_heatmap
+
+    pts = _points(spark, sf_dir, "orders", "o_orderkey")
+    return kde_heatmap(pts, _KDE_RES, _KDE_H_CELLS)
+
+
+def _kde_oracle() -> str:
+    n = 1 << _KDE_RES
+    cell = 360.0 / (2 * n)
+    h2 = (_KDE_H_CELLS * cell) ** 2
+    clon = f"(-180.0 + (cx + 0.5) * {cell!r})"
+    clat = f"(-90.0 + (cy + 0.5) * {cell!r})"
+    return f"""
+WITH pts AS ({_ORDERS_PTS_SQL}),
+b AS (
+  SELECT lon AS plon, lat AS plat,
+         CAST(least(greatest(floor((lon + 180.0) / {cell!r}), 0), {2 * n - 1}) AS BIGINT) AS ix,
+         CAST(least(greatest(floor((lat + 90.0) / {cell!r}), 0), {n - 1}) AS BIGINT) AS iy
+  FROM pts
+),
+fan AS (
+  SELECT plon, plat, ix + dx.x AS cx, iy + dy.y AS cy
+  FROM b, range(-2, 3) dx(x), range(-2, 3) dy(y)
+  WHERE ix + dx.x >= 0 AND ix + dx.x < {2 * n}
+    AND iy + dy.y >= 0 AND iy + dy.y < {n}
+),
+w AS (
+  SELECT cx, cy,
+         CAST(floor(greatest(
+           1.0 - (({clon} - plon) * ({clon} - plon)
+                + ({clat} - plat) * ({clat} - plat)) / {h2!r},
+           0.0) * 4096) AS BIGINT) AS wq
+  FROM fan
+)
+SELECT cy * {2 * n} + cx AS cell, cx AS ix, cy AS iy,
+       CAST(sum(wq) AS BIGINT) AS density
+FROM w WHERE wq > 0 GROUP BY cx, cy
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4771,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-written order = family grouping + tie-break; the actual
         # returned order is the mechanical oldest-evidence-first sort
         "str_partitions": q_str_partitions,
+        "kde_heatmap": q_kde_heatmap,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5425,6 +5475,7 @@ FROM pts
         "diameter": _diameter_oracle(),
         "cross_track": _cross_track_oracle(),
         "str_partitions": _str_partitions_oracle(),
+        "kde_heatmap": _kde_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
