@@ -4755,6 +4755,85 @@ FROM w WHERE wq > 0 GROUP BY cx, cy
 """
 
 
+# ============================================================= map matching
+_SNAP_RADIUS = 0.25
+
+
+def _snap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short synthetic road segments off supplier keys: endpoint a is
+    the usual synth point, endpoint b a +-0.2-degree offset."""
+    k = F.col("s_suppkey").cast("double")
+    ax = E.synth_lon(k)
+    ay = E.synth_lat(k)
+    return _load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("seg_id"),
+        ax.alias("ax"),
+        ay.alias("ay"),
+        (ax + E.synth_lon((k * 7 + 3), lo=-0.2, span=0.4)).alias("bx"),
+        (ay + E.synth_lat((k * 13 + 5), lo=-0.2, span=0.4)).alias("by"),
+    )
+
+
+def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching (operators/mapmatch.py): nearest segment within
+    0.25 deg via radius-expanded bbox cell cover on the SMALL side
+    (the point side never explodes), exact point-to-segment planar
+    distance, arg-min with a (d2, seg_id) total order.  Oracle: brute
+    force over all segments — also proves cover completeness."""
+    from proj_spark.operators.mapmatch import snap_to_segments
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    segs = _snap_segments(spark, sf_dir)
+    return snap_to_segments(pts, segs, _SNAP_RADIUS, id_col="pk")
+
+
+def _snap_oracle() -> str:
+    r = _SNAP_RADIUS
+
+    def d(expr, lo, span):
+        return f"({lo!r} + {span!r} * (({expr}) * {{c}} - floor(({expr}) * {{c}})))"
+
+    dx_sql = d("CAST(s_suppkey * 7 + 3 AS DOUBLE)", -0.2, 0.4).format(c=PHI)
+    dy_sql = d("CAST(s_suppkey * 13 + 5 AS DOUBLE)", -0.2, 0.4).format(c=SQ3)
+    return f"""
+WITH pts AS ({_CUSTOMER_PTS_SQL}),
+segs AS (
+  SELECT s_suppkey AS sid,
+         {_lon_sql('CAST(s_suppkey AS DOUBLE)')} AS ax,
+         {_lat_sql('CAST(s_suppkey AS DOUBLE)')} AS ay,
+         {_lon_sql('CAST(s_suppkey AS DOUBLE)')} + {dx_sql} AS bx,
+         {_lat_sql('CAST(s_suppkey AS DOUBLE)')} + {dy_sql} AS by
+  FROM supplier
+),
+cand AS (
+  SELECT p.pk, s.sid,
+         CASE WHEN (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay) > 0
+              THEN least(greatest(
+                ((p.lon - s.ax) * (s.bx - s.ax) + (p.lat - s.ay) * (s.by - s.ay))
+                / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)),
+                0.0), 1.0)
+              ELSE 0.0 END AS t,
+         s.ax, s.ay, s.bx, s.by, p.lon, p.lat
+  FROM pts p, segs s
+),
+dist AS (
+  SELECT pk, sid, t,
+         (lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax)))
+       + (lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay))) AS d2
+  FROM cand
+),
+ranked AS (
+  SELECT pk, sid, t, d2,
+         row_number() OVER (PARTITION BY pk ORDER BY d2, sid) AS rn
+  FROM dist WHERE d2 <= {r * r!r}
+)
+SELECT pk AS id, sid AS seg_id,
+       CAST(floor(d2 * 1e12) AS BIGINT) AS d2_q,
+       CAST(floor(t * 1e9) AS BIGINT) AS t_q
+FROM ranked WHERE rn = 1
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4821,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # returned order is the mechanical oldest-evidence-first sort
         "str_partitions": q_str_partitions,
         "kde_heatmap": q_kde_heatmap,
+        "snap_points": q_snap_points,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5476,6 +5556,7 @@ FROM pts
         "cross_track": _cross_track_oracle(),
         "str_partitions": _str_partitions_oracle(),
         "kde_heatmap": _kde_oracle(),
+        "snap_points": _snap_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
