@@ -4834,6 +4834,78 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ====================================================== trajectory resample
+_RS_STEP_US = 21_600_000_000  # 6 h
+_RS_MAX_STEPS = 8
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory gap-fill (operators/resample.py): one lead() window
+    per user, capped sequence() fan at 6-hour epoch boundaries,
+    integer-microsecond time (no float epoch drift), linear
+    interpolation floor-quantized at 1e-7 deg.  Oracle: identical
+    lead + generate_series SQL."""
+    from proj_spark.operators.resample import resample_trajectories
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        E.synth_lon(F.col("event_id").cast("double")).alias("lon"),
+        E.synth_lat(F.col("event_id").cast("double")).alias("lat"),
+    )
+    return resample_trajectories(
+        ev,
+        _RS_STEP_US,
+        _RS_MAX_STEPS,
+        entity="user_id",
+        ts="ts",
+        lon="lon",
+        lat="lat",
+        tie="event_id",
+    )
+
+
+def _resample_oracle() -> str:
+    s = _RS_STEP_US
+    k = "CAST(event_id AS DOUBLE)"
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS e0,
+         {_lon_sql(k)} AS lon0, {_lat_sql(k)} AS lat0,
+         lead(epoch_us(ts)) OVER w AS e1,
+         lead({_lon_sql(k)}) OVER w AS lon1,
+         lead({_lat_sql(k)}) OVER w AS lat1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *,
+         CAST(floor(CAST(e0 AS DOUBLE) / {float(s)!r}) + 1 AS BIGINT) AS k0,
+         least(CAST(floor(CAST(e1 AS DOUBLE) / {float(s)!r}) AS BIGINT),
+               CAST(floor(CAST(e0 AS DOUBLE) / {float(s)!r}) + 1 AS BIGINT)
+               + {_RS_MAX_STEPS - 1}) AS k1
+  FROM p WHERE e1 > e0
+),
+fan AS (
+  SELECT g.*, gs.k
+  FROM g, LATERAL (SELECT unnest(generate_series(k0, k1)) AS k) gs
+  WHERE k0 <= k1
+),
+i AS (
+  SELECT user_id, k,
+         (CAST(k AS DOUBLE) * {float(s)!r} - CAST(e0 AS DOUBLE))
+           / (CAST(e1 AS DOUBLE) - CAST(e0 AS DOUBLE)) AS frac,
+         lon0, lat0, lon1, lat1
+  FROM fan
+)
+SELECT user_id, CAST(k * {s} AS BIGINT) AS epoch_us,
+       CAST(floor((lon0 + frac * (lon1 - lon0)) * 1e7) AS BIGINT) AS lon_q,
+       CAST(floor((lat0 + frac * (lat1 - lat0)) * 1e7) AS BIGINT) AS lat_q
+FROM i
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4901,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_partitions": q_str_partitions,
         "kde_heatmap": q_kde_heatmap,
         "snap_points": q_snap_points,
+        "resample": q_resample,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5557,6 +5630,7 @@ FROM pts
         "str_partitions": _str_partitions_oracle(),
         "kde_heatmap": _kde_oracle(),
         "snap_points": _snap_oracle(),
+        "resample": _resample_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
