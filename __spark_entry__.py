@@ -4906,6 +4906,116 @@ FROM i
 """
 
 
+# ====================================================== PMI co-occurrence
+_PMI_MIN_DF, _PMI_MAX_DF, _PMI_MIN_PAIRS = 5, 0.8, 5
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI (operators/cooccur.py): per-doc
+    DISTINCT terms, [min_df, max_df] vocabulary band before the pair
+    join (the stopword ceiling bounds the fan), one doc-keyed
+    equi-join with a term_a < term_b total order.  Oracle: identical
+    unnest/distinct/join SQL; counts exact, the single ln
+    floor-quantized at 1e-4."""
+    from proj_spark.operators.cooccur import pmi_pairs
+
+    return pmi_pairs(
+        _load(spark, sf_dir, "documents"),
+        _PMI_MIN_DF,
+        _PMI_MAX_DF,
+        _PMI_MIN_PAIRS,
+    )
+
+
+def _pmi_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lower(unnest({_TOKENS_RAW_SQL})) AS term
+  FROM documents
+),
+toks_ok AS (
+  SELECT doc_id, term FROM toks WHERE regexp_matches(term, '^[a-z]+$')
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM toks_ok GROUP BY term),
+vocab AS (
+  SELECT term, df FROM dfreq, nd
+  WHERE df >= {_PMI_MIN_DF} AND df <= n * {_PMI_MAX_DF!r}
+),
+tv AS (
+  SELECT t.doc_id, t.term, v.df FROM toks_ok t JOIN vocab v USING (term)
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         count(*) AS n_ab, min(a.df) AS n_a, min(b.df) AS n_b
+  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab, n_a, n_b,
+       CAST(floor(ln((CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e4)
+            AS BIGINT) AS pmi_q
+FROM pairs, nd
+WHERE n_ab >= {_PMI_MIN_PAIRS}
+"""
+
+
+# ============================================================== OD matrix
+_OD_RES = 6
+_OD_PERIOD_US = 86_400_000_000  # 1 day
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flows (operators/trajectory.py od_matrix):
+    first/last cell per (user, day) via one unbounded-frame window,
+    then a pair-keyed rollup with map-side combine.  Integer-us
+    periods; oracle replays the identical window SQL."""
+    from proj_spark.operators.trajectory import od_matrix
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        E.synth_lon(F.col("event_id").cast("double")).alias("lon"),
+        E.synth_lat(F.col("event_id").cast("double")).alias("lat"),
+    )
+    return od_matrix(
+        ev, res=_OD_RES, period_us=_OD_PERIOD_US, tie="event_id"
+    ).select(
+        "o_cell",
+        "d_cell",
+        "n_trips",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _od_oracle() -> str:
+    n = 1 << _OD_RES
+    k = "CAST(event_id AS DOUBLE)"
+    lon, lat = _lon_sql(k), _lat_sql(k)
+    ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / {float(_OD_PERIOD_US)!r}) AS BIGINT) AS period,
+         ({iy}) * {2 * n} + ({ix}) AS cell
+  FROM events
+),
+t AS (
+  SELECT DISTINCT user_id, period,
+         first_value(cell) OVER w AS o_cell,
+         last_value(cell) OVER w AS d_cell
+  FROM c
+  WINDOW w AS (PARTITION BY user_id, period ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_cell, d_cell, count(*) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t GROUP BY 1, 2
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -4974,6 +5084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_heatmap": q_kde_heatmap,
         "snap_points": q_snap_points,
         "resample": q_resample,
+        "pmi_pairs": q_pmi_pairs,
+        "od_matrix": q_od_matrix,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5631,6 +5743,8 @@ FROM pts
         "kde_heatmap": _kde_oracle(),
         "snap_points": _snap_oracle(),
         "resample": _resample_oracle(),
+        "pmi_pairs": _pmi_oracle(),
+        "od_matrix": _od_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),

@@ -145,3 +145,58 @@ def cell_path(
             F.col("n_pings").cast("long").alias("n_pings"),
         )
     )
+
+
+def od_matrix(
+    df: DataFrame,
+    res: int = 6,
+    period_us: int = 86_400_000_000,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tie: str | None = None,
+) -> DataFrame:
+    """Origin-destination flow matrix: per (entity, period) take the
+    FIRST and LAST fix cell (equirect cell_id at ``res``), then count
+    trips and distinct entities per (o_cell, d_cell) pair — the
+    classic mobility rollup (where do morning photos move to by
+    evening?).
+
+    Scale shape: one window shuffle keyed by (entity, period) computes
+    first/last via an unbounded frame; the trip rows (one per
+    entity-period, far smaller than the ping table) then feed one
+    pair-keyed aggregate with map-side partial combine.  Time is
+    integer microseconds (unix_micros), so period binning is exact and
+    the DuckDB oracle (epoch_us) replays it verbatim.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
+    period = F.floor(
+        F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(float(period_us))
+    ).cast("long")
+    w = (
+        Window.partitionBy("_u", "_period")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cell = E.cell_id(lon, lat, res)
+    trips = (
+        df.select(
+            F.col(user).alias("_u"),
+            period.alias("_period"),
+            F.col(ts),
+            *([F.col(tie)] if tie else []),
+            cell.alias("_cell"),
+        )
+        .select(
+            "_u",
+            "_period",
+            F.first("_cell").over(w).alias("o_cell"),
+            F.last("_cell").over(w).alias("d_cell"),
+        )
+        .distinct()
+    )
+    return trips.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct("_u").alias("n_users"),
+    )
