@@ -5016,6 +5016,29 @@ FROM t GROUP BY 1, 2
 """
 
 
+# ======================================================== image augmentation
+def q_augment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dihedral (D4) image augmentation (operators/augment.py): real
+    np.rot90/flip/transpose on uint8 tile buffers in one narrow
+    mapInPandas (payload never shuffles), exact-integer fingerprints
+    per output tile (plain sum + position-weighted sum + corners).
+    Oracle: DuckDB replays each output pixel via the D4 source-index
+    mapping over the LCG closed form."""
+    from proj_spark.operators.augment import augment_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    tiles = lcg_tiles(spark, grid, partitions=8)
+    return augment_tiles(tiles, grid.tile_px)
+
+
+def _augment_oracle() -> str:
+    from proj_spark.operators.augment import augment_oracle_sql
+
+    g = _WARP_GRID
+    return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -5086,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "pmi_pairs": q_pmi_pairs,
         "od_matrix": q_od_matrix,
+        "augment_tiles": q_augment_tiles,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5745,6 +5769,7 @@ FROM pts
         "resample": _resample_oracle(),
         "pmi_pairs": _pmi_oracle(),
         "od_matrix": _od_oracle(),
+        "augment_tiles": _augment_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
