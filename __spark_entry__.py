@@ -5039,6 +5039,36 @@ def _augment_oracle() -> str:
     return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
 
 
+# ========================================================= change detection
+_CD_MUL_B, _CD_ADD_B = 2246822519, 98765  # epoch-B LCG seed
+_CD_THRESHOLD = 32
+
+
+def q_change_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch raster change detection (operators/changedetect.py):
+    one tile-key equi-join of the epochs (co-located when both sides
+    are bucketed by tile at scale), one narrow mapInPandas for the
+    pixel diff, exact-integer change fingerprints.  Oracle: DuckDB
+    evaluates both LCG closed forms per pixel."""
+    from proj_spark.operators.changedetect import diff_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    a = lcg_tiles(spark, grid, partitions=8)
+    b = lcg_tiles(spark, grid, partitions=8, mul=_CD_MUL_B, add=_CD_ADD_B)
+    return diff_tiles(a, b, grid.tile_px, _CD_THRESHOLD)
+
+
+def _change_oracle() -> str:
+    from proj_spark.operators.changedetect import diff_oracle_sql
+
+    g = _WARP_GRID
+    return diff_oracle_sql(
+        g["width"], g["height"], g["tile_px"], _CD_THRESHOLD,
+        2654435761, 12345, _CD_MUL_B, _CD_ADD_B,
+    )
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -5110,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "od_matrix": q_od_matrix,
         "augment_tiles": q_augment_tiles,
+        "change_tiles": q_change_tiles,
         "vgridshift": q_vgridshift,
         "geodesic_inverse": q_geodesic_inverse,
         "utm_inverse_roundtrip": q_utm_inverse_roundtrip,
@@ -5770,6 +5801,7 @@ FROM pts
         "pmi_pairs": _pmi_oracle(),
         "od_matrix": _od_oracle(),
         "augment_tiles": _augment_oracle(),
+        "change_tiles": _change_oracle(),
         "cell_path": _cell_path_oracle(),
         "top_terms": _top_terms_oracle(),
         "hex_rollup": _hex_rollup_oracle(),

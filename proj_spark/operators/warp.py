@@ -286,7 +286,13 @@ def warp_to_webmerc(
 
 
 # ----------------------------------------------------- fixture raster
-def lcg_tiles(spark: SparkSession, grid: LatLonGrid, partitions: int = 8) -> DataFrame:
+def lcg_tiles(
+    spark: SparkSession,
+    grid: LatLonGrid,
+    partitions: int = 8,
+    mul: int = 2654435761,
+    add: int = 12345,
+) -> DataFrame:
     """Deterministic source raster: pixel (gx, gy) has value
     ``((gidx*2654435761 + 12345) mod 2^32) // 2^24`` with
     gidx = gy*width + gx — the same closed form the SQL oracle
@@ -314,7 +320,7 @@ def lcg_tiles(spark: SparkSession, grid: LatLonGrid, partitions: int = 8) -> Dat
                 gx = sx * ts + np.arange(ts, dtype=np.int64)[None, :]
                 gy = sy * ts + np.arange(ts, dtype=np.int64)[:, None]
                 gidx = gy * w + gx
-                v = (((gidx * 2654435761 + 12345) % (1 << 32)) >> 24).astype(
+                v = (((gidx * mul + add) % (1 << 32)) >> 24).astype(
                     np.uint8
                 )
                 rows.append((sx, sy, v.tobytes()))
