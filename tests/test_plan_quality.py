@@ -423,3 +423,92 @@ def test_top_terms_two_phase_agg_then_tiny_window(spark):
     # of the first exchange
     first_ex = plan.index("Exchange hashpartitioning")
     assert "partial_count" in plan[first_ex:], plan
+
+
+def test_str_assign_big_side_broadcast_only(spark):
+    """str_assign: the full point table crosses the two range joins as
+    BROADCAST joins (boundary tables are n_slabs / n_slabs*n_cells
+    rows) — every hash exchange in the plan belongs to the tiny
+    sample-quantile windows, so the big side is never hash-partitioned
+    (partitioner.py:67)."""
+    from proj_spark.operators.partitioner import str_assign
+
+    pts = spark.range(20_000).select(
+        "id",
+        ((F.col("id") % 580) / 10.0 - 125.0).alias("lon"),
+        ((F.col("id") % 240) / 10.0 + 25.0).alias("lat"),
+    )
+    plan = _plan(str_assign(pts, 8, 8, 16))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # hash exchanges only on the sample branch: ntile windows over
+    # id%16 rows, never over the unfiltered point table
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "slab" in ln or "SinglePartition" not in ln, ln
+
+
+def test_kde_single_exchange_bounded_fan(spark):
+    """kde_heatmap: the (2k+1)^2 explode is narrow; the only exchange
+    is the final cell groupBy with map-side partial combine
+    (kde.py:44)."""
+    from proj_spark.operators.kde import kde_heatmap
+
+    pts = spark.range(10_000).select(
+        ((F.col("id") % 580) / 10.0 - 125.0).alias("lon"),
+        ((F.col("id") % 240) / 10.0 + 25.0).alias("lat"),
+    )
+    plan = _plan(kde_heatmap(pts, 8, 1.5))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Generate explode") == 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_snap_points_explode_on_segment_side_only(spark):
+    """snap_to_segments: the cover fan (both explodes) lives on the
+    broadcast SEGMENT side; the point side crosses one broadcast join
+    un-exploded, then one arg-min exchange (mapmatch.py:41)."""
+    from proj_spark.operators.mapmatch import snap_to_segments
+
+    pts = spark.range(20_000).select(
+        "id",
+        ((F.col("id") % 100) / 10.0).alias("lon"),
+        ((F.col("id") % 60) / 10.0).alias("lat"),
+    )
+    segs = spark.range(50).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") / 10.0).alias("ax"),
+        (F.col("id") / 20.0).alias("ay"),
+        (F.col("id") / 10.0 + 0.3).alias("bx"),
+        (F.col("id") / 20.0 + 0.2).alias("by"),
+    )
+    plan = _plan(snap_to_segments(pts, segs, 0.25))
+    assert "BroadcastHashJoin" in plan, plan
+    # at most the arg-min exchange (on this range fixture Catalyst
+    # proves the id-clustering and elides even that one)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    bcast = plan.split("BroadcastExchange")[-1]
+    assert "Generate explode" in bcast, plan  # fan inside the broadcast branch
+
+
+def test_change_tiles_single_join_no_fan(spark):
+    """diff_tiles: the two epochs meet in exactly one equi-join on the
+    tile key; payload crosses once per side, no generate/fan
+    (changedetect.py:32)."""
+    from proj_spark.operators.changedetect import diff_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(
+        lon0=-10.0, lat0=10.0, dlon=0.1, dlat=0.1, width=64, height=64, tile_px=32
+    )
+    a = lcg_tiles(spark, grid, partitions=2)
+    b = lcg_tiles(spark, grid, partitions=2, mul=2246822519, add=98765)
+    plan = _plan(diff_tiles(a, b, 32, 16))
+    assert "Generate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert joins == 1, plan
