@@ -5069,6 +5069,148 @@ def _change_oracle() -> str:
     )
 
 
+# ======================================================== contour extraction
+_CONTOUR_ISO = 128
+
+
+def q_contour_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour extraction (operators/contour.py):
+    classify every 2x2 pixel cell of the tiled LCG raster against an
+    iso level, count crossed cells / emitted segments per tile.  Halo
+    is 3 thin fragments per tile (W column, N row, NW pixel) — leaner
+    than the Sobel stencil's 8 — into one bounded fused-group
+    assembly.  Oracle: DuckDB evaluates the LCG closed form at each
+    cell's four corners and rebuilds the identical case triple."""
+    from proj_spark.operators.contour import contour_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    ts = grid.tile_px
+    tiles = lcg_tiles(spark, grid, partitions=8).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    return contour_tiles(
+        tiles, ts, grid.width // ts, grid.height // ts, _CONTOUR_ISO
+    )
+
+
+def _contour_oracle() -> str:
+    from proj_spark.operators.contour import contour_oracle_sql
+
+    g = _WARP_GRID
+    return contour_oracle_sql(
+        g["width"], g["height"], g["tile_px"], _CONTOUR_ISO, 2654435761, 12345
+    )
+
+
+# ==================================================== spatial autocorrelation
+_MORANS_RES = 7
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/autocorr.py) over the res-7 cell
+    rollup of customer points: exact integer numerator/denominator by
+    clearing the rational mean (d_i = N*x_i - Sum x), rook weights via
+    a broadcast self-join of the bounded cell table — the only
+    exchange is the rollup itself.  Oracle: identical integer algebra
+    in DuckDB."""
+    from proj_spark.operators.autocorr import morans_i
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    cells = (
+        pts.withColumn("cell", E.cell_id("lon", "lat", _MORANS_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return morans_i(cells, _MORANS_RES)
+
+
+def _morans_oracle() -> str:
+    from proj_spark.operators.autocorr import morans_oracle_sql
+
+    n = 1 << _MORANS_RES
+    k = "CAST(c_custkey AS DOUBLE)"
+    lon, lat = _lon_sql(k), _lat_sql(k)
+    ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
+    src = (
+        f"SELECT ({iy}) * {2 * n} + ({ix}) AS cell, count(*) AS v "
+        f"FROM customer GROUP BY 1"
+    )
+    return morans_oracle_sql(src, _MORANS_RES)
+
+
+# ========================================================= stay-point dwell
+_STAY_RES = 7
+_STAY_MIN_DWELL_S = 3600
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/trajectory.stay_points): collapse
+    each user's pings into same-cell runs and keep the runs that dwell
+    >= 1h, with exact integer dwell/centroid fingerprints.  The fixture
+    keys the synthetic position on (user_id, UTC day) so users actually
+    dwell — one spot per day — exactly reproducible in SQL.  ONE
+    user-keyed shuffle shared by the lag window, run numbering, and
+    run groupBy.  Oracle: identical gaps-and-islands + HAVING SQL."""
+    from proj_spark.operators.trajectory import stay_points
+
+    ev = _load(spark, sf_dir, "events")
+    es = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    ).cast("long")
+    k = (F.col("user_id") * F.lit(64) + F.floor(es / F.lit(86400.0))).cast(
+        "double"
+    )
+    ev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        E.synth_lon(k).alias("lon"),
+        E.synth_lat(k).alias("lat"),
+    )
+    out = stay_points(
+        ev, res=_STAY_RES, min_dwell_s=_STAY_MIN_DWELL_S, tie="event_id"
+    )
+    return out.withColumnRenamed("user", "user_id")
+
+
+def _stay_oracle() -> str:
+    n = 1 << _STAY_RES
+    k = "(CAST(user_id AS DOUBLE) * 64.0 + floor(floor(epoch(ts)) / 86400.0))"
+    lon, lat = _lon_sql(k), _lat_sql(k)
+    ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         ({iy}) * {2 * n} + ({ix}) AS cell,
+         CAST(floor({lon} * 1000000.0) AS BIGINT) AS qlon,
+         CAST(floor({lat} * 1000000.0) AS BIGINT) AS qlat
+  FROM events
+),
+l AS (
+  SELECT *, lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM c
+),
+r AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR prev <> cell THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) - 1 AS seq
+  FROM l
+)
+SELECT user_id, CAST(seq AS BIGINT) AS seq, min(cell) AS cell,
+       min(es) AS entered_s,
+       max(es) - min(es) AS dwell_s,
+       count(*) AS n_pings,
+       CAST(sum(qlon) AS BIGINT) AS qlon_sum,
+       CAST(sum(qlat) AS BIGINT) AS qlat_sum
+FROM r GROUP BY 1, 2
+HAVING max(es) - min(es) >= {_STAY_MIN_DWELL_S}
+"""
+
+
 def _rotate_oldest_first(reg: "dict[str, Callable]") -> "dict[str, Callable]":
     """Sort the query registry so the entries with the stalest (or no)
     driver-green evidence lead — see :func:`queries`.  Evidence is read
@@ -5133,6 +5275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_oldest_first({
         # hand-written order = family grouping + tie-break; the actual
         # returned order is the mechanical oldest-evidence-first sort
+        "contour_tiles": q_contour_tiles,
+        "morans_i": q_morans_i,
+        "stay_points": q_stay_points,
         "str_partitions": q_str_partitions,
         "kde_heatmap": q_kde_heatmap,
         "snap_points": q_snap_points,
@@ -5753,6 +5898,9 @@ def _tile_pyramid_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "contour_tiles": _contour_oracle(),
+        "morans_i": _morans_oracle(),
+        "stay_points": _stay_oracle(),
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),
         "tile_multizoom": "\nUNION ALL\n".join(
             _tile_oracle(z, _LINEITEM_PTS_SQL) for z in (4, 8, 12)

@@ -200,3 +200,68 @@ def od_matrix(
         F.count(F.lit(1)).alias("n_trips"),
         F.countDistinct("_u").alias("n_users"),
     )
+
+
+def stay_points(
+    df: DataFrame,
+    res: int = 7,
+    min_dwell_s: int = 600,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tie: str | None = None,
+) -> DataFrame:
+    """Stay-point (dwell) detection: collapse each entity's fixes into
+    same-cell runs (the :func:`cell_path` gaps-and-islands core), keep
+    runs that LAST — last fix at least ``min_dwell_s`` seconds after
+    the first — and emit per stay the dwell time plus an exact
+    integer centroid fingerprint (sums of microdegree-floored lon/lat,
+    so the mean position is recoverable as qlon_sum / n_pings without
+    any cross-engine float drift in the stored columns).
+
+    The home/work/POI-visit primitive of every mobility pipeline.
+    Scale shape is cell_path's: ONE entity-keyed shuffle — the window
+    lag, the running-sum run numbering, and the run groupBy all share
+    the hash partitioning on ``user``; the dwell filter is a post-agg
+    HAVING that drops transit runs (usually the vast majority) before
+    anything else reads the output.  Time is integer seconds
+    (floor(epoch)), positions integer microdegrees — all exact.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell = E.cell_id(lon, lat, res)
+    prev = F.lag(cell).over(w)
+    chg = F.when(prev.isNull() | (prev != cell), 1).otherwise(0)
+    epoch_s = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(1000000.0)).cast("long")
+    runs = df.select(
+        F.col(user),
+        epoch_s.alias("_es"),
+        cell.alias("_cell"),
+        (F.sum(chg).over(run) - 1).alias("seq"),
+        F.floor(F.col(lon) * F.lit(1000000.0)).cast("long").alias("_qlon"),
+        F.floor(F.col(lat) * F.lit(1000000.0)).cast("long").alias("_qlat"),
+    )
+    return (
+        runs.groupBy(user, "seq")
+        .agg(
+            F.min("_cell").alias("cell"),  # constant within a run
+            F.min("_es").alias("entered_s"),
+            (F.max("_es") - F.min("_es")).alias("dwell_s"),
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("_qlon").alias("qlon_sum"),
+            F.sum("_qlat").alias("qlat_sum"),
+        )
+        .where(F.col("dwell_s") >= min_dwell_s)
+        .select(
+            F.col(user).alias("user"),
+            F.col("seq").cast("long").alias("seq"),
+            "cell",
+            "entered_s",
+            "dwell_s",
+            F.col("n_pings").cast("long").alias("n_pings"),
+            "qlon_sum",
+            "qlat_sum",
+        )
+    )

@@ -1,0 +1,98 @@
+"""Moran's I (operators/autocorr.py): exact values on hand grids
+(checkerboard -> -1, smooth gradient -> positive), degenerate cases,
+python reference parity, and the broadcast-only plan contract."""
+from __future__ import annotations
+
+import numpy as np
+
+from proj_spark.operators.autocorr import morans_i
+
+RES = 3  # 16 x 8 grid
+N_COLS = 2 << RES  # 16
+N_ROWS = 1 << RES  # 8
+
+
+def _df(spark, cells):
+    return spark.createDataFrame(
+        [(int(c), int(v)) for c, v in cells], "cell long, v long"
+    )
+
+
+def _reference(cells):
+    """Plain-python Moran pieces with the same integer clearing."""
+    cells = dict(cells)
+    n = len(cells)
+    s = sum(cells.values())
+    d = {c: n * v - s for c, v in cells.items()}
+    num = w_sum = 0
+    for c, di in d.items():
+        ix, iy = c % N_COLS, c // N_COLS
+        for nc in (
+            [c - 1] * (ix > 0)
+            + [c + 1] * (ix < N_COLS - 1)
+            + [c - N_COLS] * (iy > 0)
+            + [c + N_COLS] * (iy < N_ROWS - 1)
+        ):
+            if nc in d:
+                w_sum += 1
+                num += di * d[nc]
+    den = sum(v * v for v in d.values())
+    q = None
+    if den > 0 and w_sum > 0:
+        q = int(np.floor(float(n * num) * 1e6 / float(w_sum * den)))
+    return n, w_sum, num, den, q
+
+
+def test_checkerboard_is_perfectly_negative(spark):
+    cells = [
+        (iy * N_COLS + ix, (ix + iy) % 2)
+        for iy in range(N_ROWS)
+        for ix in range(N_COLS)
+    ]
+    r = morans_i(_df(spark, cells), RES).collect()[0]
+    assert (r["n_cells"], r["w_sum"], r["num"], r["den"], r["morans_q"]) == _reference(cells)
+    # checkerboard: every neighbor product is negative -> I = -1 exactly
+    assert r["morans_q"] == -1_000_000
+
+
+def test_gradient_is_positive(spark):
+    cells = [
+        (iy * N_COLS + ix, ix * 10) for iy in range(N_ROWS) for ix in range(N_COLS)
+    ]
+    r = morans_i(_df(spark, cells), RES).collect()[0]
+    assert (r["n_cells"], r["w_sum"], r["num"], r["den"], r["morans_q"]) == _reference(cells)
+    assert r["morans_q"] > 500_000  # strongly clustered
+
+
+def test_sparse_random_matches_reference(spark):
+    rng = np.random.default_rng(11)
+    ids = rng.choice(N_COLS * N_ROWS, size=40, replace=False)
+    cells = [(int(c), int(rng.integers(0, 50))) for c in ids]
+    r = morans_i(_df(spark, cells), RES).collect()[0]
+    assert (r["n_cells"], r["w_sum"], r["num"], r["den"], r["morans_q"]) == _reference(cells)
+
+
+def test_constant_field_yields_null(spark):
+    cells = [(i, 7) for i in range(10)]  # d_i = 0 everywhere -> den = 0
+    r = morans_i(_df(spark, cells), RES).collect()[0]
+    assert r["den"] == 0 and r["morans_q"] is None
+
+
+def test_isolated_cell_yields_null(spark):
+    # two occupied cells far apart: w_sum = 0 -> I undefined
+    cells = [(0, 1), (N_COLS * N_ROWS - 1, 5)]
+    r = morans_i(_df(spark, cells), RES).collect()[0]
+    assert r["w_sum"] == 0 and r["morans_q"] is None
+
+
+def test_no_hash_exchange_on_cell_table(spark):
+    """All joins over the bounded cell table broadcast: the plan must
+    contain no hash-partitioning exchange at all."""
+    cells = [(i, i % 5) for i in range(30)]
+    plan = (
+        morans_i(_df(spark, cells), RES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0, plan
