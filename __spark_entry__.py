@@ -5103,6 +5103,32 @@ def _contour_oracle() -> str:
     )
 
 
+# ===================================================== histogram equalization
+def q_histeq_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile histogram equalization (operators/histeq.py): 256-bin
+    CDF + exact floor-division remap per tile — ZERO shuffles, one
+    narrow mapInPandas over the LCG raster (runs at scan speed at any
+    scale).  Oracle: DuckDB rebuilds each tile's CDF with a window over
+    the grouped closed-form histogram and replays the identical remap."""
+    from proj_spark.operators.histeq import equalize_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    grid = LatLonGrid(**_WARP_GRID)
+    tiles = lcg_tiles(spark, grid, partitions=8).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    return equalize_tiles(tiles, grid.tile_px)
+
+
+def _histeq_oracle() -> str:
+    from proj_spark.operators.histeq import equalize_oracle_sql
+
+    g = _WARP_GRID
+    return equalize_oracle_sql(
+        g["width"], g["height"], g["tile_px"], 2654435761, 12345
+    )
+
+
 # ==================================================== spatial autocorrelation
 _MORANS_RES = 7
 
@@ -5278,6 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "stay_points": q_stay_points,
+        "histeq_tiles": q_histeq_tiles,
         "str_partitions": q_str_partitions,
         "kde_heatmap": q_kde_heatmap,
         "snap_points": q_snap_points,
@@ -5901,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "stay_points": _stay_oracle(),
+        "histeq_tiles": _histeq_oracle(),
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),
         "tile_multizoom": "\nUNION ALL\n".join(
             _tile_oracle(z, _LINEITEM_PTS_SQL) for z in (4, 8, 12)
