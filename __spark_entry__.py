@@ -5151,19 +5151,46 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(cells, _MORANS_RES)
 
 
-def _morans_oracle() -> str:
-    from proj_spark.operators.autocorr import morans_oracle_sql
-
+def _morans_cells_src() -> str:
     n = 1 << _MORANS_RES
     k = "CAST(c_custkey AS DOUBLE)"
     lon, lat = _lon_sql(k), _lat_sql(k)
     ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
     iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
-    src = (
+    return (
         f"SELECT ({iy}) * {2 * n} + ({ix}) AS cell, count(*) AS v "
         f"FROM customer GROUP BY 1"
     )
-    return morans_oracle_sql(src, _MORANS_RES)
+
+
+def _morans_oracle() -> str:
+    from proj_spark.operators.autocorr import morans_oracle_sql
+
+    return morans_oracle_sql(_morans_cells_src(), _MORANS_RES)
+
+
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores (operators/autocorr.py) over the
+    same res-7 customer rollup as morans_i: per occupied cell, exact
+    integer A/C pieces (mean-cleared numerator, weight variance term)
+    plus a 1e-6-quantized z from one shared double tree.  Broadcast
+    9-direction self-join of the bounded cell table — the rollup is the
+    only exchange.  Oracle: identical algebra in DuckDB."""
+    from proj_spark.operators.autocorr import gi_star
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    cells = (
+        pts.withColumn("cell", E.cell_id("lon", "lat", _MORANS_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return gi_star(cells, _MORANS_RES)
+
+
+def _gi_star_oracle() -> str:
+    from proj_spark.operators.autocorr import gi_star_oracle_sql
+
+    return gi_star_oracle_sql(_morans_cells_src(), _MORANS_RES)
 
 
 # ========================================================= stay-point dwell
@@ -5303,6 +5330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # returned order is the mechanical oldest-evidence-first sort
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
+        "gi_star": q_gi_star,
         "stay_points": q_stay_points,
         "histeq_tiles": q_histeq_tiles,
         "str_partitions": q_str_partitions,
@@ -5927,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
+        "gi_star": _gi_star_oracle(),
         "stay_points": _stay_oracle(),
         "histeq_tiles": _histeq_oracle(),
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),

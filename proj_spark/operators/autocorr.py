@@ -92,6 +92,154 @@ def morans_i(cells: DataFrame, res: int) -> DataFrame:
     )
 
 
+def gi_star(cells: DataFrame, res: int) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per occupied cell.
+
+    ``cells``: (cell:long, v:long).  Neighborhood is the queen 3×3
+    block INCLUDING self, grid-clipped, no antimeridian wrap,
+    intersected with the occupied set (the statistic is defined over
+    the occupied cells, documented — the all-cells variant just feeds
+    the zero-filled universe in).  With binary weights,
+
+        z_i = (Σ_{j∈N(i)} x_j − x̄·W_i) / (S·√((n·W_i − W_i²)/(n−1)))
+
+    which, clearing the two rational means, becomes
+
+        z_i = A_i·√(n−1) / √(B·C_i)
+        A_i = n·Σ_nbr − W_i·Σx   B = n·Σx² − (Σx)²   C_i = n·W_i − W_i²
+
+    — A/B/C all exact int64.  The output carries them plus z quantized
+    to 1e-6 from ONE double expression tree mirrored by the oracle.
+    Null z when B = 0 (constant field) or C = 0 (W_i = n).
+
+    Scale shape: identical to :func:`morans_i` — the bounded occupied-
+    cell table broadcasts against its own 9-direction explode; the only
+    real exchange is the caller's rollup.  Int64 bounds: |A_i| ≤
+    n·9·max(x) + 9·n·max(x) — safe while n·max(x) ≤ ~5e8.
+    """
+    n_side = 1 << res
+    w = 2 * n_side
+
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    ix = F.col("cell") % w
+    iy = (F.col("cell") / w).cast("long")
+    # 9 broadcast lookups instead of explode+groupBy: the occupied-cell
+    # table is bounded, and summing join results column-wise keeps the
+    # whole statistic shuffle-free (a groupBy here would re-exchange
+    # the cell table for nothing)
+    keys = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            c = F.col("cell") + dy * w + dx
+            cond = F.lit(True)
+            if dx < 0:
+                cond = cond & (ix > 0)
+            if dx > 0:
+                cond = cond & (ix < w - 1)
+            if dy < 0:
+                cond = cond & (iy > 0)
+            if dy > 0:
+                cond = cond & (iy < n_side - 1)
+            keys[f"_k{dy + 1}{dx + 1}"] = F.when(cond, c)
+    per = cells.select("cell", "v", *[k.alias(nm) for nm, k in keys.items()])
+    for nm in keys:
+        per = per.join(
+            F.broadcast(
+                cells.select(
+                    F.col("cell").alias(f"_nc{nm}"), F.col("v").alias(f"_nv{nm}")
+                )
+            ),
+            F.col(nm) == F.col(f"_nc{nm}"),
+            "left",
+        )
+    hit = [F.col(f"_nv{nm}") for nm in keys]
+    per = per.select(
+        "cell",
+        "v",
+        sum(
+            (h.isNotNull().cast("long") for h in hit), F.lit(0).cast("long")
+        ).alias("w_i"),
+        sum((F.coalesce(h, F.lit(0)) for h in hit), F.lit(0).cast("long")).alias(
+            "nbr_sum"
+        ),
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    a = F.col("n_cells") * F.col("nbr_sum") - F.col("w_i") * F.col("s")
+    b = F.col("n_cells") * F.col("s2") - F.col("s") * F.col("s")
+    c = F.col("n_cells") * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    z_q = F.when(
+        (F.col("b_den") > 0) & (F.col("c_den") > 0),
+        F.floor(
+            F.col("a_num").cast("double")
+            * F.lit(1000000.0)
+            * F.sqrt((F.col("n_cells") - 1).cast("double"))
+            / F.sqrt(F.col("b_den").cast("double") * F.col("c_den").cast("double"))
+        ),
+    )
+    return (
+        j.select(
+            "cell",
+            "v",
+            F.col("w_i").cast("long").alias("w_i"),
+            "nbr_sum",
+            a.alias("a_num"),
+            b.alias("b_den"),
+            c.cast("long").alias("c_den"),
+            "n_cells",
+        )
+        .withColumn("z_q", z_q)
+        .drop("b_den", "n_cells")
+    )
+
+
+def gi_star_oracle_sql(src: str, res: int) -> str:
+    """DuckDB mirror of :func:`gi_star` over the same (cell, v) SQL."""
+    n_side = 1 << res
+    w = 2 * n_side
+    return f"""
+WITH cells AS ({src}),
+st AS (
+  SELECT count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM cells
+),
+nbr AS (
+  SELECT a.cell, a.v, a.cell + o.dy * {w} + o.dx AS ncell
+  FROM cells a,
+       (SELECT dx.x AS dx, dy.y AS dy
+        FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)) o
+  WHERE NOT (o.dx = -1 AND a.cell % {w} = 0)
+    AND NOT (o.dx = 1 AND a.cell % {w} = {w - 1})
+    AND NOT (o.dy = -1 AND a.cell // {w} = 0)
+    AND NOT (o.dy = 1 AND a.cell // {w} = {n_side - 1})
+),
+per AS (
+  SELECT nbr.cell, nbr.v, count(*) AS w_i, CAST(sum(b.v) AS BIGINT) AS nbr_sum
+  FROM nbr JOIN cells b ON b.cell = nbr.ncell
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT per.cell, per.v, per.w_i, per.nbr_sum,
+         CAST(st.n_cells * per.nbr_sum - per.w_i * st.s AS BIGINT) AS a_num,
+         CAST(st.n_cells * st.s2 - st.s * st.s AS BIGINT) AS b_den,
+         CAST(st.n_cells * per.w_i - per.w_i * per.w_i AS BIGINT) AS c_den,
+         st.n_cells
+  FROM per, st
+)
+SELECT cell, v, CAST(w_i AS BIGINT) AS w_i, nbr_sum, a_num, c_den,
+       CASE WHEN b_den > 0 AND c_den > 0 THEN
+         CAST(floor(CAST(a_num AS DOUBLE) * 1000000.0
+                    * sqrt(CAST(n_cells - 1 AS DOUBLE))
+                    / sqrt(CAST(b_den AS DOUBLE) * CAST(c_den AS DOUBLE))) AS BIGINT)
+       END AS z_q
+FROM j
+"""
+
+
 def morans_oracle_sql(src: str, res: int) -> str:
     """DuckDB mirror over the same (cell, v) rollup SQL ``src``.
 

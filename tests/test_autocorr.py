@@ -96,3 +96,91 @@ def test_no_hash_exchange_on_cell_table(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+# ------------------------------------------------------------- Gi* hot spots
+def _gi_reference(cells):
+    """Plain-python Gi* with the same integer clearing + double tree."""
+    import math
+
+    cells = dict(cells)
+    n = len(cells)
+    s = sum(cells.values())
+    s2 = sum(v * v for v in cells.values())
+    b = n * s2 - s * s
+    out = {}
+    for c, v in cells.items():
+        ix, iy = c % N_COLS, c // N_COLS
+        nbrs = [
+            c + dy * N_COLS + dx
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dx >= 0 or ix > 0)
+            and (dx <= 0 or ix < N_COLS - 1)
+            and (dy >= 0 or iy > 0)
+            and (dy <= 0 or iy < N_ROWS - 1)
+        ]
+        hit = [nc for nc in nbrs if nc in cells]
+        w_i = len(hit)
+        nbr_sum = sum(cells[nc] for nc in hit)
+        a = n * nbr_sum - w_i * s
+        cc = n * w_i - w_i * w_i
+        z = None
+        if b > 0 and cc > 0:
+            z = int(
+                math.floor(
+                    float(a) * 1e6 * math.sqrt(float(n - 1))
+                    / math.sqrt(float(b) * float(cc))
+                )
+            )
+        out[c] = (v, w_i, nbr_sum, a, cc, z)
+    return out
+
+
+def test_gi_star_matches_reference(spark):
+    from proj_spark.operators.autocorr import gi_star
+
+    rng = np.random.default_rng(23)
+    ids = rng.choice(N_COLS * N_ROWS, size=50, replace=False)
+    cells = [(int(c), int(rng.integers(0, 40))) for c in ids]
+    got = {
+        r["cell"]: (r["v"], r["w_i"], r["nbr_sum"], r["a_num"], r["c_den"], r["z_q"])
+        for r in gi_star(_df(spark, cells), RES).collect()
+    }
+    assert got == _gi_reference(cells)
+
+
+def test_gi_star_hot_cluster_is_positive(spark):
+    from proj_spark.operators.autocorr import gi_star
+
+    # a 2x2 block of hot cells in a cold field: the block's z > 0,
+    # far-away cold cells' z < 0
+    cells = [(iy * N_COLS + ix, 1) for iy in range(N_ROWS) for ix in range(N_COLS)]
+    hot = {1 * N_COLS + 1, 1 * N_COLS + 2, 2 * N_COLS + 1, 2 * N_COLS + 2}
+    cells = [(c, 50 if c in hot else 1) for c, _ in cells]
+    got = {r["cell"]: r["z_q"] for r in gi_star(_df(spark, cells), RES).collect()}
+    assert got[1 * N_COLS + 1] > 0
+    assert got[5 * N_COLS + 10] < 0
+    assert got == {c: z for c, (_, _, _, _, _, z) in _gi_reference(cells).items()}
+
+
+def test_gi_star_constant_field_yields_null_z(spark):
+    from proj_spark.operators.autocorr import gi_star
+
+    cells = [(i, 3) for i in range(12)]
+    for r in gi_star(_df(spark, cells), RES).collect():
+        assert r["z_q"] is None
+        assert r["a_num"] == 0  # n*nbr_sum == w_i*s when all values equal
+
+
+def test_gi_star_no_hash_exchange(spark):
+    from proj_spark.operators.autocorr import gi_star
+
+    cells = [(i, i % 7) for i in range(40)]
+    plan = (
+        gi_star(_df(spark, cells), RES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0, plan
