@@ -5193,6 +5193,55 @@ def _gi_star_oracle() -> str:
     return gi_star_oracle_sql(_morans_cells_src(), _MORANS_RES)
 
 
+# ====================================================== Mann-Kendall trend
+_MK_RES = 7
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall trend over daily event counts
+    (operators/autocorr.py) — the emerging-hot-spot core: zero-filled
+    (cell x day) study cube, exact integer S + tie-corrected 18*Var(S),
+    continuity-corrected z quantized from one shared double tree.  The
+    pairwise fan is bounded by the 30-day window, not the data; one
+    cell-keyed exchange feeds both the pair join and the tie rollup.
+    Oracle: identical cube + algebra in DuckDB."""
+    from proj_spark.operators.autocorr import mann_kendall, zero_fill_bins
+
+    ev = _load(spark, sf_dir, "events")
+    es = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    ).cast("long")
+    rollup = (
+        ev.select(
+            E.cell_id(
+                E.synth_lon(F.col("event_id").cast("double")),
+                E.synth_lat(F.col("event_id").cast("double")),
+                _MK_RES,
+            ).alias("cell"),
+            F.floor(es / F.lit(86400.0)).cast("long").alias("day"),
+        )
+        .groupBy("cell", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return mann_kendall(zero_fill_bins(rollup))
+
+
+def _mk_oracle() -> str:
+    from proj_spark.operators.autocorr import mann_kendall_oracle_sql
+
+    n = 1 << _MK_RES
+    k = "CAST(event_id AS DOUBLE)"
+    lon, lat = _lon_sql(k), _lat_sql(k)
+    ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
+    src = (
+        f"SELECT ({iy}) * {2 * n} + ({ix}) AS cell, "
+        f"CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day, "
+        f"count(*) AS x FROM events GROUP BY 1, 2"
+    )
+    return mann_kendall_oracle_sql(src)
+
+
 # ========================================================= stay-point dwell
 _STAY_RES = 7
 _STAY_MIN_DWELL_S = 3600
@@ -5331,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
+        "mann_kendall": q_mann_kendall,
         "stay_points": q_stay_points,
         "histeq_tiles": q_histeq_tiles,
         "str_partitions": q_str_partitions,
@@ -5956,6 +6006,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
+        "mann_kendall": _mk_oracle(),
         "stay_points": _stay_oracle(),
         "histeq_tiles": _histeq_oracle(),
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),

@@ -240,6 +240,124 @@ FROM j
 """
 
 
+def mann_kendall(binned: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test per cell over zero-filled time bins —
+    the per-location core of emerging-hot-spot analysis.
+
+    ``binned``: (cell:long, day:long, x:long) with EVERY (cell, day)
+    of the study cube present (zero-filled by the caller; see
+    :func:`zero_fill_bins`).  Emits per cell the exact integers
+
+        s_stat = Σ_{i<j} sign(x_j − x_i)          (trend direction)
+        var18  = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)  (18·Var(S), ties t)
+
+    plus the continuity-corrected z quantized to 1e-6 from one shared
+    double tree: z = (S − sign(S))·√18/√var18, null when var18 = 0
+    (all bins tied).  n = bins per cell.
+
+    Scale shape: the pairwise i<j self-join fans each cell's T bins to
+    T(T−1)/2 rows — bounded by the STUDY-WINDOW length (e.g. 30 days
+    → 435 pairs/cell), never by the data; both join sides arrive on
+    one hash exchange over the cell key and the tie rollup reuses the
+    same partitioning.  Everything else is map-side arithmetic.
+    """
+    a = binned.select("cell", F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = binned.select("cell", F.col("day").alias("d2"), F.col("x").alias("x2"))
+    sgn = (
+        F.when(F.col("x2") > F.col("x1"), 1)
+        .when(F.col("x2") < F.col("x1"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, on="cell")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("cell")
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    per_val = binned.groupBy("cell", "x").agg(F.count(F.lit(1)).alias("t"))
+    t = F.col("t")
+    ties = per_val.groupBy("cell").agg(
+        F.sum(t).alias("n_bins"),
+        F.sum(t * (t - 1) * (2 * t + 5)).alias("tie18"),
+    )
+    n = F.col("n_bins")
+    j = s.join(ties, on="cell")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).alias("var18")
+    ssgn = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    out = j.select("cell", "n_bins", "s_stat", var18)
+    z_q = F.when(
+        F.col("var18") > 0,
+        F.floor(
+            (F.col("s_stat") - ssgn).cast("double")
+            * F.lit(1000000.0)
+            * F.sqrt(F.lit(18.0))
+            / F.sqrt(F.col("var18").cast("double"))
+        ),
+    )
+    return out.withColumn("z_q", z_q)
+
+
+def zero_fill_bins(rollup: DataFrame) -> DataFrame:
+    """Complete a (cell, day, x) rollup to the full study cube: every
+    occupied cell × every day observed anywhere, missing counts as 0.
+    Both dimension tables are bounded (occupied cells, window days) and
+    broadcast; the left join back to the rollup is the only exchange.
+    """
+    cells = rollup.select("cell").distinct()
+    days = rollup.select("day").distinct()
+    uni = cells.crossJoin(F.broadcast(days))
+    return uni.join(rollup, on=["cell", "day"], how="left").select(
+        "cell", "day", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+
+
+def mann_kendall_oracle_sql(src: str) -> str:
+    """DuckDB mirror over the same (cell, day, x) rollup SQL ``src``
+    (pre-zero-fill): identical cube completion, pairwise sign sum, tie
+    correction, and quantized z tree."""
+    return f"""
+WITH ru AS ({src}),
+uni AS (
+  SELECT c.cell, d.day FROM (SELECT DISTINCT cell FROM ru) c,
+                            (SELECT DISTINCT day FROM ru) d
+),
+f AS (
+  SELECT uni.cell, uni.day, CAST(coalesce(ru.x, 0) AS BIGINT) AS x
+  FROM uni LEFT JOIN ru ON ru.cell = uni.cell AND ru.day = uni.day
+),
+s AS (
+  SELECT a.cell,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM f a JOIN f b ON b.cell = a.cell AND a.day < b.day
+  GROUP BY 1
+),
+pv AS (
+  SELECT cell, x, count(*) AS t FROM f GROUP BY 1, 2
+),
+ties AS (
+  SELECT cell, CAST(sum(t) AS BIGINT) AS n_bins,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM pv GROUP BY 1
+),
+j AS (
+  SELECT s.cell, ties.n_bins, s.s_stat,
+         ties.n_bins * (ties.n_bins - 1) * (2 * ties.n_bins + 5) - ties.tie18 AS var18
+  FROM s JOIN ties ON ties.cell = s.cell
+)
+SELECT cell, n_bins, s_stat, CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN var18 > 0 THEN
+         CAST(floor(CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+                    * 1000000.0 * sqrt(18.0)
+                    / sqrt(CAST(var18 AS DOUBLE))) AS BIGINT)
+       END AS z_q
+FROM j
+"""
+
+
 def morans_oracle_sql(src: str, res: int) -> str:
     """DuckDB mirror over the same (cell, v) rollup SQL ``src``.
 

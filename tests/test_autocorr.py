@@ -184,3 +184,69 @@ def test_gi_star_no_hash_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+# --------------------------------------------------- Mann-Kendall trend
+def _mk_df(spark, rows):
+    return spark.createDataFrame(rows, "cell long, day long, x long")
+
+
+def _mk_reference(series):
+    """series: list of x over consecutive bins; returns the tuple."""
+    import math
+    from collections import Counter
+
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(series).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    z = None
+    if var18 > 0:
+        sgn = (s > 0) - (s < 0)
+        z = int(math.floor(float(s - sgn) * 1e6 * math.sqrt(18.0) / math.sqrt(float(var18))))
+    return n, s, var18, z
+
+
+def test_mann_kendall_matches_reference(spark):
+    from proj_spark.operators.autocorr import mann_kendall
+
+    rng = np.random.default_rng(31)
+    series = {c: [int(v) for v in rng.integers(0, 9, 20)] for c in range(6)}
+    rows = [(c, d, x) for c, xs in series.items() for d, x in enumerate(xs)]
+    got = {
+        r["cell"]: (r["n_bins"], r["s_stat"], r["var18"], r["z_q"])
+        for r in mann_kendall(_mk_df(spark, rows)).collect()
+    }
+    assert got == {c: _mk_reference(xs) for c, xs in series.items()}
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from proj_spark.operators.autocorr import mann_kendall
+
+    n = 12
+    rows = (
+        [(1, d, d) for d in range(n)]          # strictly increasing
+        + [(2, d, n - d) for d in range(n)]    # strictly decreasing
+        + [(3, d, 4) for d in range(n)]        # flat: var18 = 0
+    )
+    got = {r["cell"]: r for r in mann_kendall(_mk_df(spark, rows)).collect()}
+    smax = n * (n - 1) // 2
+    assert got[1]["s_stat"] == smax and got[1]["z_q"] > 0
+    # mirror up to the floor's asymmetry on negatives
+    assert got[2]["s_stat"] == -smax and abs(got[2]["z_q"] + got[1]["z_q"]) <= 1
+    assert got[3]["var18"] == 0 and got[3]["z_q"] is None
+
+
+def test_zero_fill_completes_the_cube(spark):
+    from proj_spark.operators.autocorr import zero_fill_bins
+
+    rows = [(1, 0, 5), (1, 2, 7), (2, 1, 1)]  # days {0,1,2}, cells {1,2}
+    got = sorted(map(tuple, zero_fill_bins(_mk_df(spark, rows)).collect()))
+    assert got == [
+        (1, 0, 5), (1, 1, 0), (1, 2, 7),
+        (2, 0, 0), (2, 1, 1), (2, 2, 0),
+    ]
