@@ -5193,6 +5193,29 @@ def _gi_star_oracle() -> str:
     return gi_star_oracle_sql(_morans_cells_src(), _MORANS_RES)
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA local Moran cluster pieces (operators/autocorr.py) over the
+    res-7 customer rollup: ENTIRELY integer (d_i, neighbor d-sum, the
+    i_num product, HH/LL/HL/LH quadrant code) — no quantization at
+    all.  Same zero-shuffle 8-lookup broadcast shape as gi_star.
+    Oracle: identical integer algebra in DuckDB."""
+    from proj_spark.operators.autocorr import local_moran
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey")
+    cells = (
+        pts.withColumn("cell", E.cell_id("lon", "lat", _MORANS_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return local_moran(cells, _MORANS_RES)
+
+
+def _local_moran_oracle() -> str:
+    from proj_spark.operators.autocorr import local_moran_oracle_sql
+
+    return local_moran_oracle_sql(_morans_cells_src(), _MORANS_RES)
+
+
 # ====================================================== Mann-Kendall trend
 _MK_RES = 7
 
@@ -5207,11 +5230,21 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identical cube + algebra in DuckDB."""
     from proj_spark.operators.autocorr import mann_kendall, zero_fill_bins
 
+    return mann_kendall(zero_fill_bins(_mk_rollup(spark, sf_dir)))
+
+
+def _mk_oracle() -> str:
+    from proj_spark.operators.autocorr import mann_kendall_oracle_sql
+
+    return mann_kendall_oracle_sql(_mk_rollup_sql())
+
+
+def _mk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     es = F.floor(
         F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
     ).cast("long")
-    rollup = (
+    return (
         ev.select(
             E.cell_id(
                 E.synth_lon(F.col("event_id").cast("double")),
@@ -5223,23 +5256,37 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell", "day")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    return mann_kendall(zero_fill_bins(rollup))
 
 
-def _mk_oracle() -> str:
-    from proj_spark.operators.autocorr import mann_kendall_oracle_sql
-
+def _mk_rollup_sql() -> str:
     n = 1 << _MK_RES
     k = "CAST(event_id AS DOUBLE)"
     lon, lat = _lon_sql(k), _lat_sql(k)
     ix = f"CAST(least(greatest(floor((({lon} - 360.0 * floor(({lon} + 180.0) / 360.0)) + 180.0) / 360.0 * {float(2 * n)!r}), 0), {2 * n - 1}) AS BIGINT)"
     iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)!r}), 0), {n - 1}) AS BIGINT)"
-    src = (
+    return (
         f"SELECT ({iy}) * {2 * n} + ({ix}) AS cell, "
         f"CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day, "
         f"count(*) AS x FROM events GROUP BY 1, 2"
     )
-    return mann_kendall_oracle_sql(src)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per cell (operators/autocorr.py)
+    over the same zero-filled daily cube as mann_kendall: integer-
+    quantized pair slopes (exact — bounded denominators keep the
+    double tree hazard-free), LOWER-MEDIAN selection via row_number
+    (no interpolation), the median window reusing the pair join's
+    cell partitioning.  Oracle: identical SQL in DuckDB."""
+    from proj_spark.operators.autocorr import theil_sen, zero_fill_bins
+
+    return theil_sen(zero_fill_bins(_mk_rollup(spark, sf_dir)))
+
+
+def _theil_sen_oracle() -> str:
+    from proj_spark.operators.autocorr import theil_sen_oracle_sql
+
+    return theil_sen_oracle_sql(_mk_rollup_sql())
 
 
 # ========================================================= stay-point dwell
@@ -5381,6 +5428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
         "mann_kendall": q_mann_kendall,
+        "local_moran": q_local_moran,
+        "theil_sen": q_theil_sen,
         "stay_points": q_stay_points,
         "histeq_tiles": q_histeq_tiles,
         "str_partitions": q_str_partitions,
@@ -6007,6 +6056,8 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
         "mann_kendall": _mk_oracle(),
+        "local_moran": _local_moran_oracle(),
+        "theil_sen": _theil_sen_oracle(),
         "stay_points": _stay_oracle(),
         "histeq_tiles": _histeq_oracle(),
         "tile_counts": _tile_oracle(8, _ORDERS_PTS_SQL),

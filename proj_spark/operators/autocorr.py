@@ -29,7 +29,7 @@ plan with double d_i and lose only the exactness, not the shape.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -240,6 +240,136 @@ FROM j
 """
 
 
+def local_moran(cells: DataFrame, res: int) -> DataFrame:
+    """LISA — Anselin's local Moran cluster pieces per occupied cell,
+    ENTIRELY in integers (no quantization at all): with
+    d_i = n·x_i − Σx (the cleared mean),
+
+        i_num_i = d_i · Σ_{j∈N(i)} d_j
+
+    over the queen 3×3 neighborhood EXCLUDING self, grid-clipped, no
+    wrap, occupied cells only (same conventions as :func:`gi_star`).
+    The sign of i_num classifies the cluster quadrant: ``quad`` is
+    1=HH, 2=LL, 3=HL (high cell, low neighbors), 4=LH, 0=undefined
+    (d_i = 0 or no neighbors or zero neighbor sum).
+
+    Scale shape: identical to gi_star — 8 broadcast lookups summed
+    column-wise, zero shuffles beyond the caller's rollup.  Int64
+    bounds: |i_num| ≤ 8·(n·max x)² — exact while n·max(x) ≤ ~10⁹ᐟ².
+    """
+    n_side = 1 << res
+    w = 2 * n_side
+
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("v").alias("s")
+    )
+    d = (
+        cells.crossJoin(F.broadcast(stats))
+        .withColumn("d", F.col("n_cells") * F.col("v") - F.col("s"))
+        .select("cell", "v", "d")
+    )
+    ix = F.col("cell") % w
+    iy = (F.col("cell") / w).cast("long")
+    keys = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            c = F.col("cell") + dy * w + dx
+            cond = F.lit(True)
+            if dx < 0:
+                cond = cond & (ix > 0)
+            if dx > 0:
+                cond = cond & (ix < w - 1)
+            if dy < 0:
+                cond = cond & (iy > 0)
+            if dy > 0:
+                cond = cond & (iy < n_side - 1)
+            keys[f"_k{dy + 1}{dx + 1}"] = F.when(cond, c)
+    per = d.select("cell", "v", "d", *[k.alias(nm) for nm, k in keys.items()])
+    for nm in keys:
+        per = per.join(
+            F.broadcast(
+                d.select(F.col("cell").alias(f"_nc{nm}"), F.col("d").alias(f"_nd{nm}"))
+            ),
+            F.col(nm) == F.col(f"_nc{nm}"),
+            "left",
+        )
+    hit = [F.col(f"_nd{nm}") for nm in keys]
+    per = per.select(
+        "cell",
+        "v",
+        "d",
+        sum(
+            (h.isNotNull().cast("long") for h in hit), F.lit(0).cast("long")
+        ).alias("w_i"),
+        sum((F.coalesce(h, F.lit(0)) for h in hit), F.lit(0).cast("long")).alias(
+            "nbr_d_sum"
+        ),
+    )
+    di, nd = F.col("d"), F.col("nbr_d_sum")
+    quad = (
+        F.when((di == 0) | (F.col("w_i") == 0) | (nd == 0), 0)
+        .when((di > 0) & (nd > 0), 1)
+        .when((di < 0) & (nd < 0), 2)
+        .when((di > 0) & (nd < 0), 3)
+        .otherwise(4)
+    )
+    return per.select(
+        "cell",
+        "v",
+        di.alias("d_i"),
+        "w_i",
+        "nbr_d_sum",
+        (di * nd).alias("i_num"),
+        quad.cast("long").alias("quad"),
+    )
+
+
+def local_moran_oracle_sql(src: str, res: int) -> str:
+    """DuckDB mirror of :func:`local_moran` over the same (cell, v)
+    rollup SQL — pure integer algebra, no doubles anywhere."""
+    n_side = 1 << res
+    w = 2 * n_side
+    return f"""
+WITH cells AS ({src}),
+st AS (SELECT count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS s FROM cells),
+d AS (
+  SELECT cell, v, CAST(st.n_cells * v - st.s AS BIGINT) AS d FROM cells, st
+),
+nbr AS (
+  SELECT a.cell, a.cell + o.dy * {w} + o.dx AS ncell
+  FROM d a,
+       (SELECT dx.x AS dx, dy.y AS dy
+        FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+        WHERE NOT (dx.x = 0 AND dy.y = 0)) o
+  WHERE NOT (o.dx = -1 AND a.cell % {w} = 0)
+    AND NOT (o.dx = 1 AND a.cell % {w} = {w - 1})
+    AND NOT (o.dy = -1 AND a.cell // {w} = 0)
+    AND NOT (o.dy = 1 AND a.cell // {w} = {n_side - 1})
+),
+agg AS (
+  SELECT nbr.cell, count(b.cell) AS w_i,
+         CAST(coalesce(sum(b.d), 0) AS BIGINT) AS nbr_d_sum
+  FROM nbr LEFT JOIN d b ON b.cell = nbr.ncell
+  GROUP BY 1
+)
+SELECT d.cell, d.v, d.d AS d_i,
+       CAST(coalesce(agg.w_i, 0) AS BIGINT) AS w_i,
+       coalesce(agg.nbr_d_sum, 0) AS nbr_d_sum,
+       d.d * coalesce(agg.nbr_d_sum, 0) AS i_num,
+       CAST(CASE
+         WHEN d.d = 0 OR coalesce(agg.w_i, 0) = 0
+              OR coalesce(agg.nbr_d_sum, 0) = 0 THEN 0
+         WHEN d.d > 0 AND agg.nbr_d_sum > 0 THEN 1
+         WHEN d.d < 0 AND agg.nbr_d_sum < 0 THEN 2
+         WHEN d.d > 0 AND agg.nbr_d_sum < 0 THEN 3
+         ELSE 4
+       END AS BIGINT) AS quad
+FROM d LEFT JOIN agg ON agg.cell = d.cell
+"""
+
+
 def mann_kendall(binned: DataFrame) -> DataFrame:
     """Mann-Kendall trend test per cell over zero-filled time bins —
     the per-location core of emerging-hot-spot analysis.
@@ -261,6 +391,7 @@ def mann_kendall(binned: DataFrame) -> DataFrame:
     one hash exchange over the cell key and the tie rollup reuses the
     same partitioning.  Everything else is map-side arithmetic.
     """
+    binned = binned.repartition("cell")  # ONE exchange, reused by every branch
     a = binned.select("cell", F.col("day").alias("d1"), F.col("x").alias("x1"))
     b = binned.select("cell", F.col("day").alias("d2"), F.col("x").alias("x2"))
     sgn = (
@@ -299,6 +430,88 @@ def mann_kendall(binned: DataFrame) -> DataFrame:
         ),
     )
     return out.withColumn("z_q", z_q)
+
+
+def theil_sen(binned: DataFrame) -> DataFrame:
+    """Theil-Sen trend magnitude per cell — the robust slope that
+    pairs with :func:`mann_kendall`'s direction test in emerging-hot-
+    spot pipelines.
+
+    ``binned``: the zero-filled (cell, day, x) cube.  Every i<j pair
+    contributes the integer-quantized slope
+
+        slope_q = floor((x_j − x_i)·10⁶ / (d_j − d_i))
+
+    (exact int64 floor division — day keys are distinct so the
+    denominator is > 0), and the per-cell estimate is the LOWER MEDIAN
+    of the sorted slopes (row_number = (m+1)//2) — median selection,
+    not interpolation, so it stays an exact integer both engines
+    reproduce bit-for-bit.
+
+    Scale shape: the same bounded T(T−1)/2 pair fan as mann_kendall on
+    one cell-keyed exchange; the median is one window + filter over
+    the pair rows, reusing that partitioning (no second shuffle).
+    """
+    binned = binned.repartition("cell")  # ONE exchange, reused by both sides
+    a = binned.select("cell", F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = binned.select("cell", F.col("day").alias("d2"), F.col("x").alias("x2"))
+    pairs = (
+        a.join(b, on="cell")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "cell",
+            F.floor(
+                (F.col("x2") - F.col("x1"))
+                * F.lit(1000000)
+                / (F.col("d2") - F.col("d1"))
+            ).alias("slope_q"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy("slope_q")
+    ranked = pairs.select(
+        "cell",
+        "slope_q",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("_m"),
+    )
+    return ranked.where(
+        F.col("_rn") == F.floor((F.col("_m") + 1) / 2)
+    ).select(
+        "cell", F.col("_m").cast("long").alias("n_pairs"), "slope_q"
+    )
+
+
+def theil_sen_oracle_sql(src: str) -> str:
+    """DuckDB mirror over the same (cell, day, x) rollup SQL: identical
+    cube completion, integer slope quantization, lower-median pick."""
+    return f"""
+WITH ru AS ({src}),
+uni AS (
+  SELECT c.cell, d.day FROM (SELECT DISTINCT cell FROM ru) c,
+                            (SELECT DISTINCT day FROM ru) d
+),
+f AS (
+  SELECT uni.cell, uni.day, CAST(coalesce(ru.x, 0) AS BIGINT) AS x
+  FROM uni LEFT JOIN ru ON ru.cell = uni.cell AND ru.day = uni.day
+),
+pairs AS (
+  -- NOT DuckDB's '//' (truncates toward zero on negatives); Spark's
+  -- F.floor(int / int) floors, and the double quotient is never within
+  -- 1/(b.day - a.day) of an integer unless exact, so this tree is safe
+  SELECT a.cell,
+         CAST(floor(CAST((b.x - a.x) * 1000000 AS DOUBLE)
+                    / (b.day - a.day)) AS BIGINT) AS slope_q
+  FROM f a JOIN f b ON b.cell = a.cell AND a.day < b.day
+),
+ranked AS (
+  SELECT cell, slope_q,
+         row_number() OVER (PARTITION BY cell ORDER BY slope_q) AS rn,
+         count(*) OVER (PARTITION BY cell) AS m
+  FROM pairs
+)
+SELECT cell, CAST(m AS BIGINT) AS n_pairs, CAST(slope_q AS BIGINT) AS slope_q
+FROM ranked WHERE rn = (m + 1) // 2
+"""
 
 
 def zero_fill_bins(rollup: DataFrame) -> DataFrame:

@@ -250,3 +250,131 @@ def test_zero_fill_completes_the_cube(spark):
         (1, 0, 5), (1, 1, 0), (1, 2, 7),
         (2, 0, 0), (2, 1, 1), (2, 2, 0),
     ]
+
+
+# ----------------------------------------------------------- local Moran
+def _lisa_reference(cells):
+    cells = dict(cells)
+    n = len(cells)
+    s = sum(cells.values())
+    d = {c: n * v - s for c, v in cells.items()}
+    out = {}
+    for c, v in cells.items():
+        ix, iy = c % N_COLS, c // N_COLS
+        nbrs = [
+            c + dy * N_COLS + dx
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+            and (dx >= 0 or ix > 0)
+            and (dx <= 0 or ix < N_COLS - 1)
+            and (dy >= 0 or iy > 0)
+            and (dy <= 0 or iy < N_ROWS - 1)
+        ]
+        hit = [nc for nc in nbrs if nc in d]
+        nd = sum(d[nc] for nc in hit)
+        di = d[c]
+        if di == 0 or not hit or nd == 0:
+            quad = 0
+        elif di > 0 and nd > 0:
+            quad = 1
+        elif di < 0 and nd < 0:
+            quad = 2
+        elif di > 0:
+            quad = 3
+        else:
+            quad = 4
+        out[c] = (v, di, len(hit), nd, di * nd, quad)
+    return out
+
+
+def test_local_moran_matches_reference(spark):
+    from proj_spark.operators.autocorr import local_moran
+
+    rng = np.random.default_rng(41)
+    ids = rng.choice(N_COLS * N_ROWS, size=60, replace=False)
+    cells = [(int(c), int(rng.integers(0, 30))) for c in ids]
+    got = {
+        r["cell"]: (r["v"], r["d_i"], r["w_i"], r["nbr_d_sum"], r["i_num"], r["quad"])
+        for r in local_moran(_df(spark, cells), RES).collect()
+    }
+    assert got == _lisa_reference(cells)
+
+
+def test_local_moran_quadrants(spark):
+    from proj_spark.operators.autocorr import local_moran
+
+    # hot 2x2 block in a cold field: block cells are HH (1), the cold
+    # ring around it is LH (4), far-away cold cells are LL (2)
+    cells = [(iy * N_COLS + ix, 1) for iy in range(N_ROWS) for ix in range(N_COLS)]
+    hot = {1 * N_COLS + 1, 1 * N_COLS + 2, 2 * N_COLS + 1, 2 * N_COLS + 2}
+    cells = [(c, 60 if c in hot else 1) for c, _ in cells]
+    got = {r["cell"]: r["quad"] for r in local_moran(_df(spark, cells), RES).collect()}
+    assert got[1 * N_COLS + 1] == 1            # HH
+    assert got[0 * N_COLS + 0] == 4            # LH: cold corner touching hot
+    assert got[6 * N_COLS + 12] == 2           # LL: deep cold field
+    assert got == {c: q for c, (_, _, _, _, _, q) in _lisa_reference(cells).items()}
+
+
+def test_local_moran_no_hash_exchange(spark):
+    from proj_spark.operators.autocorr import local_moran
+
+    cells = [(i, i % 4) for i in range(25)]
+    plan = (
+        local_moran(_df(spark, cells), RES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+# ------------------------------------------------------------- Theil-Sen
+def _ts_reference(series):
+    slopes = sorted(
+        (series[j] - series[i]) * 1000000 // (j - i)
+        for i in range(len(series))
+        for j in range(i + 1, len(series))
+    )
+    m = len(slopes)
+    return m, slopes[(m + 1) // 2 - 1]
+
+
+def test_theil_sen_matches_reference(spark):
+    from proj_spark.operators.autocorr import theil_sen
+
+    rng = np.random.default_rng(53)
+    series = {c: [int(v) for v in rng.integers(0, 15, 14)] for c in range(5)}
+    rows = [(c, d, x) for c, xs in series.items() for d, x in enumerate(xs)]
+    got = {
+        r["cell"]: (r["n_pairs"], r["slope_q"])
+        for r in theil_sen(_mk_df(spark, rows)).collect()
+    }
+    assert got == {c: _ts_reference(xs) for c, xs in series.items()}
+
+
+def test_theil_sen_linear_series_recovers_slope(spark):
+    from proj_spark.operators.autocorr import theil_sen
+
+    rows = [(1, d, 3 * d + 7) for d in range(10)]  # exact slope 3
+    r = theil_sen(_mk_df(spark, rows)).collect()[0]
+    assert r["slope_q"] == 3_000_000 and r["n_pairs"] == 45
+
+
+def test_theil_sen_negative_slope_floors_correctly(spark):
+    from proj_spark.operators.autocorr import theil_sen
+
+    # -7 over 3 days: floor(-7e6/3) = -2333334, NOT trunc -2333333
+    rows = [(1, 0, 10), (1, 3, 3)]
+    r = theil_sen(_mk_df(spark, rows)).collect()[0]
+    assert r["slope_q"] == -2333334
+
+
+def test_theil_sen_even_pair_count_takes_lower_median(spark):
+    from proj_spark.operators.autocorr import theil_sen
+
+    rows = [(1, 0, 0), (1, 1, 1), (1, 2, 0), (1, 3, 9)]  # 6 pairs
+    got = theil_sen(_mk_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["n_pairs"] == 6
+    assert got[0]["slope_q"] == _ts_reference([0, 1, 0, 9])[1]
