@@ -5039,6 +5039,35 @@ def _augment_oracle() -> str:
     return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
 
 
+# ===================================================== blob extraction (CCL)
+_BLOB = dict(width=128, height=96, tile_px=32, iso=176)
+
+
+def q_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster connected-component labeling
+    (operators/blobs.py): per-tile vectorized min-label CCL, border
+    stubs (O(edge) rows, never a tile payload re-shuffle), cross-tile
+    merge through the shared label-propagation CC, exact per-blob
+    pixel/tile counts.  Blob id = global min masked pixel gid, an
+    engine-independent name.  Oracle: DuckDB recursive transitive
+    closure over the same block-hash closed-form mask (11 of the 110
+    fixture blobs span tiles, so the merge path is load-bearing)."""
+    from proj_spark.operators.blobs import block_hash_tiles, label_blobs
+
+    tiles = block_hash_tiles(
+        spark, _BLOB["width"], _BLOB["height"], _BLOB["tile_px"]
+    )
+    return label_blobs(
+        tiles, _BLOB["tile_px"], _BLOB["width"], _BLOB["iso"]
+    ).select("blob", "n_px", "n_tiles")
+
+
+def _blobs_oracle() -> str:
+    from proj_spark.operators.blobs import blobs_oracle_sql
+
+    return blobs_oracle_sql(**_BLOB)
+
+
 # ========================================================= change detection
 _CD_MUL_B, _CD_ADD_B = 2246822519, 98765  # epoch-B LCG seed
 _CD_THRESHOLD = 32
@@ -5424,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_oldest_first({
         # hand-written order = family grouping + tie-break; the actual
         # returned order is the mechanical oldest-evidence-first sort
+        "blobs": q_blobs,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
@@ -6052,6 +6082,7 @@ def _tile_pyramid_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "blobs": _blobs_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
