@@ -5059,7 +5059,10 @@ def q_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return label_blobs(
         tiles, _BLOB["tile_px"], _BLOB["width"], _BLOB["iso"]
-    ).select("blob", "n_px", "n_tiles")
+    ).select(
+        "blob", "n_px", "n_tiles",
+        "bb_x0", "bb_y0", "bb_x1", "bb_y1", "sum_gx", "sum_gy",
+    )
 
 
 def _blobs_oracle() -> str:

@@ -57,6 +57,15 @@ _STUB = StructType(
         StructField("side", IntegerType()),  # 0=W/N of the pair, 1=E/S
         StructField("lbl", LongType()),
         StructField("size", LongType()),
+        # kind=0 only: per-(tile, label) bbox + coordinate sums, all
+        # exact int64 — they fold associatively in the final rollup so
+        # the blob bbox/centroid never needs a second pixel pass
+        StructField("mnx", LongType()),
+        StructField("mny", LongType()),
+        StructField("mxx", LongType()),
+        StructField("mxy", LongType()),
+        StructField("sgx", LongType()),
+        StructField("sgy", LongType()),
     ]
 )
 
@@ -85,8 +94,10 @@ def label_blobs(
 ) -> DataFrame:
     """``tiles``: (x:long, y:long, bytes: raw uint8 tile_px²) on a
     grid whose full raster is ``width`` pixels wide; mask is
-    ``pixel >= iso``.  Returns one row per blob:
-    (blob = min masked gid, n_px, n_tiles)."""
+    ``pixel >= iso``.  Returns one row per blob — the full vectorize
+    product: (blob = min masked gid, n_px, n_tiles, exact bbox
+    bb_x0..bb_y1, and integer centroid sums sum_gx/sum_gy so the
+    caller derives the centroid without a second pixel pass)."""
     ts = tile_px
 
     def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,24 +114,48 @@ def label_blobs(
                     continue
                 lab = _label_tile(mask, gid)
                 tile_id = gid[0, 0]
-                ls, cnt = np.unique(lab[mask], return_counts=True)
-                for l_, c_ in zip(ls, cnt):
-                    rows.append((0, int(tile_id), 0, int(l_), int(c_)))
+                lab_m = lab[mask]
+                gxm = np.broadcast_to(gx, mask.shape)[mask]
+                gym = np.broadcast_to(gy, mask.shape)[mask]
+                ls, inv, cnt = np.unique(
+                    lab_m, return_inverse=True, return_counts=True
+                )
+                big = np.iinfo(np.int64).max
+                mnx = np.full(len(ls), big)
+                mny = np.full(len(ls), big)
+                mxx = np.full(len(ls), -1)
+                mxy = np.full(len(ls), -1)
+                sgx = np.zeros(len(ls), dtype=np.int64)
+                sgy = np.zeros(len(ls), dtype=np.int64)
+                np.minimum.at(mnx, inv, gxm)
+                np.minimum.at(mny, inv, gym)
+                np.maximum.at(mxx, inv, gxm)
+                np.maximum.at(mxy, inv, gym)
+                np.add.at(sgx, inv, gxm)
+                np.add.at(sgy, inv, gym)
+                for i, (l_, c_) in enumerate(zip(ls, cnt)):
+                    rows.append(
+                        (0, int(tile_id), 0, int(l_), int(c_),
+                         int(mnx[i]), int(mny[i]), int(mxx[i]),
+                         int(mxy[i]), int(sgx[i]), int(sgy[i]))
+                    )
                 # horizontal stubs: E edge (side 0, key = own gid) and
                 # W edge (side 1, key = left neighbor's gid)
                 for gy_, l_ in zip(gid[mask[:, -1], -1], lab[mask[:, -1], -1]):
-                    rows.append((1, int(gy_), 0, int(l_), 0))
+                    rows.append((1, int(gy_), 0, int(l_), 0, 0, 0, 0, 0, 0, 0))
                 if x > 0:
                     for gy_, l_ in zip(gid[mask[:, 0], 0], lab[mask[:, 0], 0]):
-                        rows.append((1, int(gy_) - 1, 1, int(l_), 0))
+                        rows.append((1, int(gy_) - 1, 1, int(l_), 0, 0, 0, 0, 0, 0, 0))
                 # vertical stubs: S edge / N edge (key = upper pixel gid)
                 for gx_, l_ in zip(gid[-1, mask[-1, :]], lab[-1, mask[-1, :]]):
-                    rows.append((2, int(gx_), 0, int(l_), 0))
+                    rows.append((2, int(gx_), 0, int(l_), 0, 0, 0, 0, 0, 0, 0))
                 if y > 0:
                     for gx_, l_ in zip(gid[0, mask[0, :]], lab[0, mask[0, :]]):
-                        rows.append((2, int(gx_) - width, 1, int(l_), 0))
+                        rows.append((2, int(gx_) - width, 1, int(l_), 0, 0, 0, 0, 0, 0, 0))
             yield pd.DataFrame(
-                rows, columns=["kind", "k", "side", "lbl", "size"]
+                rows,
+                columns=["kind", "k", "side", "lbl", "size",
+                         "mnx", "mny", "mxx", "mxy", "sgx", "sgy"],
             )
 
     parts = tiles.mapInPandas(stage1, _STUB)
@@ -129,7 +164,8 @@ def label_blobs(
     # (same pattern as components.connected_components's edge frame)
     parts = parts.localCheckpoint(eager=False)
     sizes = parts.where(F.col("kind") == 0).select(
-        F.col("k").alias("tile_id"), "lbl", "size"
+        F.col("k").alias("tile_id"), "lbl", "size",
+        "mnx", "mny", "mxx", "mxy", "sgx", "sgy",
     )
     stubs = parts.where(F.col("kind") > 0)
     a = stubs.where(F.col("side") == 0).select(
@@ -149,6 +185,12 @@ def label_blobs(
         .agg(
             F.sum("size").alias("n_px"),
             F.countDistinct("tile_id").alias("n_tiles"),
+            F.min("mnx").alias("bb_x0"),
+            F.min("mny").alias("bb_y0"),
+            F.max("mxx").alias("bb_x1"),
+            F.max("mxy").alias("bb_y1"),
+            F.sum("sgx").alias("sum_gx"),
+            F.sum("sgy").alias("sum_gy"),
         )
     )
     return out
@@ -237,7 +279,10 @@ reach(gid, l) AS (
 ),
 comp AS (SELECT gid, min(l) AS c FROM reach GROUP BY 1)
 SELECT comp.c AS blob, count(*) AS n_px,
-       CAST(count(DISTINCT px.tile) AS BIGINT) AS n_tiles
+       CAST(count(DISTINCT px.tile) AS BIGINT) AS n_tiles,
+       min(px.gx) AS bb_x0, min(px.gy) AS bb_y0,
+       max(px.gx) AS bb_x1, max(px.gy) AS bb_y1,
+       sum(px.gx) AS sum_gx, sum(px.gy) AS sum_gy
 FROM comp JOIN px ON px.gid = comp.gid
 GROUP BY 1
 """

@@ -36,18 +36,22 @@ def test_label_tile_kernel():
 def test_blobs_vs_duckdb_oracle(spark):
     tiles = block_hash_tiles(spark, W, H, TS)
     got = sorted(
-        (int(r.blob), int(r.n_px), int(r.n_tiles))
+        tuple(int(v) for v in r)
         for r in label_blobs(tiles, TS, W, ISO).collect()
     )
     want = sorted(
-        (int(a), int(b), int(c))
-        for a, b, c in duckdb.sql(blobs_oracle_sql(W, H, TS, ISO)).fetchall()
+        tuple(int(v) for v in row)
+        for row in duckdb.sql(blobs_oracle_sql(W, H, TS, ISO)).fetchall()
     )
     assert got == want
     # the fixture must exercise the cross-tile merge path
-    assert sum(1 for _, _, nt in got if nt > 1) >= 5
+    assert sum(1 for r in got if r[2] > 1) >= 5
     # conservation: every masked pixel lands in exactly one blob
-    assert sum(npx for _, npx, _ in got) == sum(npx for _, npx, _ in want)
+    assert sum(r[1] for r in got) == sum(r[1] for r in want)
+    # bbox sanity: centroid (sum/n) lies inside the bbox for every blob
+    for blob, n, _, x0, y0, x1, y1, sx, sy in got:
+        assert x0 <= sx / n <= x1 and y0 <= sy / n <= y1
+        assert (x1 - x0 + 1) * (y1 - y0 + 1) >= n
 
 
 def test_blobs_partitioning_invariant(spark):
