@@ -916,6 +916,31 @@ def _sobel_oracle() -> str:
     return sobel_oracle_sql(**_SOBEL)
 
 
+def q_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope/aspect terrain analysis (operators/stencil.py):
+    same halo-exchange plan as sobel (1-px strips, ~1.06x shuffle),
+    exact int64 Horn gradient numerators, and a 45-degree-sector
+    aspect histogram whose boundaries are pure integer comparisons —
+    no atan2, so the SQL oracle reproduces it bit-for-bit."""
+    from proj_spark.operators.stencil import horn_tiles
+    from proj_spark.operators.warp import LatLonGrid, lcg_tiles
+
+    g = LatLonGrid(
+        lon0=0.0, lat0=0.0, dlon=0.01, dlat=0.01,
+        width=_SOBEL["n_x"] * 64, height=_SOBEL["n_y"] * 64, tile_px=64,
+    )
+    tiles = lcg_tiles(spark, g, partitions=6).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    return horn_tiles(tiles, _SOBEL["tile_px"], _SOBEL["n_x"], _SOBEL["n_y"])
+
+
+def _horn_oracle() -> str:
+    from proj_spark.operators.stencil import horn_oracle_sql
+
+    return horn_oracle_sql(**_SOBEL)
+
+
 _ADAPT_CAP, _ADAPT_L = 50, 8
 
 
@@ -5457,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-written order = family grouping + tie-break; the actual
         # returned order is the mechanical oldest-evidence-first sort
         "blobs": q_blobs,
+        "horn": q_horn,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
@@ -6086,6 +6112,7 @@ def _tile_pyramid_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "blobs": _blobs_oracle(),
+        "horn": _horn_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),

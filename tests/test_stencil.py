@@ -101,3 +101,68 @@ def test_plan_single_shuffle(spark):
     df = sobel_tiles(tiles, TS, NX, NY)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ------------------------------------------------------------- Horn
+
+
+def _horn_reference():
+    """Single-array Horn over the full raster, zero-outside rule."""
+    from proj_spark.operators.stencil import _aspect_octant
+
+    v = _full_raster()
+    pad = np.zeros((v.shape[0] + 2, v.shape[1] + 2), dtype=np.int64)
+    pad[1:-1, 1:-1] = v
+    e = pad[0:-2, 2:] + 2 * pad[1:-1, 2:] + pad[2:, 2:]
+    w = pad[0:-2, 0:-2] + 2 * pad[1:-1, 0:-2] + pad[2:, 0:-2]
+    s = pad[2:, 0:-2] + 2 * pad[2:, 1:-1] + pad[2:, 2:]
+    n = pad[0:-2, 0:-2] + 2 * pad[0:-2, 1:-1] + pad[0:-2, 2:]
+    p, qn = e - w, n - s
+    return p * p + qn * qn, _aspect_octant(p, qn)
+
+
+def test_horn_matches_whole_raster_reference(spark):
+    from proj_spark.operators.stencil import horn_tiles
+
+    tiles = lcg_tiles(spark, GRID, partitions=3).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    got = {
+        (r["x"], r["y"]): r
+        for r in horn_tiles(tiles, TS, NX, NY).collect()
+    }
+    s2, oct_ = _horn_reference()
+    assert len(got) == NX * NY
+    for (x, y), r in got.items():
+        ws2 = s2[y * TS : (y + 1) * TS, x * TS : (x + 1) * TS]
+        woct = oct_[y * TS : (y + 1) * TS, x * TS : (x + 1) * TS]
+        assert r["slope_sum"] == int(ws2.sum()), (x, y)
+        assert r["n_steep"] == int((ws2 > 96 * 96).sum())
+        assert r["n_flat"] == int((woct < 0).sum())
+        for i in range(8):
+            assert r[f"o{i}"] == int((woct == i).sum()), (x, y, i)
+        # octant histogram is total: every pixel is flat or in a sector
+        assert r["n_flat"] + sum(r[f"o{i}"] for i in range(8)) == TS * TS
+
+
+def test_aspect_octant_boundaries():
+    """Every 45-degree boundary vector lands in the HIGHER sector it
+    opens ([k*45, (k+1)*45) half-open), and all 8 axis/diagonal
+    directions classify correctly."""
+    from proj_spark.operators.stencil import _aspect_octant
+
+    p = np.array([1, 1, 0, -1, -1, -1, 0, 1, 0])
+    qn = np.array([0, 1, 1, 1, 0, -1, -1, -1, 0])
+    want = np.array([0, 1, 2, 3, 4, 5, 6, 7, -1])
+    assert np.array_equal(_aspect_octant(p, qn), want)
+
+
+def test_horn_plan_single_shuffle(spark):
+    from proj_spark.operators.stencil import horn_tiles
+
+    tiles = lcg_tiles(spark, GRID, partitions=3).select(
+        F.col("sx").alias("x"), F.col("sy").alias("y"), "bytes"
+    )
+    df = horn_tiles(tiles, TS, NX, NY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
