@@ -5064,6 +5064,60 @@ def _augment_oracle() -> str:
     return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
 
 
+# ========================================================== geostatistics
+_VGRAM = dict(max_dist_m=200_000.0, n_bins=8, res=6)
+
+
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram + Ripley's K pair counts
+    (operators/geostat.py): cell-bucketed unordered pairs (dbscan's
+    eps-join shape — one equi-join shuffle, never all-pairs), exact
+    int64 squared value differences per lag bin, K's cumulative count
+    as a window cumsum over the 8-row aggregate.  Oracle: DuckDB
+    all-pairs with the identical haversine double tree."""
+    from pyspark.sql import Window
+
+    from proj_spark.operators.geostat import variogram_k
+
+    pts = _points(spark, sf_dir, "customer", "c_custkey").withColumn(
+        "v", F.pmod(F.col("pk") * 7919 + 31, F.lit(256))
+    )
+    out = variogram_k(
+        pts, _VGRAM["max_dist_m"], _VGRAM["n_bins"], res=_VGRAM["res"],
+        id_col="pk", value="v",
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "bin", "n_pairs", "sq_sum",
+        F.sum("n_pairs").over(w).alias("cum_pairs"),
+    )
+
+
+def _variogram_oracle() -> str:
+    hav = _HAVERSINE_SQL.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon", D=D
+    )
+    md, nb = _VGRAM["max_dist_m"], _VGRAM["n_bins"]
+    bw = md / nb
+    return f"""
+WITH c AS ({_CUSTOMER_PTS_SQL}),
+p AS (SELECT pk, lon, lat, (pk * 7919 + 31) % 256 AS v FROM c),
+pairs AS (
+  SELECT CAST(floor({hav} / {bw!r}) AS BIGINT) AS bin,
+         (a.v - b.v) * (a.v - b.v) AS sq
+  FROM p a JOIN p b ON a.pk < b.pk
+  WHERE {hav} < {md!r}
+),
+g AS (
+  SELECT bin, count(*) AS n_pairs, CAST(sum(sq) AS BIGINT) AS sq_sum
+  FROM pairs GROUP BY bin
+)
+SELECT bin, n_pairs, sq_sum,
+       CAST(sum(n_pairs) OVER (ORDER BY bin) AS BIGINT) AS cum_pairs
+FROM g
+"""
+
+
 # ===================================================== blob extraction (CCL)
 _BLOB = dict(width=128, height=96, tile_px=32, iso=176)
 
@@ -5483,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # returned order is the mechanical oldest-evidence-first sort
         "blobs": q_blobs,
         "horn": q_horn,
+        "variogram": q_variogram,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
@@ -6113,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "blobs": _blobs_oracle(),
         "horn": _horn_oracle(),
+        "variogram": _variogram_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
