@@ -5064,6 +5064,29 @@ def _augment_oracle() -> str:
     return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
 
 
+# ======================================================== network analysis
+_SSSP = dict(n_x=12, n_y=9, source=0)
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path by distributed Bellman-Ford label
+    relaxation (operators/network.py): one join + groupBy per round,
+    convergence from the checkpointed frame (the connected-components
+    execution shape), exact integer distances.  Oracle: DuckDB capped
+    recursive CTE — an independent engine derivation, not a replay of
+    the relaxation."""
+    from proj_spark.operators.network import lattice_edges, sssp
+
+    e = lattice_edges(spark, _SSSP["n_x"], _SSSP["n_y"])
+    return sssp(e, _SSSP["source"]).select("node", "dist")
+
+
+def _sssp_oracle() -> str:
+    from proj_spark.operators.network import sssp_oracle_sql
+
+    return sssp_oracle_sql(**_SSSP)
+
+
 # ========================================================== geostatistics
 _VGRAM = dict(max_dist_m=200_000.0, n_bins=8, res=6)
 
@@ -5538,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blobs": q_blobs,
         "horn": q_horn,
         "variogram": q_variogram,
+        "sssp": q_sssp,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
@@ -6169,6 +6193,7 @@ def oracle_sql() -> dict[str, str]:
         "blobs": _blobs_oracle(),
         "horn": _horn_oracle(),
         "variogram": _variogram_oracle(),
+        "sssp": _sssp_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
