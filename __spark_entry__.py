@@ -5064,6 +5064,30 @@ def _augment_oracle() -> str:
     return augment_oracle_sql(g["width"], g["height"], g["tile_px"])
 
 
+# =============================================== raster distance transform
+def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source L1 distance transform (operators/rasterdt.py):
+    per-tile two-pass chamfer exact given the 1-px halo, iterative
+    int32 strip exchange until no tile changes (rounds <= tile-grid
+    Manhattan diameter — the raster sibling of sssp's relaxation).
+    Oracle: closed-form min over all block-hash seeds of |dx|+|dy|,
+    independent of the sweep machinery."""
+    from proj_spark.operators.blobs import block_hash_tiles
+    from proj_spark.operators.rasterdt import distance_transform
+
+    w, h, ts = _BLOB["width"], _BLOB["height"], _BLOB["tile_px"]
+    tiles = block_hash_tiles(spark, w, h, ts)
+    return distance_transform(tiles, ts, w // ts, h // ts, iso=240)
+
+
+def _dt_oracle() -> str:
+    from proj_spark.operators.rasterdt import dt_oracle_sql
+
+    return dt_oracle_sql(
+        _BLOB["width"], _BLOB["height"], _BLOB["tile_px"], 240
+    )
+
+
 # ======================================================== network analysis
 _SSSP = dict(n_x=12, n_y=9, source=0)
 
@@ -5562,6 +5586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horn": q_horn,
         "variogram": q_variogram,
         "sssp": q_sssp,
+        "distance_transform": q_distance_transform,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
         "gi_star": q_gi_star,
@@ -6194,6 +6219,7 @@ def oracle_sql() -> dict[str, str]:
         "horn": _horn_oracle(),
         "variogram": _variogram_oracle(),
         "sssp": _sssp_oracle(),
+        "distance_transform": _dt_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
