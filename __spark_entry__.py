@@ -5111,6 +5111,28 @@ def _sssp_oracle() -> str:
     return sssp_oracle_sql(**_SSSP)
 
 
+_FACS = [0, 57, 101]
+
+
+def q_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network catchment assignment (operators/network.py
+    nearest_facility): multi-source SSSP whose label is a
+    lexicographic (dist, facility) struct — every node gets its
+    nearest facility's id with smallest-id tie-break, the
+    service-area/allocation product.  Oracle: the capped recursive CTE
+    seeded at every facility + lexicographic rollup."""
+    from proj_spark.operators.network import lattice_edges, nearest_facility
+
+    e = lattice_edges(spark, _SSSP["n_x"], _SSSP["n_y"])
+    return nearest_facility(e, _FACS).select("node", "dist", "fac")
+
+
+def _catchment_oracle() -> str:
+    from proj_spark.operators.network import facility_oracle_sql
+
+    return facility_oracle_sql(_SSSP["n_x"], _SSSP["n_y"], _FACS)
+
+
 # ========================================================== geostatistics
 _VGRAM = dict(max_dist_m=200_000.0, n_bins=8, res=6)
 
@@ -5586,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horn": q_horn,
         "variogram": q_variogram,
         "sssp": q_sssp,
+        "catchment": q_catchment,
         "distance_transform": q_distance_transform,
         "contour_tiles": q_contour_tiles,
         "morans_i": q_morans_i,
@@ -6219,6 +6242,7 @@ def oracle_sql() -> dict[str, str]:
         "horn": _horn_oracle(),
         "variogram": _variogram_oracle(),
         "sssp": _sssp_oracle(),
+        "catchment": _catchment_oracle(),
         "distance_transform": _dt_oracle(),
         "contour_tiles": _contour_oracle(),
         "morans_i": _morans_oracle(),

@@ -17,8 +17,9 @@ so distances are engine-independent integers.
 At 100 TB scale this is the plan GraphFrames/Pregel uses: the edge
 frame shuffles once per round on dst, the label frame is |V| rows, and
 a hub-and-spoke network converges in O(diameter) rounds.  The oracle
-unrolls the SAME min-plus relaxation K times as chained SQL CTEs —
-exact whenever K >= the converged round count (asserted in tests).
+is an INDEPENDENT derivation: a capped recursive CTE over (node,
+running-dist) pairs whose prune bound provably exceeds every shortest
+path, cross-checked against Dijkstra in tests.
 """
 from __future__ import annotations
 
@@ -176,4 +177,113 @@ sp(node, d) AS (
   WHERE sp.d + e.w < {cap}
 )
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM sp GROUP BY 1
+"""
+
+
+def nearest_facility(
+    edges: DataFrame,
+    sources: list,
+    u: str = "u",
+    v: str = "v",
+    w: str = "w",
+    directed: bool = False,
+    max_iter: int = 64,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source SSSP with facility allocation (network catchment
+    assignment): every reachable node gets (dist, fac) = the network
+    distance to its nearest facility and that facility's id, ties
+    broken by the SMALLEST facility id — deterministic and
+    engine-independent.  Same one-job-per-round relaxation as
+    :func:`sssp`; the label is a lexicographic (dist, fac) struct, so
+    ``F.min``/``F.least`` implement the tie-broken min-plus algebra
+    natively (struct ordering is lexicographic)."""
+    e = edges.select(
+        F.col(u).cast("long").alias("u"),
+        F.col(v).cast("long").alias("v"),
+        F.col(w).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    e = e.distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    srcs = [int(s) for s in sources]
+    is_src = F.col("node").isin(srcs)
+    lab = nodes.select(
+        "node",
+        F.struct(
+            F.when(is_src, F.lit(0).cast("long"))
+            .otherwise(F.lit(_INF))
+            .alias("dist"),
+            F.when(is_src, F.col("node")).otherwise(F.lit(-1)).alias("fac"),
+        ).alias("lb"),
+    )
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(
+                lab.select(F.col("node").alias("u"), F.col("lb").alias("_lu")),
+                "u",
+            )
+            .where(F.col("_lu.dist") < F.lit(_INF))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("_lu.dist") + F.col("w")).alias("dist"),
+                        F.col("_lu.fac").alias("fac"),
+                    )
+                ).alias("_cand")
+            )
+        )
+        new = lab.join(relaxed, "node", "left").select(
+            "node",
+            F.least("lb", F.coalesce("_cand", "lb")).alias("lb"),
+            F.col("lb").alias("_ol"),
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=False)
+        changed = new.where(F.col("lb") != F.col("_ol")).count()
+        lab = new.select("node", "lb")
+        if changed == 0:
+            break
+    else:
+        _LOG.warning(
+            "nearest_facility: labels still improving after max_iter=%d "
+            "rounds — raise max_iter",
+            max_iter,
+        )
+    return lab.where(F.col("lb.dist") < F.lit(_INF)).select(
+        "node", F.col("lb.dist").alias("dist"), F.col("lb.fac").alias("fac")
+    )
+
+
+def facility_oracle_sql(n_x: int, n_y: int, sources: list) -> str:
+    """Capped recursive CTE seeded at every facility; per node the
+    lexicographic (min dist, then min facility id) — the sssp oracle's
+    multi-source, tie-broken extension."""
+    cap = 9 * ((n_x - 1) + (n_y - 1)) + 1
+    seeds = " UNION ALL ".join(
+        f"SELECT {int(s)} AS node, 0 AS d, {int(s)} AS fac"
+        for s in sources
+    )
+    return f"""
+WITH RECURSIVE e0 AS ({lattice_edges_sql(n_x, n_y)}),
+e AS (SELECT u, v, w FROM e0 UNION SELECT v, u, w FROM e0),
+sp(node, d, fac) AS (
+  {seeds}
+  UNION
+  SELECT e.v, sp.d + e.w, sp.fac FROM sp JOIN e ON e.u = sp.node
+  WHERE sp.d + e.w < {cap}
+),
+g AS (SELECT node, min(d) AS dist FROM sp GROUP BY 1)
+SELECT g.node, CAST(g.dist AS BIGINT) AS dist,
+       CAST(min(sp.fac) AS BIGINT) AS fac
+FROM g JOIN sp ON sp.node = g.node AND sp.d = g.dist
+GROUP BY 1, 2
 """

@@ -86,3 +86,40 @@ def test_unreachable_absent(spark):
     )
     got = {r["node"]: r["dist"] for r in sssp(e, 0).collect()}
     assert got == {0: 0, 1: 3}
+
+
+def test_nearest_facility_matches_multisource_dijkstra(spark, edges):
+    from proj_spark.operators.network import facility_oracle_sql, nearest_facility
+
+    srcs = [0, 57, 101]
+    got = sorted(
+        (int(r["node"]), int(r["dist"]), int(r["fac"]))
+        for r in nearest_facility(edges, srcs).collect()
+    )
+    # multi-source Dijkstra with lexicographic (dist, fac) labels
+    adj = {}
+    for u, v, w in (tuple(r) for r in edges.collect()):
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    lab = {s: (0, s) for s in srcs}
+    pq = [(0, s, s) for s in srcs]
+    heapq.heapify(pq)
+    while pq:
+        d, f, u = heapq.heappop(pq)
+        if (d, f) > lab.get(u, (1 << 62, 1 << 62)):
+            continue
+        for v, w in adj.get(u, ()):
+            c = (d + w, f)
+            if c < lab.get(v, (1 << 62, 1 << 62)):
+                lab[v] = c
+                heapq.heappush(pq, (c[0], c[1], v))
+    want = sorted((n, d, f) for n, (d, f) in lab.items())
+    assert got == want
+    ora = sorted(
+        tuple(int(v) for v in r)
+        for r in duckdb.sql(facility_oracle_sql(NX, NY, srcs)).fetchall()
+    )
+    assert got == ora
+    # every facility claims a non-empty catchment
+    facs = {f for _, _, f in got}
+    assert facs == set(srcs)
